@@ -2,7 +2,10 @@
 tests run without TPU hardware. Must run before any jax import."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Blank PALLAS_AXON_POOL_IPS so the axon sitecustomize skips TPU
+# registration; otherwise JAX_PLATFORMS=cpu is overridden.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,96 @@
+"""Kaiser-windowed sinc low-pass filters + anti-aliased 2x resampling.
+
+Behavioral spec from the reference's pure-tensor re-expression of BigVGAN's
+alias-free activation (the component that is a CUDA kernel upstream —
+/root/reference/BigVGAN/modeling_modified/filter.py:30-63, resample.py:11-52):
+upsample2x = zero-stuffed transposed depthwise conv against a kaiser-sinc
+filter (x ratio), downsample2x = strided depthwise conv against the same
+design. Filter design is the standard Kaiser-attenuation formula.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv1d, conv_transpose1d
+
+__all__ = ["kaiser_sinc_filter", "AliasFreeResample"]
+
+
+@functools.lru_cache(maxsize=32)
+def kaiser_sinc_filter(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Length-`kernel_size` zero-phase low-pass, normalized to unit DC gain."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * np.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(kernel_size, beta)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros(kernel_size, dtype=np.float32)
+    filt = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+    filt /= filt.sum()
+    return filt.astype(np.float32)
+
+
+class AliasFreeResample:
+    """2x (or Rx) up/down resampling pair used around snake activations.
+
+    TPU design: the upsample's zero-stuffed transposed conv is decomposed into
+    R polyphase branches — R dense (K/R)-tap depthwise convs interleaved back —
+    so no lhs-dilated conv appears; the downsample is a strided depthwise conv.
+    Both are (B, T, C) ops whose channel dim rides the vector lanes.
+    """
+
+    def __init__(self, ratio: int = 2, kernel_size: int | None = None):
+        self.ratio = ratio
+        self.kernel_size = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+        filt = kaiser_sinc_filter(0.5 / ratio, 0.6 / ratio, self.kernel_size)
+        self.up_filter = filt * ratio
+        self.down_filter = filt
+        # torch-equivalent crop amounts for the transposed conv
+        self.up_pad = self.kernel_size // ratio - 1
+        self.up_crop_left = self.up_pad * ratio + (self.kernel_size - ratio) // 2
+        self.up_crop_right = self.up_pad * ratio + (self.kernel_size - ratio + 1) // 2
+        self.down_pad_left = self.kernel_size // 2 - (1 if self.kernel_size % 2 == 0 else 0)
+        self.down_pad_right = self.kernel_size // 2
+
+    def upsample(self, x: jax.Array) -> jax.Array:
+        """(B, T, C) -> (B, R*T, C) anti-aliased upsample.
+
+        zero-pad(up_pad) -> depthwise transposed conv(stride=R) -> crop,
+        exactly the reference UpSample1d semantics (resample.py:30-35); the
+        lhs-dilated conv lowers onto the MXU/VPU without materializing the
+        zero-stuffed signal.
+        """
+        c = x.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (self.up_pad, self.up_pad), (0, 0)))
+        w = jnp.asarray(self.up_filter, x.dtype).reshape(-1, 1, 1) * jnp.ones(
+            (1, 1, c), x.dtype
+        )
+        y = conv_transpose1d(xp, w, stride=self.ratio, padding=0, groups=c)
+        return y[:, self.up_crop_left : y.shape[1] - self.up_crop_right]
+
+    def downsample(self, x: jax.Array) -> jax.Array:
+        """(B, T, C) -> (B, T//R, C) anti-aliased decimation."""
+        c = x.shape[-1]
+        w = jnp.asarray(self.down_filter, x.dtype).reshape(-1, 1, 1) * jnp.ones(
+            (1, 1, c), x.dtype
+        )
+        return conv1d(
+            x, w, stride=self.ratio,
+            padding=(self.down_pad_left, self.down_pad_right), groups=c,
+        )

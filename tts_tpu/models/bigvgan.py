@@ -1,0 +1,169 @@
+"""BigVGAN vocoder — mel (B, T, n_mels) -> waveform, TPU-native.
+
+Behavioral contract from the reference
+(/root/reference/BigVGAN/modeling_modified/bigvgan.py:242-410 and the
+BIGVGAN export wrapper Export_BigVGAN.py:37-49): conv_pre(7) -> per stage
+[transposed-conv upsample -> mean of `num_kernels` AMP resblocks] ->
+anti-aliased snake post-activation -> conv_post(7) -> tanh (or clamp) ->
+int16 scale. AMPBlock1 = 3 dilation branches of
+x + c2(a2(c1(a1(x)))) with anti-aliased snake/snakebeta activations.
+
+TPU re-design decisions:
+  * feature-last (B, T, C) everywhere — channels ride MXU/VPU lanes;
+  * weight-norm is collapsed at load time (weights/loaders.py), never at
+    runtime;
+  * the upstream CUDA "alias-free activation" kernel is the
+    AliasFreeResample pair around a pointwise snake (audio/filters.py);
+  * the whole generator is one jitted program — XLA fuses the snake chains
+    into the surrounding convs.
+
+Weights pytree (see `init_params` for the authoritative shape spec).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.filters import AliasFreeResample
+from ..audio.snake import snake, snake_beta
+from ..ops.conv import conv1d, conv_transpose1d
+
+__all__ = ["BigVGANConfig", "bigvgan_apply", "init_params"]
+
+
+@dataclass(frozen=True)
+class BigVGANConfig:
+    """Defaults = bigvgan_v2_24khz_100band_256x (the reference's benchmark
+    model, BigVGAN/Export_BigVGAN.py:18)."""
+
+    num_mels: int = 100
+    upsample_initial_channel: int = 1536
+    upsample_rates: tuple[int, ...] = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: tuple[int, ...] = (8, 8, 4, 4, 4, 4)
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: tuple[tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5),
+    )
+    activation: str = "snakebeta"          # 'snake' | 'snakebeta'
+    snake_logscale: bool = True
+    use_bias_at_final: bool = False        # v2 models: no bias, no tanh
+    use_tanh_at_final: bool = False
+    sample_rate: int = 24000
+
+    @property
+    def num_kernels(self) -> int:
+        return len(self.resblock_kernel_sizes)
+
+    @property
+    def stage_channels(self) -> tuple[int, ...]:
+        return tuple(
+            self.upsample_initial_channel // (2 ** (i + 1))
+            for i in range(len(self.upsample_rates))
+        )
+
+    @property
+    def total_upsample(self) -> int:
+        return int(np.prod(self.upsample_rates))
+
+
+def _act(x, p, cfg: BigVGANConfig, resample: AliasFreeResample):
+    """Anti-aliased snake: 2x upsample -> snake/snakebeta -> 2x downsample.
+
+    Snake params stored post-transform: alpha = exp(a) and beta_recip =
+    1/exp(b) when snake_logscale (the reference precomputes these at export).
+    """
+    x = resample.upsample(x)
+    if cfg.activation == "snakebeta":
+        x = snake_beta(x, p["alpha"], p["beta_recip"])
+    else:
+        x = snake(x, p["alpha"], p["alpha_recip"])
+    return resample.downsample(x)
+
+
+def _amp_block(x, p, kernel_size: int, dilations, cfg, resample):
+    """AMPBlock1: per dilation d: x += conv_k_d(act(conv_k_1(act(x))))."""
+    pad1 = [(kernel_size * d - d) // 2 for d in dilations]
+    pad2 = (kernel_size - 1) // 2
+    for j, d in enumerate(dilations):
+        xt = _act(x, p["acts1"][j], cfg, resample)
+        xt = conv1d(xt, p["convs1"][j]["w"], p["convs1"][j]["b"],
+                    padding=pad1[j], dilation=d)
+        xt = _act(xt, p["acts2"][j], cfg, resample)
+        xt = conv1d(xt, p["convs2"][j]["w"], p["convs2"][j]["b"], padding=pad2)
+        x = x + xt
+    return x
+
+
+def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig) -> jax.Array:
+    """mel: (B, T, num_mels) -> waveform (B, T * prod(upsample_rates)).
+
+    Output in [-1, 1] float; callers scale to int16 (the reference folds
+    x32767+clamp into the graph, Export_BigVGAN.py:46-48).
+    """
+    resample = AliasFreeResample(2)
+    x = conv1d(mel, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
+
+    inv_k = 1.0 / cfg.num_kernels
+    for i, (rate, ks) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        up = params["ups"][i]
+        x = conv_transpose1d(x, up["w"], up["b"], stride=rate,
+                             padding=(ks - rate) // 2)
+        acc = None
+        for j, (k, dil) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ):
+            r = _amp_block(x, params["resblocks"][i * cfg.num_kernels + j],
+                           k, dil, cfg, resample)
+            acc = r if acc is None else acc + r
+        x = acc * inv_k
+
+    x = _act(x, params["act_post"], cfg, resample)
+    x = conv1d(x, params["conv_post"]["w"], params["conv_post"].get("b"), padding=3)
+    x = x[..., 0]
+    if cfg.use_tanh_at_final:
+        return jnp.tanh(x)
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def init_params(cfg: BigVGANConfig, key: jax.Array, dtype=jnp.float32):
+    """Random-init pytree with the authoritative shapes (test/bench use;
+    real weights come from weights/loaders.load_bigvgan)."""
+    keys = iter(jax.random.split(key, 512))
+
+    def conv_p(k, cin, cout, bias=True):
+        p = {"w": jax.random.normal(next(keys), (k, cin, cout), dtype) * 0.02}
+        if bias:
+            p["b"] = jnp.zeros((cout,), dtype)
+        return p
+
+    def act_p(c):
+        if cfg.activation == "snakebeta":
+            return {"alpha": jnp.ones((c,), dtype), "beta_recip": jnp.ones((c,), dtype)}
+        return {"alpha": jnp.ones((c,), dtype), "alpha_recip": jnp.ones((c,), dtype)}
+
+    c0 = cfg.upsample_initial_channel
+    params = {
+        "conv_pre": conv_p(7, cfg.num_mels, c0),
+        "ups": [],
+        "resblocks": [],
+    }
+    ch_in = c0
+    for i, (rate, ks) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        ch_out = cfg.stage_channels[i]
+        params["ups"].append(conv_p(ks, ch_in, ch_out))
+        for k, dil in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            params["resblocks"].append(
+                {
+                    "convs1": [conv_p(k, ch_out, ch_out) for _ in dil],
+                    "convs2": [conv_p(k, ch_out, ch_out) for _ in dil],
+                    "acts1": [act_p(ch_out) for _ in dil],
+                    "acts2": [act_p(ch_out) for _ in dil],
+                }
+            )
+        ch_in = ch_out
+    params["act_post"] = act_p(ch_in)
+    params["conv_post"] = conv_p(7, ch_in, 1, bias=cfg.use_bias_at_final)
+    return params

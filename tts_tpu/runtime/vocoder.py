@@ -1,0 +1,71 @@
+"""BigVGAN vocoder runtime — the framework's first end-to-end pipeline.
+
+Mirrors the reference's standalone-vocoder contract
+(BigVGAN/Export_BigVGAN.py:37-49): mel in, int16 waveform out, timing/RTF
+reported. The whole generator is one jitted program; int16 conversion happens
+on-device (x32767 + clamp fused into the graph like the reference does).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.bigvgan import BigVGANConfig, bigvgan_apply, init_params
+
+__all__ = ["BigVGANVocoder"]
+
+
+@dataclass
+class SynthesisStats:
+    wall_s: float
+    audio_s: float
+
+    @property
+    def rtf(self) -> float:
+        return self.wall_s / max(self.audio_s, 1e-9)
+
+
+class BigVGANVocoder:
+    def __init__(self, params=None, cfg: BigVGANConfig | None = None,
+                 dtype=jnp.float32, seed: int = 0):
+        self.cfg = cfg or BigVGANConfig()
+        if params is None:
+            params = init_params(self.cfg, jax.random.key(seed), dtype)
+        self.params = jax.tree.map(lambda a: a.astype(dtype) if a.dtype.kind == "f" else a, params)
+        cfg_ = self.cfg
+
+        @jax.jit
+        def _forward(params, mel):
+            wav = bigvgan_apply(params, mel.astype(dtype), cfg_)
+            return (wav.astype(jnp.float32) * 32767.0).astype(jnp.int16)
+
+        self._forward = _forward
+
+    def __call__(self, mel: np.ndarray) -> np.ndarray:
+        """mel: (B, T, num_mels) or (T, num_mels) -> int16 (B, T*up) waveform."""
+        if mel.ndim == 2:
+            mel = mel[None]
+        return np.asarray(self._forward(self.params, jnp.asarray(mel)))
+
+    def benchmark(self, mel_frames: int = 512, iters: int = 10) -> dict:
+        """Reference benchmark shape: mel (1, 100, 512)
+        (BigVGAN/Export_BigVGAN.py:149, README.md:32)."""
+        mel = jnp.zeros((1, mel_frames, self.cfg.num_mels), jnp.float32)
+        out = jax.block_until_ready(self._forward(self.params, mel))  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = self._forward(self.params, mel)
+        jax.block_until_ready(out)
+        wall = (time.perf_counter() - t0) / iters
+        n_samples = out.shape[-1]
+        audio_s = n_samples / self.cfg.sample_rate
+        return {
+            "wall_s": wall,
+            "samples": int(n_samples),
+            "samples_per_sec": n_samples / wall,
+            "rtf": wall / audio_s,
+        }

@@ -1,0 +1,169 @@
+"""Upstream-checkpoint loaders -> tts_tpu parameter pytrees.
+
+The reference consumes upstream formats directly (SURVEY.md §5 checkpoint
+row): torch .pt state dicts (BigVGAN `bigvgan_generator.pt`), safetensors
+(F5), HF dirs, `.nemo` tars. This module reads those formats with torch on
+CPU and applies the load-time transforms the reference applies at export
+time: weight-norm collapse, layout transposition to feature-last WIO, snake
+parameter exponentiation.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Mapping
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models.bigvgan import BigVGANConfig
+
+__all__ = [
+    "collapse_weight_norm",
+    "load_torch_state_dict",
+    "load_bigvgan",
+    "bigvgan_params_from_state_dict",
+    "bigvgan_config_from_json",
+]
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """torch.load a checkpoint to numpy arrays (CPU, no grad)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "generator" in obj:
+        obj = obj["generator"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}
+
+
+def collapse_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """weight-norm reparam w = g * v / ||v||, norm over all dims but 0.
+
+    Matches torch.nn.utils.remove_weight_norm for dim=0 (the reference
+    removes weight norm before export — Kani_TTS/Export_Kani_TTS.py:519-526).
+    """
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return (g.astype(np.float64) * v.astype(np.float64) / norm).astype(np.float32)
+
+
+def _conv_w(sd: Mapping[str, np.ndarray], prefix: str) -> np.ndarray:
+    """Conv1d weight (out, in, k) with optional weight-norm -> (k, in, out)."""
+    if f"{prefix}.weight_g" in sd:
+        w = collapse_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
+    else:
+        w = sd[f"{prefix}.weight"]
+    return np.transpose(w, (2, 1, 0)).astype(np.float32)
+
+
+def _convt_w(sd: Mapping[str, np.ndarray], prefix: str) -> np.ndarray:
+    """ConvTranspose1d weight (in, out, k) w/ weight-norm -> (k, in, out)."""
+    if f"{prefix}.weight_g" in sd:
+        w = collapse_weight_norm(sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"])
+    else:
+        w = sd[f"{prefix}.weight"]
+    return np.transpose(w, (2, 0, 1)).astype(np.float32)
+
+
+def _conv_p(sd, prefix, transposed=False, dtype=jnp.float32) -> dict[str, Any]:
+    w = _convt_w(sd, prefix) if transposed else _conv_w(sd, prefix)
+    p = {"w": jnp.asarray(w, dtype)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{prefix}.bias"], dtype)
+    return p
+
+
+def _snake_p(sd, prefix, cfg: BigVGANConfig, dtype=jnp.float32) -> dict[str, Any]:
+    """Upstream stores `alpha` (and `beta` for snakebeta), in log scale when
+    snake_logscale; we store alpha=exp(a), beta_recip=exp(-b) (reference
+    precompute: Qwen_TTS/modeling_modified SnakeBeta.precompute, and
+    VoxCPM audio_vae alpha_reciprocal)."""
+    alpha = sd[f"{prefix}.alpha"].astype(np.float64)
+    if cfg.activation == "snakebeta":
+        beta = sd[f"{prefix}.beta"].astype(np.float64)
+        if cfg.snake_logscale:
+            alpha, beta = np.exp(alpha), np.exp(beta)
+        return {
+            "alpha": jnp.asarray(alpha, dtype),
+            "beta_recip": jnp.asarray(1.0 / (beta + 1e-9), dtype),
+        }
+    if cfg.snake_logscale:
+        alpha = np.exp(alpha)
+    return {
+        "alpha": jnp.asarray(alpha, dtype),
+        "alpha_recip": jnp.asarray(1.0 / (alpha + 1e-9), dtype),
+    }
+
+
+def bigvgan_params_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: BigVGANConfig, dtype=jnp.float32
+):
+    """Map the upstream BigVGAN state dict into the bigvgan_apply pytree.
+
+    Upstream key layout (bigvgan.py state_dict): conv_pre, ups.{i}.0,
+    resblocks.{n}.convs1.{j} / convs2.{j} / activations.{m}.act.{alpha,beta},
+    activation_post.act, conv_post. The 2*len(dil) activations per block
+    alternate a1/a2 (acts[::2] = pre-convs1, acts[1::2] = pre-convs2 —
+    reference bigvgan.py:133).
+    """
+    params: dict[str, Any] = {
+        "conv_pre": _conv_p(sd, "conv_pre", dtype=dtype),
+        "ups": [],
+        "resblocks": [],
+    }
+    for i in range(len(cfg.upsample_rates)):
+        params["ups"].append(_conv_p(sd, f"ups.{i}.0", transposed=True, dtype=dtype))
+        for j in range(cfg.num_kernels):
+            n = i * cfg.num_kernels + j
+            ndil = len(cfg.resblock_dilation_sizes[j])
+            block = {
+                "convs1": [
+                    _conv_p(sd, f"resblocks.{n}.convs1.{m}", dtype=dtype)
+                    for m in range(ndil)
+                ],
+                "convs2": [
+                    _conv_p(sd, f"resblocks.{n}.convs2.{m}", dtype=dtype)
+                    for m in range(ndil)
+                ],
+                "acts1": [
+                    _snake_p(sd, f"resblocks.{n}.activations.{2 * m}.act", cfg, dtype)
+                    for m in range(ndil)
+                ],
+                "acts2": [
+                    _snake_p(sd, f"resblocks.{n}.activations.{2 * m + 1}.act", cfg, dtype)
+                    for m in range(ndil)
+                ],
+            }
+            params["resblocks"].append(block)
+    params["act_post"] = _snake_p(sd, "activation_post.act", cfg, dtype)
+    params["conv_post"] = _conv_p(sd, "conv_post", dtype=dtype)
+    return params
+
+
+def bigvgan_config_from_json(path: str) -> BigVGANConfig:
+    with open(path) as f:
+        h = json.load(f)
+    return BigVGANConfig(
+        num_mels=h["num_mels"],
+        upsample_initial_channel=h["upsample_initial_channel"],
+        upsample_rates=tuple(h["upsample_rates"]),
+        upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+        resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(tuple(d) for d in h["resblock_dilation_sizes"]),
+        activation=h["activation"],
+        snake_logscale=h["snake_logscale"],
+        use_bias_at_final=h.get("use_bias_at_final", True),
+        use_tanh_at_final=h.get("use_tanh_at_final", True),
+        sample_rate=h.get("sampling_rate", 24000),
+    )
+
+
+def load_bigvgan(model_dir: str, dtype=jnp.float32):
+    """Load a HF-style BigVGAN dir (config.json + bigvgan_generator.pt)."""
+    cfg = bigvgan_config_from_json(os.path.join(model_dir, "config.json"))
+    sd = load_torch_state_dict(os.path.join(model_dir, "bigvgan_generator.pt"))
+    return bigvgan_params_from_state_dict(sd, cfg, dtype), cfg
