@@ -1,30 +1,47 @@
 #!/usr/bin/env python
 """Driver benchmark: prints ONE JSON line.
 
-Primary metric (BASELINE.json): BigVGAN V2 24khz_100band_256x vocoder
-throughput on fixed mel (1, 100, 512) — reference baseline 4.6 s / RTF 1.53
-on an MX150 GPU (README.md:32) => 131072/4.6 ≈ 28494 samples/s.
-Once the F5-TTS pipeline lands this switches to end-to-end F5 RTF
-(target ≤ 0.05 on one v5e chip).
+Primary metric (BASELINE.json north star): F5-TTS NFE=32 end-to-end RTF on
+one chip — full pipeline (mel extract -> 31 Euler steps over the 22-block
+DiT with batch-2 CFG -> Vocos decode) at the reference README test size
+(~6 s reference audio, ~15 words, README.md:26-30). Reference baselines:
+RTF 60 (i7 CPU) / RTF 21 (MX150 GPU); target RTF <= 0.05.
+
+vs_baseline = baseline_RTF(MX150) / our_RTF  (higher = faster than ref).
 """
 import json
 import sys
 
+import jax
+import jax.numpy as jnp
 
-def bench_bigvgan():
-    from tts_tpu.runtime import BigVGANVocoder
 
-    voc = BigVGANVocoder()  # full-size v2 24khz_100band_256x geometry
-    stats = voc.benchmark(mel_frames=512, iters=10)
-    baseline_samples_per_sec = 131072 / 4.6  # reference MX150 F16 number
+def bench_f5():
+    from tts_tpu.models.f5 import F5Config, init_params
+    from tts_tpu.models.vocos import VocosConfig
+    from tts_tpu.models.vocos import init_params as vocos_init
+    from tts_tpu.runtime.f5 import F5Pipeline
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = F5Config()
+    vcfg = VocosConfig()
+    # jit the inits: one dispatch instead of one per tensor (slow over the
+    # remote-TPU tunnel)
+    f5p = jax.jit(lambda k: init_params(cfg, k, dtype))(jax.random.key(0))
+    vp = jax.jit(lambda k: vocos_init(vcfg, k, dtype))(jax.random.key(1))
+    pipe = F5Pipeline(f5p, cfg, {" ": 0}, vp, vcfg)
+    stats = pipe.benchmark(ref_seconds=6.0, gen_words=15,
+                           iters=3 if on_tpu else 1)
+    baseline_rtf = 21.0  # MX150 GPU, README.md:30
     return {
-        "metric": "bigvgan_v2_24khz_100band_256x samples/sec on mel (1,100,512)",
-        "value": round(stats["samples_per_sec"], 1),
-        "unit": "samples/s",
-        "vs_baseline": round(stats["samples_per_sec"] / baseline_samples_per_sec, 2),
+        "metric": "f5_tts_nfe32 end-to-end RTF (6s ref, 15 words)",
+        "value": round(stats["rtf"], 4),
+        "unit": "rtf",
+        "vs_baseline": round(baseline_rtf / max(stats["rtf"], 1e-9), 1),
     }
 
 
 if __name__ == "__main__":
-    result = bench_bigvgan()
+    result = bench_f5()
     print(json.dumps(result))

@@ -1,0 +1,130 @@
+"""Qwen3-TTS: stack incremental consistency, suppress-bias semantics,
+predictor frame scan, codec decode shapes, and pipeline smoke test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_tpu.kv.cache import KVCache
+from tts_tpu.models.qwen_codec import (
+    QwenCodecDecoderConfig,
+    codec_decode,
+    init_decoder_params,
+    rvq_dequantize,
+)
+from tts_tpu.models.qwen_tts import (
+    Qwen3StackConfig,
+    QwenTTSConfig,
+    init_predictor_params,
+    init_talker_params,
+    make_suppress_bias,
+    predictor_frame,
+    qwen3_stack_step,
+    talker_logits,
+)
+
+TINY = QwenTTSConfig(
+    talker=Qwen3StackConfig(hidden_size=32, num_heads=2, num_kv_heads=1,
+                            head_dim=16, ffn_dim=64, num_layers=2,
+                            max_seq_len=1024),
+    predictor=Qwen3StackConfig(hidden_size=24, num_heads=2, num_kv_heads=1,
+                               head_dim=12, ffn_dim=48, num_layers=2,
+                               max_seq_len=32),
+    codec_vocab=64, group_vocab=32, num_code_groups=4, codec_eos_token_id=62,
+    codec_bos_id=61, codec_pad_id=60, codec_think_id=59,
+    codec_think_bos_id=58, codec_think_eos_id=57,
+    tts_bos_token_id=97, tts_eos_token_id=98, tts_pad_token_id=99,
+    text_vocab=100, text_hidden=16,
+)
+
+TINY_CODEC = QwenCodecDecoderConfig(
+    num_quantizers=4, codebook_size=32, codebook_dim=16, rvq_dim=8,
+    latent_dim=24, decoder_dim=32, upsampling_ratios=(2,),
+    upsample_rates=(4, 2), hidden_size=24, num_heads=2, num_kv_heads=2,
+    head_dim=12, ffn_dim=48, num_layers=2, max_seq_len=64,
+)
+
+
+def test_stack_incremental_matches_batch():
+    params = init_talker_params(TINY, jax.random.key(0))
+    t = TINY.talker
+    hidden = jax.random.normal(jax.random.key(1), (1, 5, t.hidden_size))
+    step = jax.jit(lambda h, kv, rc, rs: qwen3_stack_step(
+        params["talker"], h, kv, t, rc, rs))
+
+    kv = KVCache.create(t.num_layers, 1, t.num_kv_heads, 64, t.head_dim,
+                        jnp.float32)
+    h_b, _ = step(hidden, kv, params["rope_cos"][:5], params["rope_sin"][:5])
+
+    kv = KVCache.create(t.num_layers, 1, t.num_kv_heads, 64, t.head_dim,
+                        jnp.float32)
+    for i in range(5):
+        h_i, kv = step(hidden[:, i:i + 1], kv, params["rope_cos"][i:i + 1],
+                       params["rope_sin"][i:i + 1])
+    np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_i), atol=2e-4)
+
+
+def test_suppress_bias():
+    """Reference :931-938 — last 1024 ids masked except EOS."""
+    bias = make_suppress_bias(3072, 2150)
+    assert bias[0, 2150] == 0.0
+    assert bias[0, 3071] == -1e7
+    assert bias[0, 2048 - 1] == 0.0
+    assert (bias[0, 2048:2150] == -1e7).all()
+    # degenerate tiny vocab: no masking
+    assert (make_suppress_bias(64, 62) == 0).all()
+
+
+def test_predictor_frame_shapes():
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    hid = jax.random.normal(jax.random.key(2), (1, 1, TINY.talker.hidden_size))
+    tok0 = jnp.asarray([7], jnp.int32)
+    frame_ids, ce0 = jax.jit(
+        lambda h, t: predictor_frame(params, h, t, TINY))(hid, tok0)
+    assert frame_ids.shape == (TINY.num_code_groups,)
+    assert int(frame_ids[0]) == 7
+    assert (np.asarray(frame_ids[1:]) < TINY.group_vocab).all()
+    assert ce0.shape == (1, 1, TINY.talker.hidden_size)
+
+
+def test_rvq_dequantize_split_semantics():
+    """Group 0 goes through the semantic path, others through acoustic —
+    changing group 0 must not change the acoustic component."""
+    params = init_decoder_params(TINY_CODEC, jax.random.key(0))
+    codes = jnp.zeros((1, 3, 4), jnp.int32)
+    a = np.asarray(rvq_dequantize(params, codes))
+    b = np.asarray(rvq_dequantize(params, codes.at[..., 0].set(5)))
+    c = np.asarray(rvq_dequantize(params, codes.at[..., 1].set(5)))
+    assert np.abs(a - b).max() > 0          # semantic path changed
+    assert np.abs(a - c).max() > 0          # acoustic path changed
+    # semantic delta is the same regardless of acoustic codes
+    d = np.asarray(rvq_dequantize(params, codes.at[..., 1].set(9)))
+    e = np.asarray(
+        rvq_dequantize(params, codes.at[..., 1].set(9).at[..., 0].set(5)))
+    np.testing.assert_allclose(e - d, b - a, atol=1e-6)
+
+
+def test_codec_decode_shape():
+    params = init_decoder_params(TINY_CODEC, jax.random.key(0))
+    codes = jax.random.randint(jax.random.key(1), (1, 10, 4), 0, 32)
+    wav = jax.jit(lambda c: codec_decode(params, c, TINY_CODEC))(codes)
+    assert wav.shape == (1, 10 * TINY_CODEC.total_upsample)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_qwen_pipeline_smoke():
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    cparams = init_decoder_params(TINY_CODEC, jax.random.key(2))
+    pipe = QwenTTSPipeline(params, TINY, cparams, TINY_CODEC,
+                           QwenDecodeConfig(max_frames=6))
+    ids = np.array([[5, 9, 13, 2]], np.int32)
+    wav, stats = pipe.synthesize_ids(ids, language_id=3)
+    wav2, _ = pipe.synthesize_ids(ids, language_id=3)
+    assert wav.dtype == np.int16
+    np.testing.assert_array_equal(wav, wav2)
+    assert stats["frames"] <= 6

@@ -31,6 +31,7 @@ def apply_repetition_penalty(
     once the window is full: Kani_TTS/Inference_Kani_TTS_ONNX.py:335-338).
     """
     b, v = logits.shape
+    penalty_range = min(penalty_range, save_ids.shape[1])
 
     def _apply(lg):
         start = jnp.maximum(num_decoded - penalty_range, 0)

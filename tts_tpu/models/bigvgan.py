@@ -97,20 +97,29 @@ def _amp_block(x, p, kernel_size: int, dilations, cfg, resample):
     return x
 
 
-def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig) -> jax.Array:
+def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
+                  conds=None, cond_embed: jax.Array | None = None) -> jax.Array:
     """mel: (B, T, num_mels) -> waveform (B, T * prod(upsample_rates)).
 
     Output in [-1, 1] float; callers scale to int16 (the reference folds
     x32767+clamp into the graph, Export_BigVGAN.py:46-48).
+
+    Speaker conditioning (IndexTTS variant, reference
+    IndexTTS/modeling_modified/models.py:226-234): `cond_embed` (B, 1, C0)
+    adds after conv_pre; `conds[i]` (B, 1, C_i) adds after each upsample.
     """
     resample = AliasFreeResample(2)
     x = conv1d(mel, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
+    if cond_embed is not None:
+        x = x + cond_embed
 
     inv_k = 1.0 / cfg.num_kernels
     for i, (rate, ks) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         up = params["ups"][i]
         x = conv_transpose1d(x, up["w"], up["b"], stride=rate,
                              padding=(ks - rate) // 2)
+        if conds is not None:
+            x = x + conds[i]
         acc = None
         for j, (k, dil) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)

@@ -1,0 +1,381 @@
+"""F5-TTS flow-matching DiT — TPU-native (jit + lax.scan) re-design.
+
+Behavioral contract from the reference export wrappers
+(/root/reference/F5_TTS/Export_F5.py:98-203) and the patched model
+(/root/reference/F5_TTS/modeling_modified/F5/dit.py:32-220, modules.py:149-698):
+
+  * preprocess: int16 audio -> log-mel (htk fbank, clamp 1e-5), pad to
+    max_duration, draw gaussian noise, embed text (char ids +1, 0 = filler)
+    through an embedding + sinus position table + ConvNeXtV2 stack, computed
+    twice (cond and drop/uncond rows share the conv stack with all-filler
+    input for the drop row);
+  * transformer: 22 DiT blocks with AdaLN-zero modulation from a precomputed
+    per-NFE-step time-embedding table, interleaved-pair RoPE, CFG via the
+    batch-2 trick (cond row 0, uncond row 1), Euler update
+    noise += (pred + (pred - pred1) * cfg) * delta_t[t] on a sway-sampled
+    schedule (Export_F5.py:153-182);
+  * decode: slice off the reference frames and vocode (models/vocos.py).
+
+TPU re-design decisions (not a port):
+  * the reference splits this into 3 ONNX graphs + a Python NFE loop with
+    per-step session calls; here preprocess/transformer/decode are pure
+    functions and the NFE loop is one `lax.scan` — zero host round-trips;
+  * RoPE tables are sliced inside the jitted program (the exported
+    rope_cos_q/k graph outputs disappear);
+  * attention uses one fused QKV matmul; the d^-0.25 pre-scale is folded
+    into the Q and K weights at load time (weights/f5_loader.py), matching
+    the reference's export-time fold (Export_F5.py:329-333);
+  * everything is feature-last (B, T, C) so channels ride MXU lanes.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import MelSpectrogram
+from ..nn.norm import layer_norm
+from ..nn.rope import apply_rope_interleaved, rope_table_interleaved
+from ..ops.conv import conv1d
+
+__all__ = [
+    "F5Config",
+    "f5_time_schedule",
+    "f5_time_embed_table",
+    "text_embedding",
+    "input_embedding",
+    "dit_forward",
+    "f5_preprocess",
+    "f5_denoise",
+    "init_params",
+]
+
+
+@dataclass(frozen=True)
+class F5Config:
+    """Defaults = F5TTS_v1_Base (SWivid/F5-TTS), the reference's target
+    checkpoint (Export_F5.py:21, configs/F5TTS_v1_Base.yaml)."""
+
+    dim: int = 1024
+    depth: int = 22
+    heads: int = 16
+    head_dim: int = 64
+    ff_mult: int = 2
+    text_dim: int = 512
+    conv_layers: int = 4
+    conv_mult: int = 2
+    n_mels: int = 100
+    vocab_size: int = 2545          # len(vocab.txt); +1 filler row in the table
+    nfe_steps: int = 32
+    cfg_strength: float = 2.0
+    sway_coef: float = -1.0
+    sample_rate: int = 24000
+    n_fft: int = 1024
+    hop: int = 256
+    win_length: int = 1024
+    max_signal_len: int = 4096
+    freq_embed_dim: int = 256
+
+    @property
+    def inner_dim(self) -> int:
+        return self.heads * self.head_dim
+
+
+# --------------------------------------------------------------------------
+# Precomputed schedules (host numpy — become jit constants)
+
+def f5_time_schedule(nfe_steps: int, sway_coef: float) -> tuple[np.ndarray, np.ndarray]:
+    """Sway-sampled t-span and per-step deltas (Export_F5.py:160-162).
+
+    Returns (t (nfe,), delta_t (nfe-1,))."""
+    t = np.linspace(0.0, 1.0, nfe_steps, dtype=np.float64)
+    ts = t + sway_coef * (np.cos(np.pi * 0.5 * t) - 1.0 + t)
+    return ts.astype(np.float32), np.diff(ts).astype(np.float32)
+
+
+def f5_time_embed_table(
+    ts: np.ndarray, mlp_w1: np.ndarray, mlp_b1: np.ndarray,
+    mlp_w2: np.ndarray, mlp_b2: np.ndarray, freq_embed_dim: int = 256,
+) -> np.ndarray:
+    """Precompute time_mlp outputs for every NFE step (Export_F5.py:163-170).
+
+    mlp weights in (in, out) layout. Returns (nfe, dim) float32."""
+    half = freq_embed_dim // 2
+    emb_factor = math.log(10000) / (half - 1)
+    emb_factor = 1000.0 * np.exp(np.arange(half, dtype=np.float64) * -emb_factor)
+    emb = ts.astype(np.float64)[:, None] * emb_factor[None, :]
+    emb = np.concatenate([np.sin(emb), np.cos(emb)], axis=-1)       # (nfe, 256)
+    h = emb @ mlp_w1 + mlp_b1
+    h = h / (1.0 + np.exp(-h))                                      # silu
+    return (h @ mlp_w2 + mlp_b2).astype(np.float32)                 # (nfe, dim)
+
+
+# --------------------------------------------------------------------------
+# Text embedding (reference dit.py:31-75)
+
+def _grn(x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
+    """Global response norm over the sequence axis (modules.py:217-229)."""
+    gx = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))            # (B, 1, D)
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+    return gamma * (x * nx) + beta + x
+
+
+def _convnext_v2_block(x: jax.Array, p) -> jax.Array:
+    """dwconv(7) -> LN -> pw1 -> GELU -> GRN -> pw2, residual
+    (modules.py:233-262)."""
+    r = x
+    x = conv1d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=3,
+               groups=x.shape[-1])
+    x = layer_norm(x, p["norm"]["w"], p["norm"]["b"], eps=1e-6)
+    x = jnp.matmul(x, p["pw1"]["w"]) + p["pw1"]["b"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = _grn(x, p["grn"]["gamma"], p["grn"]["beta"])
+    x = jnp.matmul(x, p["pw2"]["w"]) + p["pw2"]["b"]
+    return r + x
+
+
+def text_embedding(params, text_ids: jax.Array, seq_len: int, cfg: F5Config):
+    """(1, T_text) raw char ids (-1 pad BEFORE the +1 shift applied here) ->
+    (text, text_drop), each (1, seq_len, text_dim).
+
+    Matches the reference contract (Export_F5.py:137: ids+1, zero-padded to
+    max_duration; dit.py:49-73: drop row = filler-id embedding through the
+    same conv stack, both masked at filler positions).
+    """
+    p = params["text_embed"]
+    ids = jnp.pad(text_ids + 1, ((0, 0), (0, seq_len - text_ids.shape[1])))
+    mask = (ids == 0)[..., None]                                    # (1, T, 1)
+
+    emb = p["embed"][ids]                                           # (1, T, D)
+    drop = jnp.broadcast_to(p["embed"][0], emb.shape)
+
+    pos = params["text_freqs_cis"][:seq_len][None]                  # (1, T, D)
+    emb = jnp.where(mask, 0.0, emb + pos)
+    drop = drop + pos
+    for blk in p["blocks"]:
+        emb = jnp.where(mask, 0.0, _convnext_v2_block(emb, blk))
+        drop = jnp.where(mask, 0.0, _convnext_v2_block(drop, blk))
+    return emb, drop
+
+
+def _text_freqs_cis(text_dim: int, max_pos: int = 4096) -> np.ndarray:
+    """Sinus position table cat(cos, sin) (modules.py:196-206)."""
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, text_dim, 2, dtype=np.float64) / text_dim))
+    freqs = np.outer(np.arange(max_pos, dtype=np.float64), inv_freq)
+    return np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Input embedding + DiT blocks
+
+def input_embedding(params, x: jax.Array, cond: jax.Array) -> jax.Array:
+    """cat(x, cond) -> proj -> conv-position-embed residual
+    (dit.py:78-88, modules.py:167-189)."""
+    p = params["input_embed"]
+    h = jnp.concatenate([x, cond], axis=-1)
+    h = jnp.matmul(h, p["proj"]["w"]) + p["proj"]["b"]
+    c = conv1d(h, p["conv1"]["w"], p["conv1"]["b"], padding=15, groups=16)
+    c = c * jnp.tanh(jax.nn.softplus(c))                            # mish
+    c = conv1d(c, p["conv2"]["w"], p["conv2"]["b"], padding=15, groups=16)
+    c = c * jnp.tanh(jax.nn.softplus(c))
+    return c + h
+
+
+def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
+                   heads: int, head_dim: int,
+                   kv_mask: jax.Array | None = None) -> jax.Array:
+    """Full (non-causal) self-attention, interleaved RoPE on q and k, softmax
+    in fp32. The d^-0.5 scale is pre-folded into Wq/Wk (d^-0.25 each) by the
+    loader, mirroring Export_F5.py:329-333. kv_mask (1, T) True=valid lets a
+    static bucket emulate the reference's exact-length sequence."""
+    b, t, _ = x.shape
+    qkv = jnp.matmul(x, p["wqkv"]) + p["bqkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, heads, head_dim)
+    k = k.reshape(b, t, heads, head_dim)
+    v = v.reshape(b, t, heads, head_dim)
+    q = apply_rope_interleaved(q, rope_cos, rope_sin)
+    k = apply_rope_interleaved(k, rope_cos, rope_sin)
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v)
+    out = out.reshape(b, t, heads * head_dim)
+    return jnp.matmul(out, p["wo"]) + p["bo"]
+
+
+def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
+               cfg: F5Config, kv_mask=None) -> jax.Array:
+    """AdaLN-zero DiT block (modules.py:571-613). t_emb: (1, 1, dim)."""
+    mod = jnp.matmul(jax.nn.silu(t_emb), p["ada"]["w"]) + p["ada"]["b"]
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+        mod, 6, axis=-1
+    )
+    norm = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
+    x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos, rope_sin,
+                                      cfg.heads, cfg.head_dim, kv_mask)
+    norm = layer_norm(x, eps=1e-6) * (1 + scale_mlp) + shift_mlp
+    h = jnp.matmul(norm, p["ff1"]["w"]) + p["ff1"]["b"]
+    h = jax.nn.gelu(h, approximate=True)
+    h = jnp.matmul(h, p["ff2"]["w"]) + p["ff2"]["b"]
+    return x + gate_mlp * h
+
+
+def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
+                t_emb: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
+                cfg: F5Config, kv_mask: jax.Array | None = None
+                ) -> tuple[jax.Array, jax.Array]:
+    """One CFG-paired DiT pass. noise (1, T, n_mels); cond/cond_drop
+    (1, T, n_mels+text_dim); t_emb (dim,). Returns (pred_cond, pred_uncond),
+    each (1, T, n_mels) — the batch-2 trick of dit.py:217."""
+    x = jnp.concatenate(
+        [input_embedding(params, noise, cond),
+         input_embedding(params, noise, cond_drop)], axis=0
+    )                                                               # (2, T, dim)
+    t_emb = t_emb.reshape(1, 1, -1)
+    for p in params["blocks"]:
+        x = _dit_block(p, x, t_emb, rope_cos, rope_sin, cfg, kv_mask)
+    mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) + params["norm_out"]["b"]
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
+    x = jnp.matmul(x, params["proj_out"]["w"],
+                   precision="highest") + params["proj_out"]["b"]
+    return x[:1], x[1:]
+
+
+# --------------------------------------------------------------------------
+# Pipeline stages
+
+def f5_preprocess(params, audio: jax.Array, text_ids: jax.Array,
+                  max_duration: int, cfg: F5Config, noise_key: jax.Array):
+    """Stage A (Export_F5.py:98-141): audio (1, N) float in [-1, 1];
+    text_ids (1, T_text) raw vocab ids. Returns
+    (noise, cat_mel_text, cat_mel_text_drop, ref_signal_len)."""
+    melspec = MelSpectrogram(
+        cfg.sample_rate, cfg.n_fft, cfg.hop, cfg.win_length, cfg.n_mels
+    )
+    mel = melspec(audio)                                            # (1, T_ref, M)
+    ref_signal_len = mel.shape[1]
+    mel = jnp.pad(mel, ((0, 0), (0, max_duration - ref_signal_len), (0, 0)))
+    noise = jax.random.normal(noise_key, (1, max_duration, cfg.n_mels))
+    text, text_drop = text_embedding(params, text_ids, max_duration, cfg)
+    cat_mel_text = jnp.concatenate([mel, text], axis=-1)
+    zeros = jnp.zeros_like(mel)
+    cat_mel_text_drop = jnp.concatenate([zeros, text_drop], axis=-1)
+    return noise, cat_mel_text, cat_mel_text_drop, ref_signal_len
+
+
+def f5_denoise(params, noise: jax.Array, cat_mel_text: jax.Array,
+               cat_mel_text_drop: jax.Array, cfg: F5Config) -> jax.Array:
+    """Stage B: the full NFE loop as one lax.scan (replaces the reference's
+    Python loop over session_B calls, F5-TTS-ONNX-Inference.py:291-304).
+
+    Scans nfe_steps-1 Euler steps; carry = noise."""
+    max_duration = noise.shape[1]
+    rope_cos = params["rope_cos"][:max_duration]
+    rope_sin = params["rope_sin"][:max_duration]
+    time_table = params["time_table"]                               # (nfe, dim)
+    delta_t = params["delta_t"]                                     # (nfe-1,)
+
+    def step(carry, idx):
+        pred, pred1 = dit_forward(
+            params, carry, cat_mel_text, cat_mel_text_drop,
+            time_table[idx], rope_cos, rope_sin, cfg,
+        )
+        carry = carry + (pred + (pred - pred1) * cfg.cfg_strength) * delta_t[idx]
+        return carry, None
+
+    denoised, _ = jax.lax.scan(step, noise, jnp.arange(cfg.nfe_steps - 1))
+    return denoised
+
+
+# --------------------------------------------------------------------------
+# Random init (tests / benches; real weights from weights/f5_loader.py)
+
+def init_params(cfg: F5Config, key: jax.Array, dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 1024))
+
+    def lin(cin, cout, scale=0.02):
+        return {
+            "w": jax.random.normal(next(keys), (cin, cout), dtype) * scale,
+            "b": jnp.zeros((cout,), dtype),
+        }
+
+    def conv(k, cin, cout, groups=1):
+        # WIO layout: in-channel dim is per-group (cin // groups)
+        return {
+            "w": jax.random.normal(next(keys), (k, cin // groups, cout), dtype) * 0.02,
+            "b": jnp.zeros((cout,), dtype),
+        }
+
+    def ln(c):
+        return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+    td, d = cfg.text_dim, cfg.dim
+    inner = cfg.inner_dim
+    scale = cfg.head_dim ** -0.25
+
+    def attn_p():
+        q = lin(d, inner)
+        k = lin(d, inner)
+        v = lin(d, inner)
+        # load-time scale fold: q,k weights carry d^-0.25 each
+        wqkv = jnp.concatenate([q["w"] * scale, k["w"] * scale, v["w"]], axis=-1)
+        bqkv = jnp.concatenate([q["b"] * scale, k["b"] * scale, v["b"]])
+        o = lin(inner, d)
+        return {"wqkv": wqkv, "bqkv": bqkv, "wo": o["w"], "bo": o["b"]}
+
+    params = {
+        "text_embed": {
+            "embed": jax.random.normal(next(keys), (cfg.vocab_size + 1, td), dtype) * 0.02,
+            "blocks": [
+                {
+                    "dwconv": conv(7, td, td, groups=td),
+                    "norm": ln(td),
+                    "pw1": lin(td, td * cfg.conv_mult),
+                    "grn": {"gamma": jnp.zeros((1, 1, td * cfg.conv_mult), dtype),
+                            "beta": jnp.zeros((1, 1, td * cfg.conv_mult), dtype)},
+                    "pw2": lin(td * cfg.conv_mult, td),
+                }
+                for _ in range(cfg.conv_layers)
+            ],
+        },
+        "text_freqs_cis": jnp.asarray(_text_freqs_cis(td, cfg.max_signal_len), dtype),
+        "input_embed": {
+            "proj": lin(cfg.n_mels * 2 + td, d),
+            "conv1": conv(31, d, d, groups=16),
+            "conv2": conv(31, d, d, groups=16),
+        },
+        "blocks": [
+            {
+                "ada": lin(d, d * 6),
+                "attn": attn_p(),
+                "ff1": lin(d, d * cfg.ff_mult),
+                "ff2": lin(d * cfg.ff_mult, d),
+            }
+            for _ in range(cfg.depth)
+        ],
+        "norm_out": lin(d, d * 2),
+        "proj_out": lin(d, cfg.n_mels),
+    }
+    rope_cos, rope_sin = rope_table_interleaved(cfg.max_signal_len, cfg.head_dim)
+    params["rope_cos"] = jnp.asarray(rope_cos, dtype)
+    params["rope_sin"] = jnp.asarray(rope_sin, dtype)
+    ts, dts = f5_time_schedule(cfg.nfe_steps, cfg.sway_coef)
+    # time-MLP table precomputed host-side (numpy RNG keeps init jittable)
+    rng = np.random.default_rng(0)
+    mlp_w1 = rng.standard_normal((cfg.freq_embed_dim, d)).astype(np.float32) * 0.02
+    mlp_w2 = rng.standard_normal((d, d)).astype(np.float32) * 0.02
+    params["time_table"] = jnp.asarray(
+        f5_time_embed_table(ts, mlp_w1, np.zeros(d, np.float32),
+                            mlp_w2, np.zeros(d, np.float32),
+                            cfg.freq_embed_dim),
+        dtype,
+    )
+    params["delta_t"] = jnp.asarray(dts)     # fp32: Euler carry stays fp32
+    return params

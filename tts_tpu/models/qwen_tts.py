@@ -1,0 +1,300 @@
+"""Qwen3-TTS — two-level AR LM (talker + RVQ code predictor), TPU-native.
+
+Behavioral contract from the reference export wrappers
+(/root/reference/Qwen_TTS/Export_Qwen_TTS_ONNX.py):
+  * TTS_MAIN (:907-1072): Qwen3 decoder layers — per-head q/k RMSNorm with
+    the d^-0.25 scale folded in, input/post norms absorbed into qkv/gate_up,
+    GQA broadcast attention, 3-axis interleaved M-RoPE (equal position ids
+    across modalities, so numerically standard RoPE built interleaved),
+    codec head + suppress_logits_bias masking the last 1024 vocab ids
+    except EOS (:931-938);
+  * TTS_PREDICTOR (:1075-1232): same layer stack behind a
+    small_to_mtp_projection; prefill = 2 positions
+    [talker last_hidden, codec-group-0 embedding], then 15 decode steps,
+    each with its own LM head (final norm folded, :1235-1254) and its own
+    next-group embedding table;
+  * TTS_EMBED_A/B/C/D (:203-260): text projection (tanh-GELU), talker codec
+    embedding, fused per-frame sum of group embeddings + trailing text
+    hidden injection, per-group predictor embeddings.
+
+TPU re-design (the reference's worst orchestration overhead — 60+ session
+calls per talker frame, SURVEY.md §3.3): the 15 LM heads stack into one
+(15, H, V) tensor and the 15+1 group embeddings into (16, V, H), so the
+inner predictor loop is a lax.scan and the whole frame step is one fused
+jitted region inside the outer lax.while_loop (runtime/qwen.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kv.cache import KVCache
+from ..nn.attention import attention_mask, gqa_attention
+from ..nn.norm import rms_norm
+from ..nn.rope import apply_rope, rope_table
+
+__all__ = [
+    "Qwen3StackConfig",
+    "QwenTTSConfig",
+    "qwen3_stack_step",
+    "talker_logits",
+    "make_suppress_bias",
+    "predictor_frame",
+    "next_talker_input",
+    "init_stack_params",
+    "init_talker_params",
+    "init_predictor_params",
+]
+
+
+@dataclass(frozen=True)
+class Qwen3StackConfig:
+    """One Qwen3 decoder stack (talker or code predictor)."""
+
+    hidden_size: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    ffn_dim: int
+    num_layers: int
+    rms_eps: float = 1e-6
+    rope_base: float = 1000000.0
+    max_seq_len: int = 2048
+
+
+@dataclass(frozen=True)
+class QwenTTSConfig:
+    """Defaults sized for Qwen3-TTS-0.6B-Base; the loader overrides from the
+    checkpoint config.json."""
+
+    talker: Qwen3StackConfig = Qwen3StackConfig(
+        hidden_size=1024, num_heads=16, num_kv_heads=8, head_dim=128,
+        ffn_dim=3072, num_layers=28, max_seq_len=2048)
+    predictor: Qwen3StackConfig = Qwen3StackConfig(
+        hidden_size=1024, num_heads=16, num_kv_heads=8, head_dim=128,
+        ffn_dim=3072, num_layers=4, max_seq_len=32)
+    codec_vocab: int = 3072            # talker codec head vocab
+    group_vocab: int = 2048            # per-RVQ-group vocab
+    num_code_groups: int = 16
+    codec_eos_token_id: int = 2150
+    codec_bos_id: int = 2149
+    codec_pad_id: int = 2148
+    codec_think_id: int = 2154
+    codec_think_bos_id: int = 2155
+    codec_think_eos_id: int = 2156
+    # special TEXT tokens (config.tts_*_token_id, reference :606-607)
+    tts_bos_token_id: int = 151672
+    tts_eos_token_id: int = 151673
+    tts_pad_token_id: int = 151671
+    text_vocab: int = 151936
+    text_hidden: int = 2048            # talker text_embedding dim (projected)
+
+
+# --------------------------------------------------------------------------
+# Generic Qwen3 decoder stack
+
+def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
+                     cfg: Qwen3StackConfig, rope_cos, rope_sin,
+                     kv_valid: jax.Array | None = None,
+                     causal: bool = True):
+    """One pass over S new positions. hidden (B, S, H). Norm weights are
+    absorbed into qkv/gate_up at load; q/k per-head norms (scale-folded) are
+    applied inline. Returns (final_hidden (B, H) pre-head-normed, kv)."""
+    b, s, _ = hidden.shape
+    pos = kv.length
+    mask = attention_mask(s, kv.max_len, pos, pos + s, causal=causal)
+    if kv_valid is not None:
+        mask = mask & kv_valid[None, :]
+
+    x = hidden
+    for i, p in enumerate(params["layers"]):
+        h = rms_norm(x, eps=cfg.rms_eps)
+        qkv = jnp.matmul(h, p["wqkv"])
+        if "bqkv" in p:
+            qkv = qkv + p["bqkv"]
+        q_sz = cfg.num_heads * cfg.head_dim
+        kv_sz = cfg.num_kv_heads * cfg.head_dim
+        q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = qkv[..., q_sz:q_sz + kv_sz].reshape(b, s, cfg.num_kv_heads,
+                                                cfg.head_dim)
+        v = qkv[..., q_sz + kv_sz:].reshape(b, s, cfg.num_kv_heads,
+                                            cfg.head_dim)
+        q = rms_norm(q, p["q_norm"], eps=cfg.rms_eps)
+        k = rms_norm(k, p["k_norm"], eps=cfg.rms_eps)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        kv, k_full, v_full = kv.update_layer(i, k, v)
+        out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
+        x = x + jnp.matmul(out, p["wo"])
+        h = rms_norm(x, eps=cfg.rms_eps)
+        gu = jnp.matmul(h, p["w_gate_up"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        x = x + jnp.matmul(jax.nn.silu(gate) * up, p["w_down"])
+    kv = kv.advance(s)
+    # final norm weight is folded into the downstream head(s)
+    return rms_norm(x[:, -1], eps=cfg.rms_eps), kv
+
+
+# --------------------------------------------------------------------------
+# Talker head
+
+def talker_logits(params, final_hidden: jax.Array, cfg: QwenTTSConfig
+                  ) -> jax.Array:
+    """codec head + suppress bias (reference :931-938, 1063-1069)."""
+    logits = jnp.matmul(final_hidden, params["codec_head"])
+    return logits + params["suppress_bias"]
+
+
+def make_suppress_bias(vocab_size: int, eos_id: int,
+                       window: int = 1024) -> np.ndarray:
+    bias = np.zeros((1, vocab_size), np.float32)
+    if vocab_size <= window:        # degenerate (tiny test vocabs): no mask
+        return bias
+    ids = [t for t in range(vocab_size - window, vocab_size) if t != eos_id]
+    bias[:, ids] = -1e7
+    return bias
+
+
+# --------------------------------------------------------------------------
+# Predictor: one full 16-group frame as a scan
+
+def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
+                    cfg: QwenTTSConfig):
+    """Generate one frame's remaining 15 RVQ groups.
+
+    talker_hidden: (1, 1, talker_H) last hidden from the talker step;
+    codec_token0: (1,) int32 group-0 token from the talker.
+    Returns (frame_ids (16,), codec_embed0 (1, 1, talker_H)).
+
+    Replaces the reference inner loop of ~60 session calls
+    (Export_Qwen_TTS_ONNX.py:2485-2597) with a while-free scan over the
+    stacked (15, H, V) LM heads and (15, V, H) group embeddings.
+    """
+    pcfg = cfg.predictor
+    codec_embed0 = params["talker_codec_embed"][codec_token0][:, None]  # (1,1,H)
+
+    kv = KVCache.create(pcfg.num_layers, 1, pcfg.num_kv_heads,
+                        pcfg.max_seq_len, pcfg.head_dim, jnp.float32)
+    prefill = jnp.concatenate([talker_hidden, codec_embed0], axis=1)
+    prefill = jnp.matmul(prefill, params["small_to_mtp"])    # (1, 2, pH)
+
+    rope_cos = params["pred_rope_cos"]
+    rope_sin = params["pred_rope_sin"]
+
+    h, kv = qwen3_stack_step(params["predictor"], prefill, kv, pcfg,
+                             rope_cos[:2], rope_sin[:2])
+
+    def step(carry, g):
+        h, kv, save = carry
+        logits = jnp.matmul(h, params["lm_heads"][g])         # (1, Vg)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1,)
+        save = save.at[g].set(tok[0])
+        # group embeds live in talker space (they also feed TTS_EMBED_C);
+        # the predictor projects every input through small_to_mtp
+        # (reference :1196 applies it at forward entry)
+        emb = params["group_embeds"][g][tok][:, None]         # (1, 1, tH)
+        emb = jnp.matmul(emb, params["small_to_mtp"])
+        pos = kv.length
+        rc = jax.lax.dynamic_slice(rope_cos, (pos, 0), (1, pcfg.head_dim))
+        rs = jax.lax.dynamic_slice(rope_sin, (pos, 0), (1, pcfg.head_dim))
+        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs)
+        return (h, kv, save), None
+
+    save = jnp.zeros((cfg.num_code_groups - 1,), jnp.int32)
+    (h, kv, save), _ = jax.lax.scan(
+        step, (h, kv, save), jnp.arange(cfg.num_code_groups - 1))
+
+    frame_ids = jnp.concatenate([codec_token0, save])         # (16,)
+    return frame_ids, codec_embed0
+
+
+def next_talker_input(params, frame_ids: jax.Array, codec_embed0: jax.Array,
+                      trailing_text: jax.Array, gather_id: jax.Array,
+                      cfg: QwenTTSConfig) -> jax.Array:
+    """TTS_EMBED_C (reference :236-249): talker input for the next frame =
+    codec_embed0 + trailing_text[gather_id] + sum_g predictor_embed_g."""
+    emb = codec_embed0 + trailing_text[:, gather_id][:, None]   # (1, 1, tH)
+
+    def add_group(emb, g):
+        e = params["group_embeds"][g][frame_ids[g + 1]][None, None]
+        return emb + e, None
+
+    emb, _ = jax.lax.scan(add_group, emb, jnp.arange(cfg.num_code_groups - 1))
+    return emb
+
+
+# --------------------------------------------------------------------------
+# Random init (tests)
+
+def init_stack_params(cfg: Qwen3StackConfig, key: jax.Array,
+                      dtype=jnp.float32, bias: bool = False):
+    keys = iter(jax.random.split(key, 8 * cfg.num_layers + 4))
+    hs, hd = cfg.hidden_size, cfg.head_dim
+    scale = hd ** -0.25
+
+    def mat(cin, cout, s=0.02):
+        return jax.random.normal(next(keys), (cin, cout), dtype) * s
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        p = {
+            "wqkv": mat(hs, (cfg.num_heads + 2 * cfg.num_kv_heads) * hd),
+            "q_norm": jnp.full((hd,), scale, dtype),
+            "k_norm": jnp.full((hd,), scale, dtype),
+            "wo": mat(cfg.num_heads * hd, hs),
+            "w_gate_up": mat(hs, 2 * cfg.ffn_dim),
+            "w_down": mat(cfg.ffn_dim, hs),
+        }
+        if bias:
+            p["bqkv"] = jnp.zeros(((cfg.num_heads + 2 * cfg.num_kv_heads) * hd,),
+                                  dtype)
+        layers.append(p)
+    return {"layers": layers}
+
+
+def init_talker_params(cfg: QwenTTSConfig, key: jax.Array, dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 16))
+    t = cfg.talker
+
+    def mat(cin, cout, s=0.02):
+        return jax.random.normal(next(keys), (cin, cout), dtype) * s
+
+    rope_cos, rope_sin = rope_table(t.max_seq_len, t.head_dim, t.rope_base)
+    params = init_stack_params(t, next(keys), dtype)
+    return {
+        "talker": params,
+        "codec_head": mat(t.hidden_size, cfg.codec_vocab),
+        "suppress_bias": jnp.asarray(
+            make_suppress_bias(cfg.codec_vocab, cfg.codec_eos_token_id), dtype),
+        "talker_codec_embed": mat(cfg.codec_vocab, t.hidden_size),
+        "text_embed": mat(cfg.text_vocab, cfg.text_hidden),
+        "text_proj_w": mat(cfg.text_hidden, t.hidden_size),
+        "text_proj_b": jnp.zeros((t.hidden_size,), dtype),
+        "rope_cos": jnp.asarray(rope_cos, dtype),
+        "rope_sin": jnp.asarray(rope_sin, dtype),
+    }
+
+
+def init_predictor_params(cfg: QwenTTSConfig, key: jax.Array,
+                          dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 16))
+    p = cfg.predictor
+    t = cfg.talker
+
+    def mat(*shape, s=0.02):
+        return jax.random.normal(next(keys), shape, dtype) * s
+
+    rope_cos, rope_sin = rope_table(p.max_seq_len, p.head_dim, p.rope_base)
+    return {
+        "predictor": init_stack_params(p, next(keys), dtype),
+        "small_to_mtp": mat(t.hidden_size, p.hidden_size),
+        "lm_heads": mat(cfg.num_code_groups - 1, p.hidden_size,
+                        cfg.group_vocab),
+        "group_embeds": mat(cfg.num_code_groups - 1, cfg.group_vocab,
+                            t.hidden_size),
+        "pred_rope_cos": jnp.asarray(rope_cos, dtype),
+        "pred_rope_sin": jnp.asarray(rope_sin, dtype),
+    }

@@ -60,11 +60,11 @@ def gqa_attention(
     k = k.astype(q.dtype)
     v = v.astype(q.dtype)
     # (B, KVH, G, S, D) x (B, KVH, T, D) -> (B, KVH, G, S, T)
-    # precision="highest" is a no-op for bf16 operands (native MXU pass) but
-    # keeps fp32 operands honest — the platform default is bf16-class.
+    # default matmul precision: bf16 operands take the native MXU pass;
+    # scores still accumulate in fp32 via preferred_element_type.
     scores = jnp.einsum(
         "bkgsd,bktd->bkgst", q, k,
-        preferred_element_type=jnp.float32, precision="highest",
+        preferred_element_type=jnp.float32,
     )
     if scale != 1.0:
         scores = scores * scale
@@ -75,5 +75,5 @@ def gqa_attention(
             m = mask[:, None, None]
         scores = jnp.where(m, scores, jnp.float32(-1e30))
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkgst,bktd->bkgsd", probs, v, precision="highest")
+    out = jnp.einsum("bkgst,bktd->bkgsd", probs, v)
     return out.transpose(0, 3, 1, 2, 4).reshape(b, s, h, d)

@@ -16,12 +16,12 @@ __all__ = ["swiglu", "gelu_tanh", "gelu_mlp"]
 def swiglu(x: jax.Array, w_gate_up: jax.Array, w_down: jax.Array,
            b_gate_up: jax.Array | None = None, b_down: jax.Array | None = None):
     """x @ [Wg | Wu] -> silu(g) * u -> @ Wd.  w_gate_up: (in, 2*ff)."""
-    gu = jnp.matmul(x, w_gate_up, precision="highest")
+    gu = jnp.matmul(x, w_gate_up)
     if b_gate_up is not None:
         gu = gu + b_gate_up
     gate, up = jnp.split(gu, 2, axis=-1)
     h = jax.nn.silu(gate) * up
-    out = jnp.matmul(h, w_down, precision="highest")
+    out = jnp.matmul(h, w_down)
     if b_down is not None:
         out = out + b_down
     return out
@@ -32,11 +32,11 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
 
 
 def gelu_mlp(x: jax.Array, w1: jax.Array, b1, w2: jax.Array, b2):
-    h = jnp.matmul(x, w1, precision="highest")
+    h = jnp.matmul(x, w1)
     if b1 is not None:
         h = h + b1
     h = gelu_tanh(h)
-    out = jnp.matmul(h, w2, precision="highest")
+    out = jnp.matmul(h, w2)
     if b2 is not None:
         out = out + b2
     return out

@@ -27,6 +27,7 @@ def conv1d(
 ) -> jax.Array:
     if isinstance(padding, int):
         padding = (padding, padding)
+    x = x.astype(w.dtype)   # compute dtype follows the weights (bf16 policy)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
@@ -60,6 +61,7 @@ def conv_transpose1d(
 ) -> jax.Array:
     """torch.nn.ConvTranspose1d equivalent: out_len = (T-1)*stride - 2*pad + K."""
     k = w.shape[0]
+    x = x.astype(w.dtype)
     out = jax.lax.conv_general_dilated(
         x, jnp.flip(w, 0),
         window_strides=(1,),

@@ -1,0 +1,192 @@
+"""F5-TTS synthesis pipeline: reference audio + text -> generated speech.
+
+Reference behavior: /root/reference/F5_TTS/F5-TTS-ONNX-Inference.py:221-316
+(3 ONNX sessions + Python NFE loop). Here the full pipeline — mel extract,
+text embed, 31 Euler steps over 22 DiT blocks (batch-2 CFG), Vocos decode,
+int16 conversion — is ONE jitted XLA program per shape bucket.
+
+TPU shape policy: instead of the reference's dynamic axes, inputs are padded
+to static buckets (audio samples, text ids, mel frames) and validity is
+carried by scalar lengths:
+  * mel frames >= ref_signal_len are zeroed (the reference pads with zeros);
+  * the flow-matching sequence is masked at `duration` — attention keys
+    beyond it are masked out and the carry is re-zeroed each step, which
+    reproduces the reference's exact-length zero boundary;
+  * the vocoder runs on the full bucket and the host crops to
+    (duration - ref_signal_len - 1) * hop samples.
+This bounds recompiles to the handful of bucket combinations.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import MelSpectrogram
+from ..frontend.f5_text import convert_char_to_pinyin, f5_duration, text_to_ids
+from ..models.f5 import F5Config, dit_forward, text_embedding
+from ..models.vocos import VocosConfig, vocos_decode
+
+__all__ = ["F5Pipeline", "F5Stats"]
+
+
+def _bucket(n: int, step: int, lo: int) -> int:
+    return max(lo, -(-n // step) * step)
+
+
+@dataclass
+class F5Stats:
+    wall_s: float
+    audio_s: float
+    compile_s: float = 0.0
+
+    @property
+    def rtf(self) -> float:
+        return self.wall_s / max(self.audio_s, 1e-9)
+
+
+class F5Pipeline:
+    """End-to-end F5-TTS. Construct from loaded params
+    (weights/f5_loader.load_f5 / load_vocos) or random init for smoke runs."""
+
+    def __init__(self, f5_params, f5_cfg: F5Config, vocab: dict[str, int],
+                 vocos_params, vocos_cfg: VocosConfig | None = None,
+                 seed: int = 9527):
+        self.params = f5_params
+        self.cfg = f5_cfg
+        self.vocab = vocab
+        self.vparams = vocos_params
+        self.vcfg = vocos_cfg or VocosConfig()
+        self.seed = seed
+        self._fn_cache: dict = {}
+
+    # -- the jitted program (one per shape bucket) --------------------------
+
+    def _build(self, audio_len: int, text_len: int, frames: int):
+        cfg, vcfg = self.cfg, self.vcfg
+        melspec = MelSpectrogram(cfg.sample_rate, cfg.n_fft, cfg.hop,
+                                 cfg.win_length, cfg.n_mels)
+
+        @jax.jit
+        def run(params, vparams, audio, text_ids, ref_signal_len, duration, key):
+            # --- preprocess (reference graph A) ---
+            mel = melspec(audio)[:, :frames]                       # (1, Fa, M)
+            fa = mel.shape[1]
+            frame_idx = jnp.arange(frames)[None, :, None]          # (1, T, 1)
+            mel = jnp.pad(mel, ((0, 0), (0, frames - fa), (0, 0)))
+            mel = jnp.where(frame_idx < ref_signal_len, mel, 0.0)
+
+            noise = jax.random.normal(key, (1, frames, cfg.n_mels))
+            in_len = jnp.where(frame_idx < duration, 1.0, 0.0)     # valid mask
+            noise = noise * in_len
+
+            text, text_drop = text_embedding(params, text_ids, frames, cfg)
+            text = text * in_len
+            text_drop = text_drop * in_len
+            # compute dtype follows the loaded params (bf16 on TPU, fp32 in
+            # tests); the Euler carry stays fp32 for integration accuracy
+            cdt = params["proj_out"]["w"].dtype
+            cat_mel_text = jnp.concatenate([mel, text], axis=-1).astype(cdt)
+            cat_mel_text_drop = jnp.concatenate(
+                [jnp.zeros_like(mel), text_drop], axis=-1).astype(cdt)
+
+            # --- NFE loop (reference graph B x31) ---
+            rope_cos = params["rope_cos"][:frames]
+            rope_sin = params["rope_sin"][:frames]
+            kv_mask = (jnp.arange(frames) < duration)[None, :]     # (1, T)
+
+            def step(carry, idx):
+                pred, pred1 = dit_forward(
+                    params, carry.astype(cdt), cat_mel_text, cat_mel_text_drop,
+                    params["time_table"][idx], rope_cos, rope_sin, cfg,
+                    kv_mask=kv_mask,
+                )
+                update = (pred + (pred - pred1) * cfg.cfg_strength).astype(
+                    jnp.float32) * params["delta_t"][idx].astype(jnp.float32)
+                return (carry + update) * in_len, None
+
+            denoised, _ = jax.lax.scan(step, noise,
+                                       jnp.arange(cfg.nfe_steps - 1))
+
+            # --- decode (reference graph C) ---
+            gen = jax.lax.dynamic_slice(
+                jnp.pad(denoised, ((0, 0), (0, frames), (0, 0))),
+                (0, ref_signal_len, 0), (1, frames, cfg.n_mels),
+            )
+            wav = vocos_decode(vparams, gen, vcfg)
+            return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+        return run
+
+    def _get_fn(self, audio_len: int, text_len: int, frames: int):
+        key = (audio_len, text_len, frames)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = self._build(*key)
+        return self._fn_cache[key]
+
+    # -- public API ---------------------------------------------------------
+
+    def synthesize(self, ref_audio: np.ndarray, ref_text: str, gen_text: str,
+                   speed: float = 1.0, seed: int | None = None
+                   ) -> tuple[np.ndarray, F5Stats]:
+        """ref_audio: int16 or float mono waveform at cfg.sample_rate.
+        Returns (int16 waveform, stats)."""
+        cfg = self.cfg
+        if ref_audio.dtype == np.int16:
+            audio = ref_audio.astype(np.float32) / 32768.0
+        else:
+            audio = ref_audio.astype(np.float32)
+        audio = audio.reshape(1, -1)
+
+        ref_signal_len, duration = f5_duration(
+            audio.shape[-1], ref_text, gen_text, cfg.hop, speed
+        )
+        duration = min(duration, cfg.max_signal_len)
+
+        chars = convert_char_to_pinyin([ref_text + gen_text])[0]
+        ids = text_to_ids(chars, self.vocab)                       # (1, T)
+
+        audio_bucket = _bucket(audio.shape[-1], 32768, 32768)
+        text_bucket = _bucket(ids.shape[-1], 64, 64)
+        frame_bucket = _bucket(duration, 256, 256)
+        frame_bucket = min(frame_bucket, cfg.max_signal_len)
+
+        audio_p = np.pad(audio, ((0, 0), (0, audio_bucket - audio.shape[-1])))
+        # pad with -1: +1 shift inside text_embedding maps it to filler id 0
+        ids_p = np.pad(ids, ((0, 0), (0, text_bucket - ids.shape[-1])),
+                       constant_values=-1)
+
+        fn = self._get_fn(audio_bucket, text_bucket, frame_bucket)
+        key = jax.random.key(self.seed if seed is None else seed)
+
+        t0 = time.perf_counter()
+        wav = fn(self.params, self.vparams, jnp.asarray(audio_p),
+                 jnp.asarray(ids_p), jnp.int32(ref_signal_len),
+                 jnp.int32(duration), key)
+        wav = np.asarray(jax.block_until_ready(wav))
+        wall = time.perf_counter() - t0
+
+        n_keep = max(duration - ref_signal_len - 1, 0) * cfg.hop
+        out = wav.reshape(-1)[:n_keep]
+        return out, F5Stats(wall_s=wall, audio_s=n_keep / cfg.sample_rate)
+
+    def benchmark(self, ref_seconds: float = 6.0, gen_words: int = 15,
+                  iters: int = 3) -> dict:
+        """The reference README benchmark: ~6 s reference audio, ~15 words
+        (README.md:26-30 — F5 F32 NFE=32: 180 s CPU / 62 s MX150)."""
+        rng = np.random.default_rng(0)
+        n = int(ref_seconds * self.cfg.sample_rate)
+        audio = (rng.standard_normal(n) * 3000).astype(np.int16)
+        ref_text = "Some call me nature, others call me mother nature."
+        gen_text = " ".join(["word"] * gen_words)
+        wav, _ = self.synthesize(audio, ref_text, gen_text)        # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            wav, stats = self.synthesize(audio, ref_text, gen_text)
+        wall = (time.perf_counter() - t0) / iters
+        audio_s = len(wav) / self.cfg.sample_rate
+        return {"wall_s": wall, "audio_s": audio_s,
+                "rtf": wall / max(audio_s, 1e-9)}

@@ -1,0 +1,238 @@
+"""IndexTTS synthesis pipeline: reference audio + text -> cloned speech.
+
+Reference behavior: /root/reference/IndexTTS/Export_IndexTTS.py:1102-1227
+(6 ONNX sessions A-F + a Python loop maintaining the repetition-penalty
+vector host-side). Here three jitted programs:
+  1. encode_reference: 100 ms noise pad + mel (constant STFT padding) ->
+     conformer -> perceiver conds_latent; ECAPA -> per-stage BigVGAN conds;
+  2. decode: prefill [conds_latent | text_emb | mel_start] then the whole
+     AR loop — GPT-2 step, in-carry penalty vector with the reference's
+     sliding reset window (:1197-1201), argmax, stop check, hidden-state
+     collection — as ONE lax.while_loop;
+  3. vocode: final_norm over collected hiddens (minus last 2) -> speaker-
+     conditioned BigVGAN -> int16.
+
+Text lengths are bucketed; because this GPT-2 has no internal positional
+encoding, bucket padding is handled purely by masking the padded kv range.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import MelSpectrogram
+from ..kv.cache import KVCache
+from ..models.bigvgan import BigVGANConfig, bigvgan_apply
+from ..models.indextts import (
+    IndexTTSConfig,
+    conformer_encoder,
+    ecapa_speaker_encoder,
+    gpt_final_norm,
+    gpt_step,
+    perceiver_resample,
+)
+
+__all__ = ["IndexTTSPipeline"]
+
+
+@dataclass
+class IndexTTSStats:
+    tokens: int
+    wall_s: float
+
+    @property
+    def tokens_per_s(self) -> float:
+        return self.tokens / max(self.wall_s, 1e-9)
+
+
+class IndexTTSPipeline:
+    """params dict keys: 'conformer', 'perceiver', 'ecapa', 'gpt',
+    'bigvgan' (+ 'cond_layer' (spk_dim, C0) and 'conds' list per stage),
+    mirroring the reference checkpoint split."""
+
+    def __init__(self, params, cfg: IndexTTSConfig,
+                 bigvgan_cfg: BigVGANConfig, sample_rate: int = 24000,
+                 n_fft: int = 1024, hop: int = 256, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.vcfg = bigvgan_cfg
+        self.sample_rate = sample_rate
+        self.melspec = MelSpectrogram(sample_rate, n_fft, hop, n_fft,
+                                      cfg.n_mels, pad_mode="constant")
+        self.hop = hop
+        self.seed = seed
+        self._enc_cache: dict = {}
+        self._dec_cache: dict = {}
+        self._voc_cache: dict = {}
+
+    # -------------------------------------------------- reference encoding
+
+    def _encode_fn(self, n_samples: int):
+        if n_samples not in self._enc_cache:
+            cfg = self.cfg
+            melspec = self.melspec
+
+            @jax.jit
+            def run(params, audio):
+                mel = melspec(audio)                        # (1, T, M)
+                conds_latent = perceiver_resample(
+                    params["perceiver"],
+                    conformer_encoder(params["conformer"], mel, cfg), cfg)
+                spk = ecapa_speaker_encoder(params["ecapa"], mel, cfg)
+                cond_embed = jnp.matmul(spk, params["cond_layer"]["w"]) \
+                    + params["cond_layer"]["b"]             # (1, 1, C0)
+                conds = [
+                    jnp.matmul(spk, c["w"]) + c["b"] for c in params["conds"]
+                ]
+                return conds_latent, cond_embed, conds
+
+            self._enc_cache[n_samples] = run
+        return self._enc_cache[n_samples]
+
+    def encode_reference(self, audio: np.ndarray):
+        """audio: int16 or float mono at sample_rate. Returns device tuple
+        (conds_latent, cond_embed, conds)."""
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        # 100 ms noise pad prepended (Export_IndexTTS.py:78,131)
+        rng = np.random.default_rng(self.seed)
+        pad = rng.standard_normal(int(self.sample_rate * 0.1)).astype(np.float32)
+        audio = np.concatenate([pad, audio.reshape(-1)])
+        bucket = max(1, -(-len(audio) // 32768)) * 32768
+        audio = np.pad(audio, (0, bucket - len(audio)))[None]
+        return self._encode_fn(bucket)(self.params, jnp.asarray(audio))
+
+    # ------------------------------------------------------------- decode
+
+    def _decode_fn(self, text_bucket: int, max_gen: int):
+        key = (text_bucket, max_gen)
+        if key not in self._dec_cache:
+            cfg = self.cfg
+            n_lat = cfg.num_latents
+            penalty = 0.9
+            penalty_range = 10
+
+            @jax.jit
+            def run(params, conds_latent, text_ids, text_len):
+                gpt = params["gpt"]
+                # graph B: [0] + ids + [1] wrap, embed + learned pos
+                ids = jnp.concatenate(
+                    [jnp.zeros((1, 1), jnp.int32), text_ids,
+                     jnp.full((1, 1), 1, jnp.int32)], axis=1)  # (1, Tb+2)
+                tb2 = ids.shape[1]
+                # position j holds pos-embed index j, valid up to text_len+2
+                text_emb = gpt["text_embed"][ids] + gpt["text_pos"][None, :tb2]
+                # place the [1] end token at its true position text_len+1
+                end_emb = (gpt["text_embed"][1] + gpt["text_pos"]
+                           [text_len + 1])[None, None]
+                pos_idx = jnp.arange(tb2)[None, :, None]
+                text_emb = jnp.where(pos_idx == text_len + 1, end_emb, text_emb)
+
+                mel_start = (gpt["mel_embed"][cfg.start_mel_token]
+                             + gpt["mel_pos"][0])[None, None]
+                prefill = jnp.concatenate(
+                    [jnp.asarray(conds_latent), text_emb, mel_start], axis=1)
+                p_len = n_lat + tb2 + 1
+
+                # kv hole: padded text positions [n_lat+text_len+2, p_len-1)
+                kv_idx = jnp.arange(cfg.max_seq_len)
+                kv_valid = ~((kv_idx >= n_lat + text_len + 2)
+                             & (kv_idx < p_len - 1))
+
+                kv = KVCache.create(cfg.gpt_layers, 1, cfg.gpt_heads,
+                                    cfg.max_seq_len, cfg.gpt_head_dim,
+                                    jnp.float32)
+                ones = jnp.ones((1, cfg.num_mel_codes), jnp.float32)
+                logits, last_h, kv = gpt_step(gpt, prefill, kv, ones, cfg,
+                                              kv_valid)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+
+                hiddens = jnp.zeros((max_gen, cfg.gpt_dim))
+                hiddens = hiddens.at[0].set(last_h[0])
+                save = jnp.zeros((max_gen,), jnp.int32).at[0].set(tok)
+
+                def cond(c):
+                    kv, vec, save, hiddens, num, tok, rst, fin = c
+                    return (~fin) & (num < max_gen)
+
+                def body(c):
+                    kv, vec, save, hiddens, num, tok, rst, fin = c
+                    # penalty vector update (reference :1197-1201)
+                    vec = vec.at[0, tok].set(penalty)
+                    old = save[rst]
+                    do_reset = (num > penalty_range) & (old != tok)
+                    vec = jnp.where(
+                        do_reset, vec.at[0, old].set(1.0), vec)
+                    rst = rst + do_reset.astype(jnp.int32)
+
+                    gen_len = num  # tokens generated so far
+                    h = (gpt["mel_embed"][tok] + gpt["mel_pos"][gen_len]
+                         )[None, None]
+                    logits, last_h, kv = gpt_step(gpt, h, kv, vec, cfg,
+                                                  kv_valid)
+                    ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+                    save = save.at[num].set(ntok)
+                    hiddens = hiddens.at[num].set(last_h[0])
+                    fin = ntok == cfg.stop_token
+                    return kv, vec, save, hiddens, num + 1, ntok, rst, fin
+
+                init = (kv, ones, save, hiddens, jnp.ones((), jnp.int32),
+                        tok, jnp.zeros((), jnp.int32),
+                        tok == cfg.stop_token)
+                _, _, save, hiddens, num, _, _, fin = jax.lax.while_loop(
+                    cond, body, init)
+                return hiddens, num, save
+
+            self._dec_cache[key] = run
+        return self._dec_cache[key]
+
+    # ------------------------------------------------------------- vocode
+
+    def _vocode_fn(self, frames: int):
+        if frames not in self._voc_cache:
+            vcfg = self.vcfg
+
+            @jax.jit
+            def run(params, hiddens, cond_embed, conds):
+                latent = gpt_final_norm(params["gpt"], hiddens[None])
+                wav = bigvgan_apply(params["bigvgan"], latent, vcfg,
+                                    conds=conds, cond_embed=cond_embed)
+                return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+            self._voc_cache[frames] = run
+        return self._voc_cache[frames]
+
+    # ------------------------------------------------------------- public
+
+    def synthesize_ids(self, text_ids: np.ndarray, ref,
+                       max_gen: int | None = None
+                       ) -> tuple[np.ndarray, IndexTTSStats]:
+        """text_ids (1, T) BPE ids; ref = encode_reference(...) output."""
+        conds_latent, cond_embed, conds = ref
+        cfg = self.cfg
+        max_gen = max_gen or cfg.max_mel_tokens
+        tlen = text_ids.shape[1]
+        tb = max(16, -(-tlen // 16) * 16)
+        ids = np.zeros((1, tb), np.int32)
+        ids[0, :tlen] = text_ids[0]
+
+        t0 = time.perf_counter()
+        hiddens, num, save = self._decode_fn(tb, max_gen)(
+            self.params, conds_latent, jnp.asarray(ids), jnp.int32(tlen))
+        num = int(num)
+        # drop the last 2 collected hiddens (reference :303 latent[:-2])
+        n_frames = max(num - 2, 0)
+        if n_frames == 0:
+            return np.zeros(0, np.int16), IndexTTSStats(num, 0.0)
+        fb = max(8, -(-n_frames // 8) * 8)
+        h = np.asarray(hiddens)[:n_frames]
+        h = np.pad(h, ((0, fb - n_frames), (0, 0)))
+        wav = self._vocode_fn(fb)(self.params, jnp.asarray(h), cond_embed,
+                                  conds)
+        total_up = int(np.prod(self.vcfg.upsample_rates))
+        wav = np.asarray(wav)[0, : n_frames * total_up]
+        return wav, IndexTTSStats(num, time.perf_counter() - t0)

@@ -1,0 +1,235 @@
+"""KaniTTS synthesis pipeline: text -> codec tokens -> waveform.
+
+Reference behavior: /root/reference/Kani_TTS/Inference_Kani_TTS_ONNX.py
+:110-366 (8 ONNX sessions + a Python decode loop with 3-4 session calls per
+token). Here prefill + the whole AR loop (LM step, repetition penalty,
+greedy or beam selection, stop check) compile into ONE lax.while_loop, and
+the codec decode is a second jitted program — two dispatches per sentence.
+
+Variable prompt lengths are handled without recompiles: the prompt id buffer
+has a fixed capacity and a while_loop feeds it token-by-token into the same
+step function the decode loop uses (prompt tokens forced, generated tokens
+sampled). One compiled program serves every sentence.
+
+Prompt format (Export_Kani_TTS.py:982-983, 1070-1073):
+  ids = [64403] + tokenizer("speaker: text") + [2, 64404]
+Token stream: flat 4-codebook frames; the codec consumes ids[2:num_decode]
+as (T, 4) frames (Export_Kani_TTS.py:531-533).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoding.beam import beam_init, beam_step
+from ..decoding.sampling import apply_repetition_penalty, greedy
+from ..models.kani import (
+    KaniConfig,
+    KaniState,
+    embed_tokens,
+    init_state,
+    kani_step,
+)
+from ..models.nanocodec import (
+    NanoCodecConfig,
+    fsq_dequantize,
+    hifigan_decode,
+    tokens_to_codes,
+)
+
+__all__ = ["KaniPipeline", "KaniDecodeConfig"]
+
+HEAD_IDS = (64403,)
+TAIL_IDS = (2, 64404)
+MAX_PROMPT = 256
+
+
+@dataclass(frozen=True)
+class KaniDecodeConfig:
+    max_new_tokens: int = 1019          # MAX_SEQ_LEN - 5 (reference :961)
+    use_beam: bool = False
+    beam_size: int = 5
+    top_k: int = 5
+    repeat_penalty: float = 0.8
+    penalty_range: int = 10
+
+
+def _prefill_loop(params, ids_buf, prompt_len, state, cfg: KaniConfig):
+    """Force-feed the prompt one token at a time under a while_loop; returns
+    (state, logits at the last prompt position). Serial but prompt-length
+    agnostic — one compile serves all sentences."""
+
+    def cond(c):
+        _, i, _ = c
+        return i < prompt_len
+
+    def body(c):
+        state, i, _ = c
+        tok = jax.lax.dynamic_slice(ids_buf, (0, i), (1, 1))
+        h = embed_tokens(params, tok)
+        logits, state = kani_step(params, h, state, cfg)
+        return state, i + 1, logits
+
+    dummy = jnp.zeros((1, cfg.vocab_size), jnp.float32)
+    state, _, logits = jax.lax.while_loop(
+        cond, body, (state, jnp.zeros((), jnp.int32), dummy))
+    return state, logits
+
+
+class KaniPipeline:
+    def __init__(self, params, cfg: KaniConfig, codec_params,
+                 codec_cfg: NanoCodecConfig,
+                 decode_cfg: KaniDecodeConfig | None = None,
+                 tokenizer=None, audio_tokens_start: int | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.codec_params = codec_params
+        self.codec_cfg = codec_cfg
+        self.dcfg = decode_cfg or KaniDecodeConfig()
+        self.tokenizer = tokenizer
+        # audio tokens start at tokenizer_length + 10 (Export_Kani_TTS.py:491)
+        self.audio_tokens_start = (
+            audio_tokens_start if audio_tokens_start is not None
+            else cfg.vocab_size - 4 * codec_cfg.codebook_size
+        )
+        self._decode_fn = None
+        self._codec_fn_cache: dict = {}
+
+    # ------------------------------------------------------------------ LM
+
+    def _build_decode(self):
+        cfg, dcfg = self.cfg, self.dcfg
+        use_penalty = dcfg.repeat_penalty != 1.0
+
+        def penalized(logits, save_ids, num):
+            if not use_penalty:
+                return logits
+            return apply_repetition_penalty(
+                logits, save_ids, num, dcfg.repeat_penalty, dcfg.penalty_range)
+
+        def greedy_run(params, ids_buf, prompt_len):
+            state, logits = _prefill_loop(params, ids_buf, prompt_len,
+                                          init_state(cfg), cfg)
+            first = greedy(logits)
+            save_ids = jnp.zeros((1, dcfg.max_new_tokens), jnp.int32)
+            save_ids = save_ids.at[:, 0].set(first)
+
+            def cond(c):
+                _, _, num, _, finished = c
+                return (~finished) & (num < dcfg.max_new_tokens)
+
+            def body(c):
+                state, save_ids, num, last, _ = c
+                h = embed_tokens(params, last[:, None])
+                logits, state = kani_step(params, h, state, cfg)
+                tok = greedy(penalized(logits, save_ids, num))
+                save_ids = jax.lax.dynamic_update_slice(
+                    save_ids, tok[:, None], (0, num))
+                return (state, save_ids, num + 1, tok,
+                        (tok == cfg.stop_token).any())
+
+            init = (state, save_ids, jnp.ones((), jnp.int32), first,
+                    (first == cfg.stop_token).any())
+            _, save_ids, num, _, finished = jax.lax.while_loop(cond, body, init)
+            return save_ids, num - finished.astype(jnp.int32)
+
+        def beam_run(params, ids_buf, prompt_len):
+            beam = dcfg.beam_size
+            state, logits = _prefill_loop(params, ids_buf, prompt_len,
+                                          init_state(cfg), cfg)
+            bs = beam_init(logits, beam)
+            state = KaniState(state.kv.repeat_batch(beam),
+                              jnp.tile(state.conv, (1, beam, 1, 1)))
+            save_ids = jnp.zeros((beam, dcfg.max_new_tokens), jnp.int32)
+            save_ids = save_ids.at[:, 0].set(bs.tokens)
+
+            def cond(c):
+                _, _, _, num, finished = c
+                return (~finished) & (num < dcfg.max_new_tokens)
+
+            def body(c):
+                state, bs, save_ids, num, _ = c
+                h = embed_tokens(params, bs.tokens[:, None])
+                logits, state = kani_step(params, h, state, cfg)
+                nbs = beam_step(penalized(logits, save_ids, num),
+                                bs.log_probs, beam, dcfg.top_k)
+                state = KaniState(state.kv.select_batch(nbs.parent),
+                                  jnp.take(state.conv, nbs.parent, axis=1))
+                save_ids = jnp.take(save_ids, nbs.parent, axis=0)
+                save_ids = jax.lax.dynamic_update_slice(
+                    save_ids, nbs.tokens[:, None], (0, num))
+                return (state, nbs, save_ids, num + 1,
+                        nbs.tokens[0] == cfg.stop_token)
+
+            init = (state, bs, save_ids, jnp.ones((), jnp.int32),
+                    bs.tokens[0] == cfg.stop_token)
+            _, _, save_ids, num, finished = jax.lax.while_loop(cond, body, init)
+            return save_ids[:1], num - finished.astype(jnp.int32)
+
+        degenerate = self.dcfg.top_k < 2 or self.dcfg.beam_size < 2
+        run = beam_run if (self.dcfg.use_beam and not degenerate) else greedy_run
+        return jax.jit(run)
+
+    # ---------------------------------------------------------------- codec
+
+    def _codec_fn(self, frames: int):
+        if frames not in self._codec_fn_cache:
+            ccfg = self.codec_cfg
+            start = self.audio_tokens_start
+
+            @jax.jit
+            def run(codec_params, ids):
+                codes = tokens_to_codes(ids, ccfg, start)      # (1, T, G)
+                feats = fsq_dequantize(codes, ccfg)
+                wav = hifigan_decode(codec_params, feats, ccfg)
+                return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+            self._codec_fn_cache[frames] = run
+        return self._codec_fn_cache[frames]
+
+    # --------------------------------------------------------------- public
+
+    def tokenize(self, text: str, speaker: str = "jenny") -> np.ndarray:
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer configured; pass ids to synthesize_ids")
+        ids = self.tokenizer(f"{speaker}: {text}", return_tensors="np")[
+            "input_ids"].astype(np.int32)
+        return np.concatenate(
+            [np.array([HEAD_IDS], np.int32), ids, np.array([TAIL_IDS], np.int32)],
+            axis=1,
+        )
+
+    def synthesize_ids(self, ids: np.ndarray) -> tuple[np.ndarray, dict]:
+        """ids: (1, P) full prompt (head/tail already attached)."""
+        if self._decode_fn is None:
+            self._decode_fn = self._build_decode()
+        prompt_len = ids.shape[1]
+        ids_buf = np.zeros((1, MAX_PROMPT), np.int32)
+        ids_buf[0, :prompt_len] = ids[0]
+
+        t0 = time.perf_counter()
+        save_ids, n = self._decode_fn(self.params, jnp.asarray(ids_buf),
+                                      jnp.int32(prompt_len))
+        n = int(n)
+        g = self.codec_cfg.num_groups
+        frames = max((n - 2) // g, 0)
+        if frames == 0:
+            return np.zeros(0, np.int16), {"tokens": n, "wall_s": 0.0}
+        # frame-align and bucket the codec input
+        bucket = max(8, -(-frames // 8) * 8)
+        flat = np.asarray(save_ids)[:1, 2:2 + frames * g]
+        pad = np.zeros((1, (bucket - frames) * g), np.int32) + self.audio_tokens_start
+        flat = np.concatenate([flat, pad], axis=1)
+        wav = self._codec_fn(bucket)(self.codec_params, jnp.asarray(flat))
+        wav = np.asarray(wav)[0, : frames * self.codec_cfg.total_upsample]
+        wall = time.perf_counter() - t0
+        return wav, {"tokens": n, "wall_s": wall,
+                     "tokens_per_s": n / max(wall, 1e-9)}
+
+    def synthesize(self, text: str, speaker: str = "jenny"
+                   ) -> tuple[np.ndarray, dict]:
+        return self.synthesize_ids(self.tokenize(text, speaker))

@@ -1,0 +1,253 @@
+"""Qwen3-TTS synthesis pipeline: the two-level talker/predictor decode.
+
+Reference behavior: /root/reference/Qwen_TTS/Export_Qwen_TTS_ONNX.py
+:2622-2732 (outer talker loop) + :2485-2597 (predictor_steps inner loop) —
+~60 ONNX session calls per talker frame. Here ONE lax.while_loop runs the
+full frame step: talker decode -> greedy token0 (with suppress bias and
+repetition penalty) -> 15-group predictor scan (stacked LM heads/embeds) ->
+TTS_EMBED_C next-input assembly. The codec decode (models/qwen_codec.py)
+is a second jitted program, bucketed by frame count.
+
+Prefill embeddings are assembled host-side per mode (TTS_PREPROCESS
+:592-692) and fed token-serially through the same talker step so one
+compiled program serves every prompt length.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoding.sampling import apply_repetition_penalty
+from ..kv.cache import KVCache
+from ..models.qwen_codec import QwenCodecDecoderConfig, codec_decode
+from ..models.qwen_tts import (
+    QwenTTSConfig,
+    next_talker_input,
+    predictor_frame,
+    qwen3_stack_step,
+    talker_logits,
+)
+
+__all__ = ["QwenTTSPipeline", "QwenDecodeConfig"]
+
+MAX_PREFILL = 512
+
+
+@dataclass(frozen=True)
+class QwenDecodeConfig:
+    max_frames: int = 600
+    repeat_penalty: float = 0.9
+    penalty_range: int = 10
+
+
+class QwenTTSPipeline:
+    """params: merged talker+predictor pytree (init_talker_params |
+    init_predictor_params | loaders); codec_params/cfg for the 12 Hz
+    decoder."""
+
+    def __init__(self, params, cfg: QwenTTSConfig, codec_params,
+                 codec_cfg: QwenCodecDecoderConfig,
+                 decode_cfg: QwenDecodeConfig | None = None,
+                 output_sample_rate: int = 24000):
+        self.params = params
+        self.cfg = cfg
+        self.codec_params = codec_params
+        self.codec_cfg = codec_cfg
+        self.dcfg = decode_cfg or QwenDecodeConfig()
+        self.output_sample_rate = output_sample_rate
+        self._decode_fn = None
+        self._codec_cache: dict = {}
+
+    # ------------------------------------------------------------- prefill
+
+    def build_prefill_embeds(self, text_ids: np.ndarray,
+                             language_id: int,
+                             speaker_id: int | None = None,
+                             ref_text_ids: np.ndarray | None = None
+                             ) -> tuple[np.ndarray, np.ndarray]:
+        """Assemble the talker prefill (TTS_PREPROCESS._forward_default,
+        :648-668, custom_voice layout with empty ref codec): role header is
+        approximated by the codec prefix alone (role-header ids require the
+        HF processor; loaders attach them when available).
+
+        Returns (prefill (1, P, H) np.float32, trailing_text (1, Tt, H))."""
+        p = self.params
+        cfg = self.cfg
+
+        def text_embed(ids):
+            e = np.asarray(p["text_embed"])[ids]               # (1, T, text_H)
+            return e @ np.asarray(p["text_proj_w"]) + np.asarray(p["text_proj_b"])
+
+        def codec_embed(ids):
+            return np.asarray(p["talker_codec_embed"])[np.asarray(ids)]
+
+        # special TEXT token embeddings (TTS_PREPROCESS :606-607)
+        vocab = np.asarray(p["text_embed"]).shape[0]
+        tts_bos = text_embed(np.array([[cfg.tts_bos_token_id % vocab]]))
+        tts_eos = text_embed(np.array([[cfg.tts_eos_token_id % vocab]]))
+        tts_pad = text_embed(np.array([[cfg.tts_pad_token_id % vocab]]))
+
+        target = text_embed(text_ids)
+        texts = [target, tts_eos]
+        if ref_text_ids is not None:
+            texts.insert(0, text_embed(ref_text_ids))
+        text_seq = np.concatenate(texts, axis=1)
+
+        think = codec_embed([[cfg.codec_think_id, cfg.codec_think_bos_id]])
+        lang = codec_embed([[language_id]])
+        eos = codec_embed([[cfg.codec_think_eos_id]])
+        pad = codec_embed([[cfg.codec_pad_id]])
+        bos = codec_embed([[cfg.codec_bos_id]])
+        parts = [think, lang, eos]
+        if speaker_id is not None:
+            parts.append(codec_embed([[speaker_id]]))
+        parts.append(pad)
+        codec_prefix = np.concatenate(parts, axis=1)
+        # tts special-token overlay: pad*(n) + bos aligned on the prefix
+        n = codec_prefix.shape[1]
+        overlay = np.concatenate([np.repeat(tts_pad, n - 1, axis=1), tts_bos],
+                                 axis=1)
+        codec_prefix = codec_prefix + overlay[:, :n]
+
+        # interleave: first text token + codec bos starts generation
+        first = text_seq[:, :1] + codec_embed([[cfg.codec_bos_id]])
+        prefill = np.concatenate([codec_prefix, first], axis=1)
+        trailing = np.concatenate([text_seq[:, 1:], tts_pad], axis=1)
+        return prefill.astype(np.float32), trailing.astype(np.float32)
+
+    # -------------------------------------------------------------- decode
+
+    def _build_decode(self, trailing_len: int):
+        cfg, dcfg = self.cfg, self.dcfg
+        t = cfg.talker
+
+        def run(params, prefill_buf, prefill_len, trailing):
+            kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
+                                t.max_seq_len, t.head_dim, jnp.float32)
+
+            # serial prefill: one talker position per iteration
+            def pcond(c):
+                _, i, _ = c
+                return i < prefill_len
+
+            def pbody(c):
+                kv, i, _ = c
+                h = jax.lax.dynamic_slice(
+                    prefill_buf, (0, i, 0), (1, 1, t.hidden_size))
+                pos = kv.length
+                rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
+                                           (1, t.head_dim))
+                rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
+                                           (1, t.head_dim))
+                hid, kv = qwen3_stack_step(params["talker"], h, kv, t, rc, rs)
+                return kv, i + 1, hid
+
+            dummy = jnp.zeros((1, t.hidden_size))
+            kv, _, hid = jax.lax.while_loop(
+                pcond, pbody, (kv, jnp.zeros((), jnp.int32), dummy))
+
+            frames = jnp.zeros((dcfg.max_frames, cfg.num_code_groups),
+                               jnp.int32)
+            save0 = jnp.zeros((1, dcfg.max_frames), jnp.int32)
+            trailing_minus = trailing.shape[1] - 1
+
+            def cond(c):
+                _, _, _, _, num, fin = c
+                return (~fin) & (num < dcfg.max_frames)
+
+            def body(c):
+                kv, hid, frames, save0, num, _ = c
+                logits = talker_logits(params, hid, cfg)
+                if dcfg.repeat_penalty != 1.0:
+                    logits = apply_repetition_penalty(
+                        logits, save0, num, dcfg.repeat_penalty,
+                        dcfg.penalty_range)
+                tok0 = jnp.argmax(logits, -1).astype(jnp.int32)   # (1,)
+                fin = (tok0[0] == cfg.codec_eos_token_id)
+                save0 = jax.lax.dynamic_update_slice(save0, tok0[:, None],
+                                                     (0, num))
+
+                frame_ids, ce0 = predictor_frame(params, hid[:, None], tok0,
+                                                 cfg)
+                frames = frames.at[num].set(frame_ids)
+
+                gather = jnp.minimum(num, trailing_minus)
+                nxt = next_talker_input(params, frame_ids, ce0,
+                                        trailing, gather, cfg)
+                pos = kv.length
+                rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
+                                           (1, t.head_dim))
+                rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
+                                           (1, t.head_dim))
+                hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t,
+                                           rc, rs)
+                return kv, hid, frames, save0, num + 1, fin
+
+            init = (kv, hid, frames, save0, jnp.zeros((), jnp.int32),
+                    jnp.zeros((), bool))
+            _, _, frames, _, num, fin = jax.lax.while_loop(cond, body, init)
+            # the EOS frame itself is dropped
+            return frames, num - fin.astype(jnp.int32)
+
+        return jax.jit(run)
+
+    def _codec_fn(self, frames: int):
+        if frames not in self._codec_cache:
+            ccfg = self.codec_cfg
+
+            @jax.jit
+            def run(codec_params, codes):
+                wav = codec_decode(codec_params, codes, ccfg)
+                return (wav * 32767.0).astype(jnp.int16)
+
+            self._codec_cache[frames] = run
+        return self._codec_cache[frames]
+
+    # -------------------------------------------------------------- public
+
+    def synthesize_from_prefill(self, prefill: np.ndarray,
+                                trailing: np.ndarray
+                                ) -> tuple[np.ndarray, dict]:
+        cfg = self.cfg
+        p_len = prefill.shape[1]
+        buf = np.zeros((1, MAX_PREFILL, cfg.talker.hidden_size), np.float32)
+        buf[:, :p_len] = prefill
+
+        # trailing is bucketed so the decode fn compiles once per bucket
+        tb = max(64, -(-trailing.shape[1] // 64) * 64)
+        tr = np.zeros((1, tb, cfg.talker.hidden_size), np.float32)
+        tr[:, :trailing.shape[1]] = trailing
+        # repeat last (pad) embedding through the bucket so gather beyond
+        # the true length returns the pad embedding
+        tr[:, trailing.shape[1]:] = trailing[:, -1:]
+
+        if self._decode_fn is None:
+            self._decode_fn = {}
+        if tb not in self._decode_fn:
+            self._decode_fn[tb] = self._build_decode(tb)
+
+        t0 = time.perf_counter()
+        frames, num = self._decode_fn[tb](
+            self.params, jnp.asarray(buf), jnp.int32(p_len), jnp.asarray(tr))
+        num = int(num)
+        if num == 0:
+            return np.zeros(0, np.int16), {"frames": 0, "wall_s": 0.0}
+        fb = max(8, -(-num // 8) * 8)
+        codes = np.zeros((1, fb, cfg.num_code_groups), np.int32)
+        codes[0, :num] = np.asarray(frames)[:num]
+        wav = self._codec_fn(fb)(self.codec_params, jnp.asarray(codes))
+        wav = np.asarray(wav)[0, : num * self.codec_cfg.total_upsample]
+        wall = time.perf_counter() - t0
+        return wav, {"frames": num, "wall_s": wall,
+                     "frames_per_s": num / max(wall, 1e-9)}
+
+    def synthesize_ids(self, text_ids: np.ndarray, language_id: int = 0,
+                       speaker_id: int | None = None
+                       ) -> tuple[np.ndarray, dict]:
+        prefill, trailing = self.build_prefill_embeds(
+            text_ids, language_id, speaker_id)
+        return self.synthesize_from_prefill(prefill, trailing)

@@ -1,0 +1,243 @@
+"""VoxCPM-1.5 synthesis pipeline: prompt audio + text -> cloned speech.
+
+Reference behavior: /root/reference/VoxCPM/v1.5/Inference_VoxCPM_ONNX.py
+:384-580 — hot loop of exactly 4 session calls per step (Main ->
+Feat_Decoder -> Feat_Encoder_Cond -> Rotary_Decode). Here the whole loop —
+dual-LM step, 10-step CFM scan, feature re-encoding, stop check — is ONE
+lax.while_loop; prefill feeds the [prompt_text | target_text | audio_start
+| prompt feats] sequence serially through the same step so a single
+compiled program serves every prompt/text length.
+
+VAE encode/decode are separate jitted programs (bucketed), matching the
+reference's non-streaming path (:562-580).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kv.cache import KVCache
+from ..models.voxcpm import (
+    VoxCPMConfig,
+    cfm_feat_decoder,
+    feat_encoder_cond,
+    vae_decode,
+    vae_encode,
+    voxcpm_main_step,
+)
+
+__all__ = ["VoxCPMPipeline", "VoxCPMDecodeConfig"]
+
+MAX_PREFILL_TOKENS = 256   # text tokens incl. audio_start
+MAX_PROMPT_FEATS = 256     # prompt audio patches
+
+
+@dataclass(frozen=True)
+class VoxCPMDecodeConfig:
+    max_latents: int = 256
+    decode_limit_factor: int = 8       # limit = text_len * factor + 10
+    seed: int = 9527
+
+
+class VoxCPMPipeline:
+    def __init__(self, params, cfg: VoxCPMConfig, vae_params,
+                 decode_cfg: VoxCPMDecodeConfig | None = None,
+                 output_sample_rate: int | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.vae_params = vae_params
+        self.dcfg = decode_cfg or VoxCPMDecodeConfig()
+        self.output_sample_rate = output_sample_rate or cfg.sample_rate
+        self._enc_cache: dict = {}
+        self._dec_fn = None
+        self._vae_dec_cache: dict = {}
+
+    # ------------------------------------------------------------- prompt
+
+    def _encode_fn(self, n: int):
+        if n not in self._enc_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(vae_params, params, audio):
+                lat = vae_encode(vae_params, audio, cfg.vae)   # (1, T', lat)
+                t = lat.shape[1] // cfg.patch_size
+                feats = lat[0, : t * cfg.patch_size].reshape(
+                    t, cfg.patch_size, -1)
+                feat_embed, feat_cond = feat_encoder_cond(params, feats, cfg)
+                return feats, feat_embed, feat_cond
+
+            self._enc_cache[n] = run
+        return self._enc_cache[n]
+
+    def encode_prompt(self, audio: np.ndarray):
+        """audio: int16 or float mono at cfg.sample_rate (44.1 kHz).
+        Returns (audio_feat patches, feat_embed, feat_cond) on device."""
+        cfg = self.cfg
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        patch_len = cfg.patch_size * cfg.chunk_size
+        # left-pad to a patch multiple + one trailing zero patch (:113-115)
+        pad = patch_len - (len(audio) % patch_len)
+        audio = np.concatenate([
+            np.zeros(pad, np.float32), audio.astype(np.float32),
+            np.zeros(patch_len, np.float32)])
+        bucket = -(-len(audio) // (patch_len * 8)) * (patch_len * 8)
+        audio = np.pad(audio, (0, bucket - len(audio)))[None]
+        return self._encode_fn(bucket)(self.vae_params, self.params,
+                                       jnp.asarray(audio))
+
+    # ------------------------------------------------------------- decode
+
+    def _build_decode(self):
+        cfg, dcfg = self.cfg, self.dcfg
+        b = cfg.base
+
+        def run(params, text_buf, text_len, n_feats,
+                feat_embed_buf, feat_cond0, max_steps, key):
+            base_kv = KVCache.create(b.num_layers, 1, b.num_kv_heads,
+                                     b.max_seq_len, b.head_dim, jnp.float32)
+            res_kv = KVCache.create(cfg.residual.num_layers, 1,
+                                    cfg.residual.num_kv_heads, b.max_seq_len,
+                                    cfg.residual.head_dim, jnp.float32)
+
+            # ---- serial prefill: text tokens (incl. audio_start), then
+            # prompt feature patches
+            def tcond(c):
+                _, _, i, *_ = c
+                return i < text_len
+
+            def tbody(c):
+                base_kv, res_kv, i, dit, stop = c
+                tok = jax.lax.dynamic_slice(text_buf, (0, i), (1, 1))
+                h = params["embed"][tok]
+                dit, stop, base_kv, res_kv = voxcpm_main_step(
+                    params, h, jnp.zeros_like(h), jnp.int32(1),
+                    base_kv, res_kv, cfg)
+                return base_kv, res_kv, i + 1, dit, stop
+
+            dit0 = jnp.zeros((1, 1, cfg.estimator.hidden_size))
+            base_kv, res_kv, _, dit, stop = jax.lax.while_loop(
+                tcond, tbody,
+                (base_kv, res_kv, jnp.zeros((), jnp.int32), dit0,
+                 jnp.zeros((), jnp.int32)))
+
+            def fcond(c):
+                _, _, i, *_ = c
+                return i < n_feats
+
+            def fbody(c):
+                base_kv, res_kv, i, dit, stop = c
+                h = jax.lax.dynamic_slice(
+                    feat_embed_buf, (0, i, 0), (1, 1, b.hidden_size))
+                dit, stop, base_kv, res_kv = voxcpm_main_step(
+                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
+                return base_kv, res_kv, i + 1, dit, stop
+
+            base_kv, res_kv, _, dit, stop = jax.lax.while_loop(
+                fcond, fbody,
+                (base_kv, res_kv, jnp.zeros((), jnp.int32), dit, stop))
+
+            # ---- generation loop
+            latents = jnp.zeros((dcfg.max_latents, cfg.patch_size,
+                                 cfg.vae.latent_dim))
+
+            def gcond(c):
+                _, _, _, _, _, _, num, fin = c
+                return (~fin) & (num < jnp.minimum(max_steps,
+                                                   dcfg.max_latents))
+
+            def gbody(c):
+                base_kv, res_kv, dit, feat_cond, latents, key, num, _ = c
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(
+                    sub, (1, cfg.patch_size, cfg.vae.latent_dim))
+                latent = cfm_feat_decoder(params, noise, dit, feat_cond, cfg)
+                latents = jax.lax.dynamic_update_slice(
+                    latents, latent, (num, 0, 0))
+                feat_embed, feat_cond = feat_encoder_cond(params, latent, cfg)
+                h = feat_embed[:, :1]
+                dit, stop, base_kv, res_kv = voxcpm_main_step(
+                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
+                return (base_kv, res_kv, dit, feat_cond, latents, key,
+                        num + 1, stop == 1)
+
+            init = (base_kv, res_kv, dit, feat_cond0, latents, key,
+                    jnp.zeros((), jnp.int32), stop == 1)
+            _, _, _, _, latents, _, num, _ = jax.lax.while_loop(
+                gcond, gbody, init)
+            return latents, num
+
+        return jax.jit(run)
+
+    def _vae_dec_fn(self, n: int):
+        if n not in self._vae_dec_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(vae_params, latents):
+                flat = latents.reshape(1, -1, cfg.vae.latent_dim)
+                wav = vae_decode(vae_params["dec"], flat, cfg.vae)
+                return (wav * 32767.0).astype(jnp.int16)
+
+            self._vae_dec_cache[n] = run
+        return self._vae_dec_cache[n]
+
+    # -------------------------------------------------------------- public
+
+    def synthesize_ids(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
+                       prompt_audio: np.ndarray | None = None,
+                       seed: int | None = None) -> tuple[np.ndarray, dict]:
+        """prompt_ids/target_ids: (1, T) LlamaTokenizer ids; prompt_audio:
+        int16 mono at cfg.sample_rate."""
+        cfg, dcfg = self.cfg, self.dcfg
+
+        if prompt_audio is not None and len(prompt_audio) > 0:
+            feats, feat_embed, feat_cond = self.encode_prompt(prompt_audio)
+            n_feats = int(feats.shape[0])
+        else:
+            feats = jnp.zeros((0, cfg.patch_size, cfg.vae.latent_dim))
+            feat_embed = jnp.zeros((1, 0, cfg.base.hidden_size))
+            feat_cond = jnp.zeros((2, cfg.patch_size,
+                                   cfg.estimator.hidden_size))
+            n_feats = 0
+
+        ids = np.concatenate(
+            [prompt_ids, target_ids, [[cfg.audio_start_id]]], axis=1
+        ).astype(np.int32)
+        text_len = ids.shape[1]
+        text_buf = np.zeros((1, MAX_PREFILL_TOKENS), np.int32)
+        text_buf[0, :text_len] = ids[0]
+
+        fe_buf = np.zeros((1, MAX_PROMPT_FEATS, cfg.base.hidden_size),
+                          np.float32)
+        fe_buf[:, :n_feats] = np.asarray(feat_embed)[:, :MAX_PROMPT_FEATS]
+
+        max_steps = target_ids.shape[1] * dcfg.decode_limit_factor + 10
+
+        if self._dec_fn is None:
+            self._dec_fn = self._build_decode()
+        key = jax.random.key(self.dcfg.seed if seed is None else seed)
+
+        t0 = time.perf_counter()
+        latents, num = self._dec_fn(
+            self.params, jnp.asarray(text_buf), jnp.int32(text_len),
+            jnp.int32(n_feats), jnp.asarray(fe_buf),
+            feat_cond, jnp.int32(max_steps), key)
+        num = int(num)
+        if num == 0:
+            return np.zeros(0, np.int16), {"latents": 0, "wall_s": 0.0}
+
+        nb = max(8, -(-num // 8) * 8)
+        lat = np.zeros((nb, cfg.patch_size, cfg.vae.latent_dim), np.float32)
+        lat[:num] = np.asarray(latents)[:num]
+        wav = self._vae_dec_fn(nb)(self.vae_params, jnp.asarray(lat))
+        n_samples = num * cfg.patch_size * cfg.chunk_size
+        wav = np.asarray(wav)[0, :n_samples]
+        wall = time.perf_counter() - t0
+        return wav, {"latents": num, "wall_s": wall,
+                     "rtf": wall / max(n_samples / cfg.sample_rate, 1e-9)}
