@@ -1,0 +1,175 @@
+"""Qwen3-TTS checkpoint loader (HF safetensors dir).
+
+Consumes the same checkpoint the reference loads via from_pretrained
+(/root/reference/Qwen_TTS/Export_Qwen_TTS_ONNX.py:1376) and applies its
+export-time folds at load (:945-1023 talker, :1196-1254 predictor):
+  * qkv fused, input RMSNorm absorbed into qkv;
+  * q/k per-head norm weights scaled by d^-0.25 (we keep mean-based norms,
+    so only the scale is folded — the reference's extra sqrt(d) compensates
+    its sum-based norm);
+  * gate/up fused with post-norm absorbed;
+  * final norm folded into codec_head / the 15 stacked LM heads;
+  * the 15 predictor LM heads stacked to (15, H, V) and the 15 group
+    embedding tables to (15, V, H) — the fusion that removes the
+    reference's per-graph overhead.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models.qwen_tts import (
+    Qwen3StackConfig,
+    QwenTTSConfig,
+    make_suppress_bias,
+)
+from ..nn.rope import rope_table
+
+__all__ = ["load_qwen_tts", "qwen3_stack_from_state_dict"]
+
+
+def _hf_state_dict(model_dir: str) -> dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    sd: dict[str, np.ndarray] = {}
+    for f in sorted(os.listdir(model_dir)):
+        if f.endswith(".safetensors"):
+            sd.update(load_file(os.path.join(model_dir, f)))
+    if not sd:
+        raise FileNotFoundError(f"no safetensors in {model_dir}")
+    return sd
+
+
+def qwen3_stack_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str,
+                                cfg: Qwen3StackConfig, dtype=jnp.float32):
+    """Map `{prefix}.layers.{i}.*` Qwen3 decoder weights with the folds."""
+    scale = cfg.head_dim ** -0.25
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{prefix}.layers.{i}"
+        in_norm = np.asarray(sd[f"{p}.input_layernorm.weight"])[None, :]
+        post_norm = np.asarray(sd[f"{p}.post_attention_layernorm.weight"])[None, :]
+        wq = np.asarray(sd[f"{p}.self_attn.q_proj.weight"]) * in_norm
+        wk = np.asarray(sd[f"{p}.self_attn.k_proj.weight"]) * in_norm
+        wv = np.asarray(sd[f"{p}.self_attn.v_proj.weight"]) * in_norm
+        layer = {
+            "wqkv": jnp.asarray(np.concatenate([wq, wk, wv], axis=0).T, dtype),
+            "q_norm": jnp.asarray(
+                np.asarray(sd[f"{p}.self_attn.q_norm.weight"]) * scale, dtype),
+            "k_norm": jnp.asarray(
+                np.asarray(sd[f"{p}.self_attn.k_norm.weight"]) * scale, dtype),
+            "wo": jnp.asarray(np.asarray(sd[f"{p}.self_attn.o_proj.weight"]).T,
+                              dtype),
+            "w_gate_up": jnp.asarray(np.concatenate(
+                [np.asarray(sd[f"{p}.mlp.gate_proj.weight"]) * post_norm,
+                 np.asarray(sd[f"{p}.mlp.up_proj.weight"]) * post_norm],
+                axis=0).T, dtype),
+            "w_down": jnp.asarray(
+                np.asarray(sd[f"{p}.mlp.down_proj.weight"]).T, dtype),
+        }
+        if f"{p}.self_attn.q_proj.bias" in sd:
+            layer["bqkv"] = jnp.asarray(np.concatenate(
+                [sd[f"{p}.self_attn.q_proj.bias"],
+                 sd[f"{p}.self_attn.k_proj.bias"],
+                 sd[f"{p}.self_attn.v_proj.bias"]]), dtype)
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def qwen_config_from_json(model_dir: str) -> QwenTTSConfig:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        c = json.load(f)
+    tk = c.get("talker_config", c)
+    pk = tk.get("code_predictor_config", {})
+
+    def stack(cc, default_layers, max_seq):
+        return Qwen3StackConfig(
+            hidden_size=cc.get("hidden_size", 1024),
+            num_heads=cc.get("num_attention_heads", 16),
+            num_kv_heads=cc.get("num_key_value_heads", 8),
+            head_dim=cc.get("head_dim",
+                            cc.get("hidden_size", 1024)
+                            // cc.get("num_attention_heads", 16)),
+            ffn_dim=cc.get("intermediate_size", 3072),
+            num_layers=cc.get("num_hidden_layers", default_layers),
+            rms_eps=cc.get("rms_norm_eps", 1e-6),
+            rope_base=cc.get("rope_theta", 1000000.0),
+            max_seq_len=max_seq,
+        )
+
+    return QwenTTSConfig(
+        talker=stack(tk, 28, 2048),
+        predictor=stack(pk, 4, 40),
+        codec_vocab=tk.get("vocab_size", 3072),
+        group_vocab=pk.get("vocab_size", 2048),
+        num_code_groups=pk.get("num_code_groups", 16),
+        codec_eos_token_id=tk.get("codec_eos_token_id", 2150),
+        codec_bos_id=tk.get("codec_bos_id", 2149),
+        codec_pad_id=tk.get("codec_pad_id", 2148),
+        codec_think_id=tk.get("codec_think_id", 2154),
+        codec_think_bos_id=tk.get("codec_think_bos_id", 2155),
+        codec_think_eos_id=tk.get("codec_think_eos_id", 2156),
+        tts_bos_token_id=c.get("tts_bos_token_id", 151672),
+        tts_eos_token_id=c.get("tts_eos_token_id", 151673),
+        tts_pad_token_id=c.get("tts_pad_token_id", 151671),
+        text_vocab=c.get("text_vocab_size", 151936),
+        text_hidden=c.get("text_hidden_size", 2048),
+    )
+
+
+def load_qwen_tts(model_dir: str, cfg: QwenTTSConfig | None = None,
+                  dtype=jnp.float32):
+    """Returns (params, cfg) for runtime/qwen.QwenTTSPipeline (talker +
+    predictor; the codec decoder loads separately)."""
+    sd = _hf_state_dict(model_dir)
+    cfg = cfg or qwen_config_from_json(model_dir)
+    t, p = cfg.talker, cfg.predictor
+
+    tp = "talker.model"
+    pp = "talker.code_predictor.model"
+    talker_norm = np.asarray(sd[f"{tp}.norm.weight"])[None, :]
+    pred_norm = np.asarray(sd[f"{pp}.norm.weight"])[None, :]
+
+    lm_heads = np.stack([
+        np.asarray(sd[f"talker.code_predictor.lm_head.{g}.weight"])
+        * pred_norm for g in range(cfg.num_code_groups - 1)
+    ]).transpose(0, 2, 1)                                      # (15, H, V)
+    group_embeds = np.stack([
+        np.asarray(sd[f"{pp}.codec_embedding.{g}.weight"])
+        for g in range(cfg.num_code_groups - 1)
+    ])                                                         # (15, V, tH)
+
+    rope_cos, rope_sin = rope_table(t.max_seq_len, t.head_dim, t.rope_base)
+    p_cos, p_sin = rope_table(p.max_seq_len, p.head_dim, p.rope_base)
+
+    params = {
+        "talker": qwen3_stack_from_state_dict(sd, tp, t, dtype),
+        "codec_head": jnp.asarray(
+            (np.asarray(sd["talker.codec_head.weight"]) * talker_norm).T, dtype),
+        "suppress_bias": jnp.asarray(
+            make_suppress_bias(cfg.codec_vocab, cfg.codec_eos_token_id), dtype),
+        "talker_codec_embed": jnp.asarray(
+            sd[f"{tp}.codec_embedding.weight"], dtype),
+        "text_embed": jnp.asarray(sd[f"{tp}.text_embedding.weight"], dtype),
+        "text_proj_w": jnp.asarray(
+            np.asarray(sd["talker.text_projection.weight"]).T, dtype),
+        "text_proj_b": jnp.asarray(
+            sd.get("talker.text_projection.bias",
+                   np.zeros(t.hidden_size)), dtype),
+        "rope_cos": jnp.asarray(rope_cos, dtype),
+        "rope_sin": jnp.asarray(rope_sin, dtype),
+        "predictor": qwen3_stack_from_state_dict(sd, pp, p, dtype),
+        "small_to_mtp": jnp.asarray(np.asarray(
+            sd["talker.code_predictor.small_to_mtp_projection.weight"]).T,
+            dtype),
+        "lm_heads": jnp.asarray(lm_heads, dtype),
+        "group_embeds": jnp.asarray(group_embeds, dtype),
+        "pred_rope_cos": jnp.asarray(p_cos, dtype),
+        "pred_rope_sin": jnp.asarray(p_sin, dtype),
+    }
+    return params, cfg
