@@ -154,15 +154,14 @@ def test_dit_kv_mask_locality():
     cond = np.asarray(
         jax.random.normal(jax.random.key(6), (1, t, TINY.n_mels + TINY.text_dim))
     )
-    mask = (jnp.arange(t) < cut)[None, :]
-
     def run(nz, cd):
         # zero the invalid region like the pipeline does before the convs
         m = (jnp.arange(t) < cut)[None, :, None]
         return dit_forward(
             params, jnp.asarray(nz) * m, jnp.asarray(cd) * m,
             jnp.zeros_like(jnp.asarray(cd)), params["time_table"][0],
-            params["rope_cos"][:t], params["rope_sin"][:t], TINY, kv_mask=mask,
+            params["rope_cos"][:t], params["rope_sin"][:t], TINY,
+            kv_len=jnp.int32(cut),
         )[0]
 
     base = np.asarray(run(noise, cond))

@@ -1,0 +1,86 @@
+"""Weight-only int8 quantization: numerics, pytree pass, and a quantized
+Kani decode smoke test."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_tpu.quant.weight_only import (
+    QTensor,
+    dense,
+    dequantize,
+    quantize_int8,
+    quantize_pytree,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    qt = quantize_int8(w)
+    assert qt.q.dtype == jnp.int8
+    assert qt.scale.shape == (128,)
+    deq = dequantize(qt, jnp.float32)
+    # int8 per-channel symmetric: relative error bounded by ~1/127 per chan
+    err = np.abs(np.asarray(deq - w)).max(axis=0)
+    amax = np.abs(np.asarray(w)).max(axis=0)
+    assert (err <= amax / 127.0 * 0.51 + 1e-6).all()
+
+
+def test_dense_matches_dequantized_matmul():
+    """dense(x, qt) == x @ (q * scale) up to the platform's bf16-class
+    default matmul precision (the exact product is computed in numpy)."""
+    rng = np.random.default_rng(1)
+    xn = rng.standard_normal((4, 64)).astype(np.float32)
+    wn = rng.standard_normal((64, 32)).astype(np.float32)
+    qt = quantize_int8(jnp.asarray(wn))
+    y_q = np.asarray(dense(jnp.asarray(xn), qt), np.float64)
+    y_ref = xn.astype(np.float64) @ (
+        np.asarray(qt.q, np.float64) * np.asarray(qt.scale, np.float64))
+    scale = np.abs(y_ref).max() + 1e-6
+    assert np.abs(y_q - y_ref).max() / scale < 2e-2
+
+
+def test_quantize_pytree_policy():
+    params = {
+        "layers": [{
+            "wqkv": jnp.ones((512, 512)),          # eligible
+            "q_norm": jnp.ones((64,)),             # 1-D: skipped
+            "conv_w": jnp.ones((3, 1, 512)),       # key not listed: skipped
+        }],
+        "lm_head": jnp.ones((512, 1024)),          # eligible
+        "embed": jnp.ones((1024, 512)),            # key not listed: skipped
+    }
+    q = quantize_pytree(params, min_size=1024)
+    assert isinstance(q["layers"][0]["wqkv"], QTensor)
+    assert isinstance(q["lm_head"], QTensor)
+    assert not isinstance(q["layers"][0]["conv_w"], QTensor)
+    assert not isinstance(q["embed"], QTensor)
+
+
+def test_quantized_kani_decode():
+    """The int8 path must run through the jitted decode loop and produce
+    logits close to the float path."""
+    from tts_tpu.models.kani import (
+        KaniConfig, embed_tokens, init_params, init_state, kani_step)
+
+    cfg = KaniConfig(
+        hidden_size=32, num_heads=2, num_kv_heads=1, head_dim=16, ffn_dim=64,
+        vocab_size=128, layer_types=("conv", "attn"), max_seq_len=32,
+        stop_token=127,
+    )
+    params = init_params(cfg, jax.random.key(0))
+    qparams = quantize_pytree(params, min_size=256)
+    ids = jnp.asarray([[3, 9, 27]], jnp.int32)
+
+    def logits_of(p):
+        state = init_state(cfg, kv_dtype=jnp.float32)
+        lg, _ = jax.jit(lambda p, h, s: kani_step(p, h, s, cfg))(
+            p, embed_tokens(p, ids), state)
+        return np.asarray(lg)
+
+    lf = logits_of(params)
+    lq = logits_of(qparams)
+    # int8 quantization noise is small relative to the logit scale
+    denom = np.abs(lf).max() + 1e-6
+    assert np.abs(lf - lq).max() / denom < 0.1

@@ -34,7 +34,9 @@ def read_wav(path: str, target_rate: int | None = None) -> tuple[np.ndarray, int
     else:
         raise ValueError(f"unsupported sample width {sampwidth}")
     if n_channels > 1:
-        data = data.reshape(-1, n_channels).mean(axis=1).astype(np.int16)
+        from ..native import downmix_to_mono
+
+        data = downmix_to_mono(data.reshape(-1, n_channels))
     if target_rate is not None and target_rate != rate:
         data = resample_linear(data, rate, target_rate)
         rate = target_rate
@@ -42,10 +44,11 @@ def read_wav(path: str, target_rate: int | None = None) -> tuple[np.ndarray, int
 
 
 def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
-    n_out = int(round(len(x) * dst_rate / src_rate))
-    xi = np.linspace(0.0, len(x) - 1, n_out)
-    out = np.interp(xi, np.arange(len(x)), x.astype(np.float64))
-    return np.clip(np.round(out), -32768, 32767).astype(np.int16)
+    """int16 linear resample through the native kernel (numpy fallback)."""
+    from ..native import f32_to_pcm16, pcm16_to_f32
+    from ..native import resample_linear as native_resample
+
+    return f32_to_pcm16(native_resample(pcm16_to_f32(x), src_rate, dst_rate))
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:

@@ -1,0 +1,140 @@
+"""Command-line synthesis: `python -m tts_tpu.cli <family> ...`.
+
+The TPU-native replacement for the reference's per-family Inference_*.py
+scripts and export_windows.bat bootstrap: one entry point that loads the
+upstream checkpoints (weights/*), runs the jitted pipeline, and writes a
+WAV. Without --ckpt it runs random-initialized weights — a compile/perf
+smoke mode for machines without the model downloads.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _write(path: str, wav: np.ndarray, sr: int, report=None) -> None:
+    from .audio.wav import write_wav
+
+    write_wav(path, wav, sr)
+    print(f"wrote {path} ({len(wav) / sr:.2f}s @ {sr} Hz)")
+    if report is not None:
+        print(report.table())
+
+
+def cmd_f5(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .audio.wav import read_wav
+    from .models.f5 import F5Config, init_params
+    from .models.vocos import VocosConfig, init_params as vocos_init
+    from .runtime.f5 import F5Pipeline
+    from .utils.timing import SynthesisReport
+
+    if args.ckpt:
+        from .weights.f5_loader import load_f5, load_vocos
+
+        params, cfg, vocab = load_f5(args.ckpt, args.vocab)
+        vparams, vcfg = load_vocos(args.vocoder)
+    else:
+        cfg, vcfg = F5Config(), VocosConfig()
+        dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+        params = jax.jit(lambda k: init_params(cfg, k, dtype))(jax.random.key(0))
+        vparams = jax.jit(lambda k: vocos_init(vcfg, k, dtype))(jax.random.key(1))
+        vocab = {" ": 0}
+        print("note: random weights (no --ckpt) — audio will be noise")
+    pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg, seed=args.seed)
+    audio, _ = read_wav(args.ref_audio, target_rate=cfg.sample_rate)
+    wav, stats = pipe.synthesize(audio, args.ref_text, args.gen_text,
+                                 speed=args.speed)
+    rep = SynthesisReport("f5_tts", stats.audio_s, stats.wall_s)
+    _write(args.out, wav, cfg.sample_rate, rep)
+
+
+def cmd_kani(args) -> None:
+    import jax
+
+    from .models.kani import KaniConfig, init_params
+    from .models.nanocodec import NanoCodecConfig, init_params as codec_init
+    from .runtime.kani import KaniDecodeConfig, KaniPipeline
+    from .utils.timing import SynthesisReport
+
+    if args.ckpt:
+        from .weights.kani_loader import load_kani_lm, load_nanocodec
+
+        params, cfg = load_kani_lm(args.ckpt)
+        cparams, ccfg = load_nanocodec(args.codec)
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.ckpt)
+    else:
+        cfg = KaniConfig(hidden_size=64, num_heads=4, num_kv_heads=2,
+                         head_dim=16, ffn_dim=128, vocab_size=80538,
+                         max_seq_len=256)
+        ccfg = NanoCodecConfig()
+        params = init_params(cfg, jax.random.key(0))
+        cparams = codec_init(ccfg, jax.random.key(1))
+        tok = None
+        print("note: random weights (no --ckpt) — audio will be noise")
+    dcfg = KaniDecodeConfig(
+        use_beam=args.beam > 1, beam_size=args.beam,
+        repeat_penalty=args.penalty, max_new_tokens=args.max_tokens)
+    pipe = KaniPipeline(params, cfg, cparams, ccfg, dcfg, tokenizer=tok)
+    if tok is not None:
+        wav, stats = pipe.synthesize(args.text, speaker=args.speaker)
+    else:
+        ids = np.array([[3, 9, 27, 5]], np.int32)
+        wav, stats = pipe.synthesize_ids(ids)
+    rep = SynthesisReport("kani_tts", len(wav) / ccfg.sample_rate,
+                          stats["wall_s"], tokens=stats["tokens"])
+    _write(args.out, wav, ccfg.sample_rate, rep)
+
+
+def cmd_bench(args) -> None:
+    import json
+
+    import bench  # repo-root bench.py when run from the checkout
+
+    print(json.dumps(bench.bench_f5()))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tts_tpu",
+                                 description="TPU-native TTS synthesis")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    f5 = sub.add_parser("f5", help="F5-TTS voice cloning")
+    f5.add_argument("--ref-audio", required=True)
+    f5.add_argument("--ref-text", required=True)
+    f5.add_argument("--gen-text", required=True)
+    f5.add_argument("--ckpt", help="F5 safetensors path")
+    f5.add_argument("--vocab", help="vocab.txt path")
+    f5.add_argument("--vocoder", help="vocos-mel-24khz dir")
+    f5.add_argument("--out", default="generated.wav")
+    f5.add_argument("--speed", type=float, default=1.0)
+    f5.add_argument("--seed", type=int, default=9527)
+    f5.set_defaults(fn=cmd_f5)
+
+    ka = sub.add_parser("kani", help="KaniTTS synthesis")
+    ka.add_argument("--text", default="Hello from the TPU.")
+    ka.add_argument("--speaker", default="jenny")
+    ka.add_argument("--ckpt", help="kani-tts HF dir")
+    ka.add_argument("--codec", help="nemo nano codec .nemo path")
+    ka.add_argument("--beam", type=int, default=1)
+    ka.add_argument("--penalty", type=float, default=0.8)
+    ka.add_argument("--max-tokens", type=int, default=1019)
+    ka.add_argument("--out", default="generated.wav")
+    ka.set_defaults(fn=cmd_kani)
+
+    be = sub.add_parser("bench", help="run the driver benchmark")
+    be.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""IndexTTS text frontend: normalization, CJK-aware BPE tokenization,
+sentence splitting.
+
+Behavioral contract from the reference
+(/root/reference/IndexTTS/Export_IndexTTS.py:532-1010): CJK chars are
+space-separated and uppercased before sentencepiece (:532-555), punctuation
+is normalized through a replacement map (:596+), token sequences are split
+into sentences at punctuation tokens with a max-length bound and short
+sentences merged (:924-1010).
+
+sentencepiece is optional in this environment; `IndexTTSTokenizer` degrades
+to a char-level vocabulary when the package or model file is absent (ids
+differ but the pipeline mechanics are identical).
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = ["tokenize_by_cjk_char", "normalize_text", "IndexTTSTokenizer",
+           "split_sentences"]
+
+_CJK_RANGE = (
+    r"([ᄀ-ᇿ⺀-꓏ꡀ-힯豈-﫿"
+    r"︰-﹏･-ￜ\U00020000-\U0002FFFF])"
+)
+
+_CHAR_REP = {
+    "：": ",", "；": ",", ";": ",", "，": ",", "。": ".", "！": "!",
+    "？": "?", "\n": " ", "·": "-", "、": ",", "...": "…", "$": ".",
+    "“": "'", "”": "'", '"': "'", "‘": "'", "’": "'", "（": "'",
+    "）": "'", "(": "'", ")": "'", "《": "'", "》": "'", "【": "'",
+    "】": "'", "[": "'", "]": "'", "—": "-", "～": "-", "~": "-",
+    "「": "'", "」": "'", ":": ",",
+}
+_REP_PATTERN = re.compile("|".join(re.escape(p) for p in _CHAR_REP))
+
+
+def tokenize_by_cjk_char(line: str, do_upper_case: bool = True) -> str:
+    """'你好 hello' -> '你 好 HELLO' (reference :532-555)."""
+    chars = re.split(_CJK_RANGE, line.strip())
+    return " ".join(
+        w.strip().upper() if do_upper_case else w.strip()
+        for w in chars if w.strip()
+    )
+
+
+def normalize_text(text: str) -> str:
+    """Punctuation normalization via the reference's replacement map; the
+    reference additionally runs tn/wetext number expansion, which this
+    environment lacks — digits pass through."""
+    text = _REP_PATTERN.sub(lambda m: _CHAR_REP[m.group()], text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class IndexTTSTokenizer:
+    """sentencepiece BPE with CJK pre-tokenization; char-level fallback."""
+
+    def __init__(self, bpe_model_path: str | None = None,
+                 vocab: dict[str, int] | None = None):
+        self.sp = None
+        self.vocab = vocab
+        if bpe_model_path is not None:
+            try:
+                import sentencepiece as spm
+
+                self.sp = spm.SentencePieceProcessor()
+                self.sp.Load(bpe_model_path)
+            except ImportError:
+                pass
+        if self.sp is None and self.vocab is None:
+            # char-level fallback vocabulary
+            chars = ("▁ ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                     "abcdefghijklmnopqrstuvwxyz0123456789.,!?'-…")
+            self.vocab = {c: i + 2 for i, c in enumerate(chars)}
+
+    def tokenize(self, text: str) -> list[str]:
+        text = tokenize_by_cjk_char(normalize_text(text))
+        if self.sp is not None:
+            return self.sp.EncodeAsPieces(text)
+        return list(text.replace(" ", "▁"))
+
+    def convert_tokens_to_ids(self, tokens: list[str]) -> list[int]:
+        if self.sp is not None:
+            return [self.sp.PieceToId(t) for t in tokens]
+        return [self.vocab.get(t, 1) for t in tokens]
+
+    def encode(self, text: str) -> np.ndarray:
+        return np.array([self.convert_tokens_to_ids(self.tokenize(text))],
+                        np.int32)
+
+
+_SPLIT_TOKENS = (".", "!", "?", "…", "▁.", "▁!", "▁?", "▁…")
+
+
+def split_sentences(tokens: list[str], max_tokens: int = 120,
+                    split_tokens: tuple[str, ...] = _SPLIT_TOKENS
+                    ) -> list[list[str]]:
+    """Split a token stream into sentences at punctuation, bounding each
+    sentence at max_tokens (reference split_sentences_by_token :924-1010,
+    simplified: overlong sentences fall back to comma then length splits)."""
+    if not tokens:
+        return []
+    sentences: list[list[str]] = []
+    cur: list[str] = []
+    for i, tok in enumerate(tokens):
+        cur.append(tok)
+        if len(cur) <= max_tokens:
+            if tok in split_tokens and len(cur) > 2:
+                sentences.append(cur)
+                cur = []
+            continue
+        # overlong: try comma, then hyphen, then hard length split
+        for seps in ((",", "▁,"), ("-",)):
+            if any(s in cur for s in seps):
+                subs = split_sentences(cur, max_tokens, seps)
+                sentences.extend(subs[:-1])
+                cur = subs[-1] if subs else []
+                break
+        else:
+            sentences.extend(
+                cur[j:j + max_tokens]
+                for j in range(0, len(cur) - max_tokens, max_tokens))
+            cur = cur[len(cur) - (len(cur) % max_tokens or max_tokens):]
+    if cur:
+        # merge a trailing fragment into the previous sentence when short
+        if sentences and len(cur) < 4 and len(sentences[-1]) + len(cur) <= max_tokens:
+            sentences[-1].extend(cur)
+        else:
+            sentences.append(cur)
+    return sentences

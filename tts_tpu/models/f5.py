@@ -186,11 +186,16 @@ def input_embedding(params, x: jax.Array, cond: jax.Array) -> jax.Array:
 
 def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                    heads: int, head_dim: int,
-                   kv_mask: jax.Array | None = None) -> jax.Array:
+                   kv_len: jax.Array | None = None) -> jax.Array:
     """Full (non-causal) self-attention, interleaved RoPE on q and k, softmax
     in fp32. The d^-0.5 scale is pre-folded into Wq/Wk (d^-0.25 each) by the
-    loader, mirroring Export_F5.py:329-333. kv_mask (1, T) True=valid lets a
-    static bucket emulate the reference's exact-length sequence."""
+    loader, mirroring Export_F5.py:329-333. kv_len (scalar) masks keys at
+    positions >= kv_len so a static bucket emulates the reference's
+    exact-length sequence.
+
+    On TPU the score/softmax/value chain runs through the Pallas
+    flash-attention kernel (ops/flash_attention.py) — the profile showed the
+    materialized (B, H, S, S) fp32 scores dominating the DiT step."""
     b, t, _ = x.shape
     qkv = jnp.matmul(x, p["wqkv"]) + p["bqkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -199,18 +204,31 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     v = v.reshape(b, t, heads, head_dim)
     q = apply_rope_interleaved(q, rope_cos, rope_sin)
     k = apply_rope_interleaved(k, rope_cos, rope_sin)
-    scores = jnp.einsum("bshd,bthd->bhst", q, k,
-                        preferred_element_type=jnp.float32)
-    if kv_mask is not None:
-        scores = jnp.where(kv_mask[:, None, None, :], scores, jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v)
+
+    use_flash = (jax.default_backend() == "tpu" and t % 256 == 0
+                 and head_dim % 64 == 0)
+    if use_flash:
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), kv_len,
+        ).transpose(0, 2, 1, 3)
+    else:
+        scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                            preferred_element_type=jnp.float32)
+        if kv_len is not None:
+            valid = jnp.arange(t) < kv_len
+            scores = jnp.where(valid[None, None, None, :], scores,
+                               jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", probs, v)
     out = out.reshape(b, t, heads * head_dim)
     return jnp.matmul(out, p["wo"]) + p["bo"]
 
 
 def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
-               cfg: F5Config, kv_mask=None) -> jax.Array:
+               cfg: F5Config, kv_len=None) -> jax.Array:
     """AdaLN-zero DiT block (modules.py:571-613). t_emb: (1, 1, dim)."""
     mod = jnp.matmul(jax.nn.silu(t_emb), p["ada"]["w"]) + p["ada"]["b"]
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
@@ -218,7 +236,7 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
     )
     norm = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
     x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos, rope_sin,
-                                      cfg.heads, cfg.head_dim, kv_mask)
+                                      cfg.heads, cfg.head_dim, kv_len)
     norm = layer_norm(x, eps=1e-6) * (1 + scale_mlp) + shift_mlp
     h = jnp.matmul(norm, p["ff1"]["w"]) + p["ff1"]["b"]
     h = jax.nn.gelu(h, approximate=True)
@@ -228,7 +246,7 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
 
 def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
                 t_emb: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
-                cfg: F5Config, kv_mask: jax.Array | None = None
+                cfg: F5Config, kv_len: jax.Array | None = None
                 ) -> tuple[jax.Array, jax.Array]:
     """One CFG-paired DiT pass. noise (1, T, n_mels); cond/cond_drop
     (1, T, n_mels+text_dim); t_emb (dim,). Returns (pred_cond, pred_uncond),
@@ -239,7 +257,7 @@ def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
     )                                                               # (2, T, dim)
     t_emb = t_emb.reshape(1, 1, -1)
     for p in params["blocks"]:
-        x = _dit_block(p, x, t_emb, rope_cos, rope_sin, cfg, kv_mask)
+        x = _dit_block(p, x, t_emb, rope_cos, rope_sin, cfg, kv_len)
     mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) + params["norm_out"]["b"]
     scale, shift = jnp.split(mod, 2, axis=-1)
     x = layer_norm(x, eps=1e-6) * (1 + scale) + shift

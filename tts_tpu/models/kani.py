@@ -30,6 +30,7 @@ from ..nn.attention import attention_mask, gqa_attention
 from ..nn.norm import rms_norm
 from ..nn.rope import apply_rope
 from ..ops.conv import conv1d
+from ..quant.weight_only import dense
 
 __all__ = ["KaniConfig", "KaniState", "kani_step", "init_params", "init_state"]
 
@@ -99,7 +100,7 @@ def _attn_layer(p, x, state: KaniState, layer_idx: int, cfg: KaniConfig,
     weights) and static-buffer KV append."""
     b, s, _ = x.shape
     h = rms_norm(x, eps=cfg.rms_eps)            # weight absorbed into wqkv
-    qkv = jnp.matmul(h, p["wqkv"])
+    qkv = dense(h, p["wqkv"])
     q_sz = cfg.num_heads * cfg.head_dim
     kv_sz = cfg.num_kv_heads * cfg.head_dim
     q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
@@ -115,7 +116,7 @@ def _attn_layer(p, x, state: KaniState, layer_idx: int, cfg: KaniConfig,
     state = KaniState(kv, state.conv)
     out = gqa_attention(q, k_full, v_full, mask)
     out = out.reshape(b, s, -1)
-    return jnp.matmul(out, p["wo"]), state
+    return dense(out, p["wo"]), state
 
 
 def _conv_layer(p, x, state: KaniState, conv_idx: int, cfg: KaniConfig):
@@ -123,7 +124,7 @@ def _conv_layer(p, x, state: KaniState, conv_idx: int, cfg: KaniConfig):
     (B, C, x) gates, Bx through a causal depthwise conv with a carried
     (k-1)-sample state, output C * conv_out -> out_proj."""
     h = rms_norm(x, eps=cfg.rms_eps)            # weight absorbed into in_proj
-    bcx = jnp.matmul(h, p["in_proj"])
+    bcx = dense(h, p["in_proj"])
     b_gate, c_gate, xv = jnp.split(bcx, 3, axis=-1)
     bx = b_gate * xv                                            # (B, S, H)
 
@@ -138,14 +139,14 @@ def _conv_layer(p, x, state: KaniState, conv_idx: int, cfg: KaniConfig):
     conv_out = conv1d(seq, p["conv_w"], p.get("conv_b"), padding=0,
                       groups=cfg.hidden_size)                   # (B, S, H)
     out = c_gate * conv_out
-    return jnp.matmul(out, p["out_proj"]), state
+    return dense(out, p["out_proj"]), state
 
 
 def _ffn(p, x, cfg: KaniConfig):
     h = rms_norm(x, eps=cfg.rms_eps)            # ffn_norm absorbed into w1/w3
-    gu = jnp.matmul(h, p["w_gate_up"])
+    gu = dense(h, p["w_gate_up"])
     gate, up = jnp.split(gu, 2, axis=-1)
-    return jnp.matmul(jax.nn.silu(gate) * up, p["w_down"])
+    return dense(jax.nn.silu(gate) * up, p["w_down"])
 
 
 def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig
@@ -175,7 +176,7 @@ def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig
 
     state = KaniState(state.kv.advance(s), state.conv)
     final = rms_norm(x[:, -1], eps=cfg.rms_eps)  # embedding_norm in lm_head
-    logits = jnp.matmul(final, params["lm_head"])
+    logits = dense(final, params["lm_head"])
     return logits, state
 
 

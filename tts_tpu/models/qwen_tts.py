@@ -35,6 +35,7 @@ from ..kv.cache import KVCache
 from ..nn.attention import attention_mask, gqa_attention
 from ..nn.norm import rms_norm
 from ..nn.rope import apply_rope, rope_table
+from ..quant.weight_only import dense
 
 __all__ = [
     "Qwen3StackConfig",
@@ -112,7 +113,7 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
     x = hidden
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, eps=cfg.rms_eps)
-        qkv = jnp.matmul(h, p["wqkv"])
+        qkv = dense(h, p["wqkv"])
         if "bqkv" in p:
             qkv = qkv + p["bqkv"]
         q_sz = cfg.num_heads * cfg.head_dim
@@ -128,11 +129,11 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
         k = apply_rope(k, rope_cos, rope_sin)
         kv, k_full, v_full = kv.update_layer(i, k, v)
         out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
-        x = x + jnp.matmul(out, p["wo"])
+        x = x + dense(out, p["wo"])
         h = rms_norm(x, eps=cfg.rms_eps)
-        gu = jnp.matmul(h, p["w_gate_up"])
+        gu = dense(h, p["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + jnp.matmul(jax.nn.silu(gate) * up, p["w_down"])
+        x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
     kv = kv.advance(s)
     # final norm weight is folded into the downstream head(s)
     return rms_norm(x[:, -1], eps=cfg.rms_eps), kv

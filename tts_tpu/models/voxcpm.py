@@ -38,6 +38,7 @@ from ..nn.norm import rms_norm
 from ..nn.rope import apply_rope, rope_table
 from ..audio.snake import snake
 from ..ops.conv import conv1d, conv_transpose1d
+from ..quant.weight_only import dense
 
 __all__ = [
     "VoxCPMConfig",
@@ -124,7 +125,7 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
     x = hidden
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, eps=cfg.rms_eps)
-        qkv = jnp.matmul(h, p["wqkv"])
+        qkv = dense(h, p["wqkv"])
         if "bqkv" in p:
             qkv = qkv + p["bqkv"]
         q_sz = cfg.num_heads * cfg.head_dim
@@ -138,11 +139,11 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
         k = apply_rope(k, rope_cos, rope_sin)
         kv, k_full, v_full = kv.update_layer(i, k, v)
         out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
-        x = x + jnp.matmul(out, p["wo"])
+        x = x + dense(out, p["wo"])
         h = rms_norm(x, eps=cfg.rms_eps)
-        gu = jnp.matmul(h, p["w_gate_up"])
+        gu = dense(h, p["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + jnp.matmul(jax.nn.silu(gate) * up, p["w_down"])
+        x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
     return x, kv.advance(s)
 
 
@@ -153,7 +154,7 @@ def llama_stack_nocache(params, x: jax.Array, cfg: LlamaStackConfig,
     b, s, _ = x.shape
     for p in params["layers"]:
         h = rms_norm(x, eps=cfg.rms_eps)
-        qkv = jnp.matmul(h, p["wqkv"])
+        qkv = dense(h, p["wqkv"])
         if "bqkv" in p:
             qkv = qkv + p["bqkv"]
         q_sz = cfg.num_heads * cfg.head_dim
@@ -167,11 +168,11 @@ def llama_stack_nocache(params, x: jax.Array, cfg: LlamaStackConfig,
         k = apply_rope(k, rope_cos, rope_sin)
         out = gqa_attention(q, k.swapaxes(1, 2), v.swapaxes(1, 2),
                             None).reshape(b, s, -1)
-        x = x + jnp.matmul(out, p["wo"])
+        x = x + dense(out, p["wo"])
         h = rms_norm(x, eps=cfg.rms_eps)
-        gu = jnp.matmul(h, p["w_gate_up"])
+        gu = dense(h, p["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + jnp.matmul(jax.nn.silu(gate) * up, p["w_down"])
+        x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
     return x
 
 

@@ -1,0 +1,117 @@
+"""Pallas TPU flash attention for the F5 DiT (non-causal full attention).
+
+The DiT hot loop materializes (B, H, S, S) fp32 score tensors at S~2k —
+~400 MB of HBM traffic per block per direction, which the stage profile
+shows dominates the step (see runtime/f5.py). This kernel computes the
+attention output with the standard online-softmax streaming pattern: scores
+never leave VMEM, cutting the attention HBM traffic to the q/k/v/o tiles.
+
+Layout: q, k, v (B, H, S, D); optional kv_len masks keys >= kv_len (the
+static-bucket validity mask). Softmax statistics are carried across the kv
+grid dimension in VMEM scratch — TPU grids execute sequentially with the
+last axis fastest, so the scratch persists per (b, h, q-block).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+NEG_INF = -1e30
+
+
+def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, bkv: int, scale: float):
+    j = pl.program_id(3)
+    nkv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                                   # (bq, d)
+    k = k_ref[0, 0]                                   # (bkv, d)
+    v = v_ref[0, 0]                                   # (bkv, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # (bq, bkv)
+    if scale != 1.0:
+        s = s * scale
+
+    kv_len = kvlen_ref[0]
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bkv
+    s = jnp.where(kv_idx < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[...]                               # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                            # (bq, bkv)
+    alpha = jnp.exp(m_prev - m_new)                   # (bq, 1)
+
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[...] = m_new
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nkv - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    kv_len: jax.Array | None = None, scale: float = 1.0,
+                    block_q: int = 256, block_kv: int = 256) -> jax.Array:
+    """q, k, v: (B, H, S, D) -> (B, H, S, D). Non-causal; keys at positions
+    >= kv_len are masked out (kv_len defaults to S)."""
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_kv = min(block_kv, s)
+    if s % block_q or s % block_kv:
+        raise ValueError(f"seq {s} must divide block sizes "
+                         f"({block_q}, {block_kv})")
+    if kv_len is None:
+        kv_len = jnp.int32(s)
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    grid = (b, h, s // block_q, s // block_kv)
+    kernel = functools.partial(_kernel, bkv=block_kv, scale=scale)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda ib, ih, iq, ikv, kvlen: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, 1, block_kv, d),
+                             lambda ib, ih, iq, ikv, kvlen: (ib, ih, ikv, 0)),
+                pl.BlockSpec((1, 1, block_kv, d),
+                             lambda ib, ih, iq, ikv, kvlen: (ib, ih, ikv, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda ib, ih, iq, ikv, kvlen: (ib, ih, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+                pltpu.VMEM((block_q, 1), jnp.float32),   # running denom
+                pltpu.VMEM((block_q, d), jnp.float32),   # output accum
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+    )(kv_len, q, k, v)

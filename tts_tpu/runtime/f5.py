@@ -96,13 +96,12 @@ class F5Pipeline:
             # --- NFE loop (reference graph B x31) ---
             rope_cos = params["rope_cos"][:frames]
             rope_sin = params["rope_sin"][:frames]
-            kv_mask = (jnp.arange(frames) < duration)[None, :]     # (1, T)
 
             def step(carry, idx):
                 pred, pred1 = dit_forward(
                     params, carry.astype(cdt), cat_mel_text, cat_mel_text_drop,
                     params["time_table"][idx], rope_cos, rope_sin, cfg,
-                    kv_mask=kv_mask,
+                    kv_len=duration,
                 )
                 update = (pred + (pred - pred1) * cfg.cfg_strength).astype(
                     jnp.float32) * params["delta_t"][idx].astype(jnp.float32)

@@ -207,6 +207,142 @@ class QwenTTSPipeline:
             self._codec_cache[frames] = run
         return self._codec_cache[frames]
 
+    # --------------------------------------------------- streaming decode
+
+    def _build_prefill(self):
+        cfg = self.cfg
+        t = cfg.talker
+
+        def run(params, prefill_buf, prefill_len):
+            kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
+                                t.max_seq_len, t.head_dim, jnp.float32)
+
+            def pcond(c):
+                _, i, _ = c
+                return i < prefill_len
+
+            def pbody(c):
+                kv, i, _ = c
+                h = jax.lax.dynamic_slice(
+                    prefill_buf, (0, i, 0), (1, 1, t.hidden_size))
+                pos = kv.length
+                rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
+                                           (1, t.head_dim))
+                rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
+                                           (1, t.head_dim))
+                hid, kv = qwen3_stack_step(params["talker"], h, kv, t, rc, rs)
+                return kv, i + 1, hid
+
+            dummy = jnp.zeros((1, t.hidden_size))
+            kv, _, hid = jax.lax.while_loop(
+                pcond, pbody, (kv, jnp.zeros((), jnp.int32), dummy))
+            return kv, hid
+
+        return jax.jit(run)
+
+    def _build_chunk(self, chunk: int):
+        """One jitted while_loop generating up to `chunk` frames; the carry
+        round-trips so chunks stream while the codec decodes prior windows
+        (XLA dispatch is async — this is the TPU-native analog of the
+        reference's executor overlap)."""
+        cfg, dcfg = self.cfg, self.dcfg
+        t = cfg.talker
+
+        def run(params, kv, hid, save0, trailing, num, total_budget):
+            frames = jnp.zeros((chunk, cfg.num_code_groups), jnp.int32)
+            trailing_minus = trailing.shape[1] - 1
+
+            def cond(c):
+                _, _, _, _, n_in, num, fin = c
+                return (~fin) & (n_in < chunk) & (num < total_budget)
+
+            def body(c):
+                kv, hid, frames, save0, n_in, num, _ = c
+                logits = talker_logits(params, hid, cfg)
+                if dcfg.repeat_penalty != 1.0:
+                    logits = apply_repetition_penalty(
+                        logits, save0, num, dcfg.repeat_penalty,
+                        dcfg.penalty_range)
+                tok0 = jnp.argmax(logits, -1).astype(jnp.int32)
+                fin = (tok0[0] == cfg.codec_eos_token_id)
+                save0 = jax.lax.dynamic_update_slice(save0, tok0[:, None],
+                                                     (0, num))
+                frame_ids, ce0 = predictor_frame(params, hid[:, None], tok0,
+                                                 cfg)
+                frames = frames.at[n_in].set(frame_ids)
+                gather = jnp.minimum(num, trailing_minus)
+                nxt = next_talker_input(params, frame_ids, ce0, trailing,
+                                        gather, cfg)
+                pos = kv.length
+                rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
+                                           (1, t.head_dim))
+                rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
+                                           (1, t.head_dim))
+                hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t,
+                                           rc, rs)
+                return kv, hid, frames, save0, n_in + 1, num + 1, fin
+
+            init = (kv, hid, frames, save0, jnp.zeros((), jnp.int32), num,
+                    jnp.zeros((), bool))
+            kv, hid, frames, save0, n_in, num, fin = jax.lax.while_loop(
+                cond, body, init)
+            n_keep = n_in - fin.astype(jnp.int32)
+            return kv, hid, frames, save0, n_keep, num, fin
+
+        return jax.jit(run)
+
+    def synthesize_streaming(self, prefill: np.ndarray, trailing: np.ndarray,
+                             chunk_frames: int = 24, window: int = 72,
+                             left_context: int = 24):
+        """Generator of int16 audio chunks. Runs the talker/predictor loop
+        in `chunk_frames` slices and streams the 12 Hz codec decode with
+        left-context overlap discard (reference streaming mode,
+        Export_Qwen_TTS_ONNX.py:2706-2726)."""
+        from .streaming import ChunkedCodecStream
+
+        cfg, dcfg = self.cfg, self.dcfg
+        p_len = prefill.shape[1]
+        buf = np.zeros((1, MAX_PREFILL, cfg.talker.hidden_size), np.float32)
+        buf[:, :p_len] = prefill
+        tb = max(64, -(-trailing.shape[1] // 64) * 64)
+        tr = np.zeros((1, tb, cfg.talker.hidden_size), np.float32)
+        tr[:, :trailing.shape[1]] = trailing
+        tr[:, trailing.shape[1]:] = trailing[:, -1:]
+
+        if not hasattr(self, "_prefill_fn") or self._prefill_fn is None:
+            self._prefill_fn = self._build_prefill()
+        key = ("chunk", chunk_frames, tb)
+        if key not in self._codec_cache:
+            self._codec_cache[key] = self._build_chunk(chunk_frames)
+        chunk_fn = self._codec_cache[key]
+
+        codec = ChunkedCodecStream(
+            lambda codes: self._codec_fn(window)(
+                self.codec_params, jnp.asarray(codes.astype(np.int32))),
+            window=window, left_context=left_context,
+            upsample=self.codec_cfg.total_upsample,
+            num_groups=cfg.num_code_groups)
+
+        kv, hid = self._prefill_fn(self.params, jnp.asarray(buf),
+                                   jnp.int32(p_len))
+        save0 = jnp.zeros((1, dcfg.max_frames), jnp.int32)
+        num = jnp.zeros((), jnp.int32)
+        budget = jnp.int32(dcfg.max_frames)
+        trailing_dev = jnp.asarray(tr)
+        while True:
+            kv, hid, frames, save0, n_keep, num, fin = chunk_fn(
+                self.params, kv, hid, save0, trailing_dev, num, budget)
+            n = int(n_keep)
+            if n > 0:
+                out = codec.push_frames(np.asarray(frames)[:n])
+                if out is not None and len(out):
+                    yield out
+            if bool(fin) or int(num) >= dcfg.max_frames or n == 0:
+                break
+        for out in codec.finish():
+            if len(out):
+                yield out
+
     # -------------------------------------------------------------- public
 
     def synthesize_from_prefill(self, prefill: np.ndarray,
