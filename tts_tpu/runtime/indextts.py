@@ -236,3 +236,24 @@ class IndexTTSPipeline:
         total_up = int(np.prod(self.vcfg.upsample_rates))
         wav = np.asarray(wav)[0, : n_frames * total_up]
         return wav, IndexTTSStats(num, time.perf_counter() - t0)
+
+    def synthesize(self, text: str, ref, tokenizer=None,
+                   max_gen: int | None = None,
+                   separator_ms: float = 200.0
+                   ) -> tuple[np.ndarray, list[IndexTTSStats]]:
+        """Full text path: normalize, tokenize, split into sentences, run the
+        AR loop per sentence, join with silence padding (reference
+        Export_IndexTTS.py:1127-1216: 200 ms split padding)."""
+        from ..frontend.indextts_text import IndexTTSTokenizer, split_sentences
+
+        tok = tokenizer or IndexTTSTokenizer()
+        sentences = split_sentences(tok.tokenize(text))
+        blank = np.zeros(int(self.sample_rate * separator_ms / 1000), np.int16)
+        wavs, stats = [], []
+        for sent in sentences:
+            ids = np.array([tok.convert_tokens_to_ids(sent)], np.int32)
+            wav, st = self.synthesize_ids(ids, ref, max_gen=max_gen)
+            wavs.extend([wav, blank])
+            stats.append(st)
+        return (np.concatenate(wavs) if wavs else np.zeros(0, np.int16),
+                stats)

@@ -233,3 +233,18 @@ class KaniPipeline:
     def synthesize(self, text: str, speaker: str = "jenny"
                    ) -> tuple[np.ndarray, dict]:
         return self.synthesize_ids(self.tokenize(text, speaker))
+
+    def synthesize_long(self, texts: list[str], speaker: str = "jenny",
+                        separator_ms: float = 300.0
+                        ) -> tuple[np.ndarray, list[dict]]:
+        """Multi-sentence synthesis with blank separators (reference
+        Export_Kani_TTS.py:1064: 300 ms of silence between sentences)."""
+        blank = np.zeros(int(self.codec_cfg.sample_rate * separator_ms / 1000),
+                         np.int16)
+        wavs, stats = [], []
+        for text in texts:
+            wav, st = self.synthesize(text, speaker)
+            wavs.extend([wav, blank])
+            stats.append(st)
+        return (np.concatenate(wavs) if wavs else np.zeros(0, np.int16),
+                stats)

@@ -97,50 +97,41 @@ class VoxCPMPipeline:
         cfg, dcfg = self.cfg, self.dcfg
         b = cfg.base
 
-        def run(params, text_buf, text_len, n_feats,
+        def run(params, text_buf, is_audio, prefill_len,
                 feat_embed_buf, feat_cond0, max_steps, key):
+            """Generic segmented prefill: position i is either a text token
+            (text_buf[0, i] embedded) or an audio patch (feat_embed_buf[:, i]).
+            This one loop serves v1.5's [text | audio_start | feats] layout
+            and all four v2 Assemble modes (v2 Export:1014-1115) — the
+            per-position kind mask IS the segment plan."""
             base_kv = KVCache.create(b.num_layers, 1, b.num_kv_heads,
                                      b.max_seq_len, b.head_dim, jnp.float32)
             res_kv = KVCache.create(cfg.residual.num_layers, 1,
                                     cfg.residual.num_kv_heads, b.max_seq_len,
                                     cfg.residual.head_dim, jnp.float32)
 
-            # ---- serial prefill: text tokens (incl. audio_start), then
-            # prompt feature patches
-            def tcond(c):
+            def pcond(c):
                 _, _, i, *_ = c
-                return i < text_len
+                return i < prefill_len
 
-            def tbody(c):
+            def pbody(c):
                 base_kv, res_kv, i, dit, stop = c
                 tok = jax.lax.dynamic_slice(text_buf, (0, i), (1, 1))
-                h = params["embed"][tok]
+                fe = jax.lax.dynamic_slice(
+                    feat_embed_buf, (0, i, 0), (1, 1, b.hidden_size))
+                audio = is_audio[i]
+                h = jnp.where(audio, fe, params["embed"][tok])
+                # text position: concat_text_len=1 (no FSQ); audio: 0
+                ctl = jnp.where(audio, 0, 1).astype(jnp.int32)
                 dit, stop, base_kv, res_kv = voxcpm_main_step(
-                    params, h, jnp.zeros_like(h), jnp.int32(1),
-                    base_kv, res_kv, cfg)
+                    params, h, fe, ctl, base_kv, res_kv, cfg)
                 return base_kv, res_kv, i + 1, dit, stop
 
             dit0 = jnp.zeros((1, 1, cfg.estimator.hidden_size))
             base_kv, res_kv, _, dit, stop = jax.lax.while_loop(
-                tcond, tbody,
+                pcond, pbody,
                 (base_kv, res_kv, jnp.zeros((), jnp.int32), dit0,
                  jnp.zeros((), jnp.int32)))
-
-            def fcond(c):
-                _, _, i, *_ = c
-                return i < n_feats
-
-            def fbody(c):
-                base_kv, res_kv, i, dit, stop = c
-                h = jax.lax.dynamic_slice(
-                    feat_embed_buf, (0, i, 0), (1, 1, b.hidden_size))
-                dit, stop, base_kv, res_kv = voxcpm_main_step(
-                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
-                return base_kv, res_kv, i + 1, dit, stop
-
-            base_kv, res_kv, _, dit, stop = jax.lax.while_loop(
-                fcond, fbody,
-                (base_kv, res_kv, jnp.zeros((), jnp.int32), dit, stop))
 
             # ---- generation loop
             latents = jnp.zeros((dcfg.max_latents, cfg.patch_size,
@@ -189,35 +180,27 @@ class VoxCPMPipeline:
 
     # -------------------------------------------------------------- public
 
-    def synthesize_ids(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
-                       prompt_audio: np.ndarray | None = None,
-                       seed: int | None = None) -> tuple[np.ndarray, dict]:
-        """prompt_ids/target_ids: (1, T) LlamaTokenizer ids; prompt_audio:
-        int16 mono at cfg.sample_rate."""
+    def _run_segments(self, segments, feat_cond, max_steps: int,
+                      seed: int | None) -> tuple[np.ndarray, dict]:
+        """segments: list of ('text', ids (T,)) / ('audio', feat_embed
+        (1, T, H)) in prompt order. Runs prefill + generation + VAE decode."""
         cfg, dcfg = self.cfg, self.dcfg
-
-        if prompt_audio is not None and len(prompt_audio) > 0:
-            feats, feat_embed, feat_cond = self.encode_prompt(prompt_audio)
-            n_feats = int(feats.shape[0])
-        else:
-            feats = jnp.zeros((0, cfg.patch_size, cfg.vae.latent_dim))
-            feat_embed = jnp.zeros((1, 0, cfg.base.hidden_size))
-            feat_cond = jnp.zeros((2, cfg.patch_size,
-                                   cfg.estimator.hidden_size))
-            n_feats = 0
-
-        ids = np.concatenate(
-            [prompt_ids, target_ids, [[cfg.audio_start_id]]], axis=1
-        ).astype(np.int32)
-        text_len = ids.shape[1]
-        text_buf = np.zeros((1, MAX_PREFILL_TOKENS), np.int32)
-        text_buf[0, :text_len] = ids[0]
-
-        fe_buf = np.zeros((1, MAX_PROMPT_FEATS, cfg.base.hidden_size),
-                          np.float32)
-        fe_buf[:, :n_feats] = np.asarray(feat_embed)[:, :MAX_PROMPT_FEATS]
-
-        max_steps = target_ids.shape[1] * dcfg.decode_limit_factor + 10
+        cap = MAX_PREFILL_TOKENS + MAX_PROMPT_FEATS
+        text_buf = np.zeros((1, cap), np.int32)
+        fe_buf = np.zeros((1, cap, cfg.base.hidden_size), np.float32)
+        is_audio = np.zeros((cap,), bool)
+        pos = 0
+        for kind, data in segments:
+            if kind == "text":
+                n = len(data)
+                text_buf[0, pos:pos + n] = data
+            else:
+                n = data.shape[1]
+                fe_buf[:, pos:pos + n] = np.asarray(data)
+                is_audio[pos:pos + n] = True
+            pos += n
+        if pos > cap:
+            raise ValueError(f"prompt too long: {pos} > {cap}")
 
         if self._dec_fn is None:
             self._dec_fn = self._build_decode()
@@ -225,8 +208,8 @@ class VoxCPMPipeline:
 
         t0 = time.perf_counter()
         latents, num = self._dec_fn(
-            self.params, jnp.asarray(text_buf), jnp.int32(text_len),
-            jnp.int32(n_feats), jnp.asarray(fe_buf),
+            self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
+            jnp.int32(pos), jnp.asarray(fe_buf),
             feat_cond, jnp.int32(max_steps), key)
         num = int(num)
         if num == 0:
@@ -241,3 +224,81 @@ class VoxCPMPipeline:
         wall = time.perf_counter() - t0
         return wav, {"latents": num, "wall_s": wall,
                      "rtf": wall / max(n_samples / cfg.sample_rate, 1e-9)}
+
+    # -------------------------------------------------------------- public
+
+    def synthesize_ids(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
+                       prompt_audio: np.ndarray | None = None,
+                       seed: int | None = None) -> tuple[np.ndarray, dict]:
+        """v1.5 layout (VOXCPM_PREFILL :283-298):
+        [prompt_text | target_text | audio_start | prompt feats]."""
+        cfg, dcfg = self.cfg, self.dcfg
+        segments: list = [
+            ("text", np.concatenate(
+                [prompt_ids[0], target_ids[0], [cfg.audio_start_id]]
+            ).astype(np.int32)),
+        ]
+        if prompt_audio is not None and len(prompt_audio) > 0:
+            _, feat_embed, feat_cond = self.encode_prompt(prompt_audio)
+            segments.append(("audio", feat_embed))
+        else:
+            feat_cond = jnp.zeros((2, cfg.patch_size,
+                                   cfg.estimator.hidden_size))
+        max_steps = target_ids.shape[1] * dcfg.decode_limit_factor + 10
+        return self._run_segments(segments, feat_cond, max_steps, seed)
+
+    def synthesize_v2(self, mode: str, target_ids: np.ndarray,
+                      ref_audio: np.ndarray | None = None,
+                      prompt_audio: np.ndarray | None = None,
+                      prompt_ids: np.ndarray | None = None,
+                      ref_start_id: int = 103, ref_end_id: int = 104,
+                      seed: int | None = None) -> tuple[np.ndarray, dict]:
+        """VoxCPM-2 prompt modes (v2 Export:46-87, Assemble graphs
+        :1014-1115):
+          voice_design   — text only, voice from the instruction;
+          reference_only — [ref_start | ref feats | ref_end | text];
+          continuation   — [prompt_text + target_text | prompt feats];
+          combined       — [ref_start | ref feats | ref_end | text | prompt
+                            feats]."""
+        cfg, dcfg = self.cfg, self.dcfg
+        zero_cond = jnp.zeros((2, cfg.patch_size, cfg.estimator.hidden_size))
+
+        def enc(audio):
+            _, fe, fc = self.encode_prompt(audio)
+            return fe, fc
+
+        target = target_ids[0].astype(np.int32)
+        segments: list = []
+        feat_cond = zero_cond
+        if mode == "voice_design":
+            segments = [("text", target)]
+        elif mode == "reference_only":
+            if ref_audio is None:
+                raise ValueError("reference_only needs ref_audio")
+            ref_fe, _ = enc(ref_audio)
+            segments = [("text", np.array([ref_start_id], np.int32)),
+                        ("audio", ref_fe),
+                        ("text", np.array([ref_end_id], np.int32)),
+                        ("text", target)]
+        elif mode == "continuation":
+            if prompt_audio is None or prompt_ids is None:
+                raise ValueError("continuation needs prompt_audio + prompt_ids")
+            p_fe, feat_cond = enc(prompt_audio)
+            segments = [("text", np.concatenate(
+                [prompt_ids[0].astype(np.int32), target])),
+                ("audio", p_fe)]
+        elif mode == "combined":
+            if ref_audio is None or prompt_audio is None or prompt_ids is None:
+                raise ValueError("combined needs ref + prompt audio + ids")
+            ref_fe, _ = enc(ref_audio)
+            p_fe, feat_cond = enc(prompt_audio)
+            segments = [("text", np.array([ref_start_id], np.int32)),
+                        ("audio", ref_fe),
+                        ("text", np.array([ref_end_id], np.int32)),
+                        ("text", np.concatenate(
+                            [prompt_ids[0].astype(np.int32), target])),
+                        ("audio", p_fe)]
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        max_steps = len(target) * dcfg.decode_limit_factor + 10
+        return self._run_segments(segments, feat_cond, max_steps, seed)

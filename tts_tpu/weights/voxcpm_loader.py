@@ -147,8 +147,16 @@ def vae_from_state_dict(sd: Mapping[str, np.ndarray], cfg, dtype=jnp.float32):
 
 
 def load_voxcpm(model_dir: str, cfg: VoxCPMConfig | None = None,
-                dtype=jnp.float32):
-    """Returns (params, vae_params, cfg)."""
+                dtype=jnp.float32, use_mup: bool = False,
+                scale_emb: float = 1.0, scale_depth: float = 1.0):
+    """Returns (params, vae_params, cfg).
+
+    VoxCPM-2 checkpoints use MiniCPM muP: pass use_mup=True with the
+    config's scale_emb/scale_depth — the embedding scale folds into
+    embed_tokens and scale_depth/sqrt(L) into o_proj/down_proj
+    (reference v2 Export:361-363, 452-490)."""
+    import math
+
     import torch
 
     path = os.path.join(model_dir, "pytorch_model.bin")
@@ -161,6 +169,10 @@ def load_voxcpm(model_dir: str, cfg: VoxCPMConfig | None = None,
         sd = load_file(os.path.join(model_dir, "model.safetensors"))
 
     cfg = cfg or VoxCPMConfig()
+    base_res = (scale_depth / math.sqrt(cfg.base.num_layers)
+                if use_mup else 1.0)
+    res_res = (scale_depth / math.sqrt(cfg.residual.num_layers)
+               if use_mup else 1.0)
     est_norm = np.asarray(
         sd["feat_decoder.estimator.decoder.norm.weight"])[None, :]
     fe_norm = np.asarray(sd["feat_encoder.encoder.norm.weight"])[None, :]
@@ -169,11 +181,15 @@ def load_voxcpm(model_dir: str, cfg: VoxCPMConfig | None = None,
     dit_w = np.asarray(sd["lm_to_dit_proj.weight"])
     stop_w = np.asarray(sd["stop_proj.weight"])
     params = {
-        "embed": jnp.asarray(sd["base_lm.embed_tokens.weight"], dtype),
-        "base": llama_stack_from_state_dict(sd, "base_lm", cfg.base, dtype),
+        "embed": jnp.asarray(
+            np.asarray(sd["base_lm.embed_tokens.weight"])
+            * (scale_emb if use_mup else 1.0), dtype),
+        "base": llama_stack_from_state_dict(sd, "base_lm", cfg.base, dtype,
+                                            residual_scale=base_res),
         "base_norm": jnp.asarray(sd["base_lm.norm.weight"], dtype),
         "residual": llama_stack_from_state_dict(sd, "residual_lm",
-                                                cfg.residual, dtype),
+                                                cfg.residual, dtype,
+                                                residual_scale=res_res),
         "fsq_down": {"w": jnp.asarray(np.asarray(sd["fsq_layer.in_proj.weight"]).T, dtype),
                      "b": jnp.asarray(sd.get("fsq_layer.in_proj.bias",
                                              np.zeros(cfg.fsq_dim)), dtype)},
