@@ -84,3 +84,21 @@ def test_quantized_kani_decode():
     # int8 quantization noise is small relative to the logit scale
     denom = np.abs(lf).max() + 1e-6
     assert np.abs(lf - lq).max() / denom < 0.1
+
+
+def test_int4_roundtrip_and_dense():
+    from tts_tpu.quant.weight_only import (
+        QTensor4, _unpack_int4, quantize_int4, quantize_pytree)
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    qt = quantize_int4(w, 32)
+    assert qt.q.shape == (32, 32)
+    deq = np.asarray(_unpack_int4(qt))
+    amax = np.abs(np.asarray(w)).reshape(2, 32, 32).max(1)
+    bound = np.repeat(amax / 7.0 * 0.51, 32, axis=0) + 1e-6
+    assert (np.abs(deq - np.asarray(w)) <= bound).all()
+    # pytree pass with bits=4 packs eligible 2-D weights
+    params = {"lm_head": jnp.ones((512, 1024))}
+    q = quantize_pytree(params, min_size=1024, bits=4)
+    assert isinstance(q["lm_head"], QTensor4)

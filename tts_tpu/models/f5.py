@@ -205,14 +205,18 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     q = apply_rope_interleaved(q, rope_cos, rope_sin)
     k = apply_rope_interleaved(k, rope_cos, rope_sin)
 
-    use_flash = (jax.default_backend() == "tpu" and t % 256 == 0
+    use_flash = (jax.default_backend() == "tpu" and t % 128 == 0
                  and head_dim % 64 == 0)
     if use_flash:
         from ..ops.flash_attention import flash_attention
 
+        # full-kv blocks at these lengths: scores tile stays in VMEM and
+        # each grid program does enough math to amortize its launch
+        bq = 256 if t % 256 == 0 else 128
+        bkv = t if t <= 2048 else 512
         out = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), kv_len,
+            v.transpose(0, 2, 1, 3), kv_len, block_q=bq, block_kv=bkv,
         ).transpose(0, 2, 1, 3)
     else:
         scores = jnp.einsum("bshd,bthd->bhst", q, k,

@@ -19,8 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QTensor", "quantize_int8", "dequantize", "dense",
-           "quantize_pytree"]
+__all__ = ["QTensor", "QTensor4", "quantize_int8", "quantize_int4",
+           "dequantize", "dense", "quantize_pytree"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -42,6 +42,23 @@ class QTensor:
         return self.scale.dtype
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["q", "scale"], meta_fields=["group_size"])
+@dataclasses.dataclass
+class QTensor4:
+    """Group-wise symmetric int4, two nibbles packed per int8 along the
+    input axis: w[2g] in the low nibble, w[2g+1] in the high nibble.
+    q: (in//2, out) int8 packed; scale: (in//group_size, out) float32."""
+
+    q: jax.Array
+    scale: jax.Array
+    group_size: int = 32
+
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+
 def quantize_int8(w: jax.Array) -> QTensor:
     """Quantize a (..., in, out) weight per output channel (last axis)."""
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)),
@@ -52,18 +69,53 @@ def quantize_int8(w: jax.Array) -> QTensor:
     return QTensor(q=q, scale=scale.astype(jnp.float32))
 
 
+def quantize_int4(w: jax.Array, group_size: int = 32) -> QTensor4:
+    """Group-wise int4 (the reference's MatMulNBits/RTN analog,
+    Kani_TTS/Optimize_ONNX.py:219-253). w: (in, out), in % (2*group) == 0."""
+    cin, cout = w.shape
+    if cin % group_size or group_size % 2:
+        raise ValueError(f"in dim {cin} must divide even group {group_size}")
+    wf = w.astype(jnp.float32).reshape(cin // group_size, group_size, cout)
+    amax = jnp.max(jnp.abs(wf), axis=1)                       # (G, out)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale[:, None]), -7, 7)
+    q = q.reshape(cin, cout).astype(jnp.int8)
+    lo = q[0::2] & 0x0F
+    hi = (q[1::2] & 0x0F) << 4
+    packed = (lo | hi).astype(jnp.int8)                       # (in//2, out)
+    return QTensor4(q=packed, scale=scale.astype(jnp.float32),
+                    group_size=group_size)
+
+
+def _unpack_int4(qt: QTensor4) -> jax.Array:
+    """Packed (in//2, out) -> dequantized fp32 (in, out)."""
+    raw = qt.q.astype(jnp.int32)
+    lo = (raw & 0x0F)
+    hi = ((raw >> 4) & 0x0F)
+    # sign-extend 4-bit two's complement
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    cin2, cout = qt.q.shape
+    q = jnp.stack([lo, hi], axis=1).reshape(2 * cin2, cout)
+    g = qt.group_size
+    return (q.reshape(-1, g, cout).astype(jnp.float32)
+            * qt.scale[:, None]).reshape(2 * cin2, cout)
+
+
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     return (qt.q.astype(jnp.float32) * qt.scale).astype(dtype)
 
 
 def dense(x: jax.Array, w) -> jax.Array:
-    """x @ w for plain arrays or QTensors. For QTensors the int8 weight is
-    upcast to the activation dtype inside the kernel (XLA fuses the cast
-    into the matmul read) and the per-channel scale applies to the output —
-    HBM traffic is 1 byte/weight."""
+    """x @ w for plain arrays, int8 QTensors, or packed int4 QTensor4s.
+    Quantized weights upcast inside the kernel (XLA fuses the cast into the
+    matmul read); scales apply outside (int8) or during unpack (int4) —
+    HBM traffic is 1 / 0.5 bytes per weight."""
     if isinstance(w, QTensor):
         y = jnp.matmul(x, w.q.astype(x.dtype))
         return y * w.scale.astype(x.dtype)
+    if isinstance(w, QTensor4):
+        return jnp.matmul(x, _unpack_int4(w).astype(x.dtype))
     return jnp.matmul(x, w)
 
 
@@ -75,9 +127,18 @@ _DEFAULT_KEYS = ("wqkv", "wo", "w_gate_up", "w_down", "in_proj", "out_proj",
 
 
 def quantize_pytree(params, keys: tuple[str, ...] = _DEFAULT_KEYS,
-                    min_size: int = 1 << 16):
+                    min_size: int = 1 << 16, bits: int = 8,
+                    group_size: int = 32):
     """Replace eligible float matmul weights with QTensors (weights reached
-    through dict keys in `keys`, ndim >= 2, at least `min_size` elements)."""
+    through dict keys in `keys`, ndim >= 2, at least `min_size` elements).
+    bits=8 -> per-channel int8; bits=4 -> group-wise packed int4 (2-D
+    weights whose input dim divides the group size; others fall back to
+    int8)."""
+
+    def quant(v):
+        if bits == 4 and v.ndim == 2 and v.shape[0] % group_size == 0:
+            return quantize_int4(v, group_size)
+        return quantize_int8(v)
 
     def walk(node):
         if isinstance(node, dict):
@@ -86,7 +147,7 @@ def quantize_pytree(params, keys: tuple[str, ...] = _DEFAULT_KEYS,
                 if (k in keys and hasattr(v, "ndim") and v.ndim >= 2
                         and v.size >= min_size
                         and jnp.issubdtype(v.dtype, jnp.floating)):
-                    out[k] = quantize_int8(v)
+                    out[k] = quant(v)
                 else:
                     out[k] = walk(v)
             return out

@@ -207,6 +207,99 @@ class QwenTTSPipeline:
             self._codec_cache[frames] = run
         return self._codec_cache[frames]
 
+    def encode_reference(self, audio: np.ndarray, encoder_params,
+                         encoder_cfg, speaker_params=None,
+                         speaker_cfg=None, mel=None):
+        """voice_clone prompt side (TTS_ENCODER :540-589): 24 kHz audio ->
+        (ref_codes (T, groups), speaker_embed (1, 1, H) or None).
+
+        speaker_params/cfg reuse the ECAPA math from models/indextts; mel is
+        a MelSpectrogram configured with the slaney fbank the reference uses
+        (:446)."""
+        from ..models.qwen_encoder import mimi_encode, rvq_encode
+
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        bucket = max(1, -(-len(audio) // 19200)) * 19200
+        buf = np.pad(audio.reshape(-1), (0, bucket - len(audio)))[None]
+
+        @jax.jit
+        def enc(params, a):
+            emb = mimi_encode(params, a, encoder_cfg)
+            return rvq_encode(params, emb, encoder_cfg,
+                              self.cfg.num_code_groups)
+
+        codes = np.asarray(enc(encoder_params, jnp.asarray(buf)))[0]
+        spk = None
+        if speaker_params is not None and mel is not None:
+            from ..models.indextts import ecapa_speaker_encoder
+
+            m = mel(jnp.asarray(buf))
+            spk = np.asarray(ecapa_speaker_encoder(speaker_params, m,
+                                                   speaker_cfg))
+        return codes, spk
+
+    def build_prefill_voice_clone(self, text_ids: np.ndarray,
+                                  ref_text_ids: np.ndarray,
+                                  language_id: int,
+                                  ref_codes: np.ndarray,
+                                  speaker_embed: np.ndarray
+                                  ) -> tuple[np.ndarray, np.ndarray]:
+        """voice_clone layout (TTS_PREPROCESS._forward_default :648-668 with
+        ref codec): the reference-audio codec frames interleave with the
+        text, the x-vector speaker embedding sits in the codec prefix.
+
+        ref_codes: (T, num_code_groups) from the Mimi encoder
+        (models/qwen_encoder.rvq_encode); speaker_embed: (1, 1, H)."""
+        p = self.params
+        cfg = self.cfg
+
+        def text_embed(ids):
+            e = np.asarray(p["text_embed"])[ids]
+            return e @ np.asarray(p["text_proj_w"]) + np.asarray(p["text_proj_b"])
+
+        def codec_embed(ids):
+            return np.asarray(p["talker_codec_embed"])[np.asarray(ids)]
+
+        vocab = np.asarray(p["text_embed"]).shape[0]
+        tts_bos = text_embed(np.array([[cfg.tts_bos_token_id % vocab]]))
+        tts_eos = text_embed(np.array([[cfg.tts_eos_token_id % vocab]]))
+        tts_pad = text_embed(np.array([[cfg.tts_pad_token_id % vocab]]))
+
+        # per-frame ref codec embedding: group-0 talker table + the 15
+        # predictor group tables (the reference's Embed_B + Embed_C sum)
+        group_embeds = np.asarray(p["group_embeds"])
+        ref_emb = codec_embed(ref_codes[:, 0])[None]          # (1, T, H)
+        for g in range(cfg.num_code_groups - 1):
+            ref_emb = ref_emb + group_embeds[g][ref_codes[:, g + 1]][None]
+
+        codec_seq = np.concatenate(
+            [codec_embed([[cfg.codec_bos_id]]), ref_emb], axis=1)
+        codec_len = codec_seq.shape[1]
+
+        text_seq = np.concatenate(
+            [text_embed(ref_text_ids), text_embed(text_ids), tts_eos], axis=1)
+        if text_seq.shape[1] < codec_len:
+            pad_n = codec_len - text_seq.shape[1]
+            text_seq = np.concatenate(
+                [text_seq, np.repeat(tts_pad, pad_n, axis=1)], axis=1)
+
+        think = codec_embed([[cfg.codec_think_id, cfg.codec_think_bos_id]])
+        lang = codec_embed([[language_id]])
+        eos = codec_embed([[cfg.codec_think_eos_id]])
+        pad = codec_embed([[cfg.codec_pad_id]])
+        prefix = np.concatenate(
+            [think, lang, eos, np.asarray(speaker_embed), pad], axis=1)
+        n = prefix.shape[1]
+        overlay = np.concatenate(
+            [np.repeat(tts_pad, n - 1, axis=1), tts_bos], axis=1)
+        prefix = prefix + overlay
+
+        icl = text_seq[:, :codec_len] + codec_seq
+        prefill = np.concatenate([prefix, icl], axis=1)
+        trailing = np.concatenate([text_seq[:, codec_len:], tts_pad], axis=1)
+        return prefill.astype(np.float32), trailing.astype(np.float32)
+
     # --------------------------------------------------- streaming decode
 
     def _build_prefill(self):

@@ -41,6 +41,9 @@ class VoxCPMDecodeConfig:
     max_latents: int = 256
     decode_limit_factor: int = 8       # limit = text_len * factor + 10
     seed: int = 9527
+    # retry with a fresh seed when generation hits the length cap without a
+    # stop token (upstream bad-case retry, modeling_modified/core.py:140-142)
+    retry_badcase: int = 0
 
 
 class VoxCPMPipeline:
@@ -204,14 +207,19 @@ class VoxCPMPipeline:
 
         if self._dec_fn is None:
             self._dec_fn = self._build_decode()
-        key = jax.random.key(self.dcfg.seed if seed is None else seed)
+        base_seed = self.dcfg.seed if seed is None else seed
 
         t0 = time.perf_counter()
-        latents, num = self._dec_fn(
-            self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
-            jnp.int32(pos), jnp.asarray(fe_buf),
-            feat_cond, jnp.int32(max_steps), key)
-        num = int(num)
+        for attempt in range(self.dcfg.retry_badcase + 1):
+            key = jax.random.key(base_seed + attempt)
+            latents, num = self._dec_fn(
+                self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
+                jnp.int32(pos), jnp.asarray(fe_buf),
+                feat_cond, jnp.int32(max_steps), key)
+            num = int(num)
+            cap = min(max_steps, dcfg.max_latents)
+            if num < cap or attempt == self.dcfg.retry_badcase:
+                break   # stopped naturally (or retries exhausted)
         if num == 0:
             return np.zeros(0, np.int16), {"latents": 0, "wall_s": 0.0}
 
