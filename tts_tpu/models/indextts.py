@@ -141,8 +141,8 @@ def conformer_encoder(params, mel: jax.Array, cfg: IndexTTSConfig) -> jax.Array:
     x = mel[:, None, :, :]                                 # (1, 1, T, F) NCHW
     for cp in params["sub_convs"]:
         x = jax.lax.conv_general_dilated(
-            x, cp["w"], window_strides=(2, 2), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            x.astype(cp["w"].dtype), cp["w"], window_strides=(2, 2),
+            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
         ) + cp["b"][None, :, None, None]
         x = jax.nn.relu(x)
     b, c, t, f = x.shape

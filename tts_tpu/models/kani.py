@@ -188,7 +188,7 @@ def embed_tokens(params, ids: jax.Array) -> jax.Array:
 def init_params(cfg: KaniConfig, key: jax.Array, dtype=jnp.float32):
     """Random init with the load-time folds already applied (norm weights =
     1 absorbed, q/k norms carry the d^-0.25 scale)."""
-    keys = iter(jax.random.split(key, 4 * len(cfg.layer_types) + 8))
+    keys = iter(jax.random.split(key, 8 * len(cfg.layer_types) + 16))
     hs, hd = cfg.hidden_size, cfg.head_dim
 
     def mat(cin, cout, scale=0.02):

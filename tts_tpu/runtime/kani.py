@@ -74,7 +74,8 @@ def _prefill_loop(params, ids_buf, prompt_len, state, cfg: KaniConfig):
         logits, state = kani_step(params, h, state, cfg)
         return state, i + 1, logits
 
-    dummy = jnp.zeros((1, cfg.vocab_size), jnp.float32)
+    # logits dtype follows the compute dtype (embed table's dtype)
+    dummy = jnp.zeros((1, cfg.vocab_size), params["embed"].dtype)
     state, _, logits = jax.lax.while_loop(
         cond, body, (state, jnp.zeros((), jnp.int32), dummy))
     return state, logits

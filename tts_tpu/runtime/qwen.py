@@ -126,6 +126,9 @@ class QwenTTSPipeline:
         t = cfg.talker
 
         def run(params, prefill_buf, prefill_len, trailing):
+            dt = params["talker_codec_embed"].dtype
+            prefill_buf = prefill_buf.astype(dt)
+            trailing = trailing.astype(dt)
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
                                 t.max_seq_len, t.head_dim, jnp.float32)
 
@@ -146,7 +149,7 @@ class QwenTTSPipeline:
                 hid, kv = qwen3_stack_step(params["talker"], h, kv, t, rc, rs)
                 return kv, i + 1, hid
 
-            dummy = jnp.zeros((1, t.hidden_size))
+            dummy = jnp.zeros((1, t.hidden_size), dt)
             kv, _, hid = jax.lax.while_loop(
                 pcond, pbody, (kv, jnp.zeros((), jnp.int32), dummy))
 
@@ -307,6 +310,8 @@ class QwenTTSPipeline:
         t = cfg.talker
 
         def run(params, prefill_buf, prefill_len):
+            dt = params["talker_codec_embed"].dtype
+            prefill_buf = prefill_buf.astype(dt)
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
                                 t.max_seq_len, t.head_dim, jnp.float32)
 
@@ -326,7 +331,7 @@ class QwenTTSPipeline:
                 hid, kv = qwen3_stack_step(params["talker"], h, kv, t, rc, rs)
                 return kv, i + 1, hid
 
-            dummy = jnp.zeros((1, t.hidden_size))
+            dummy = jnp.zeros((1, t.hidden_size), dt)
             kv, _, hid = jax.lax.while_loop(
                 pcond, pbody, (kv, jnp.zeros((), jnp.int32), dummy))
             return kv, hid
@@ -342,6 +347,7 @@ class QwenTTSPipeline:
         t = cfg.talker
 
         def run(params, kv, hid, save0, trailing, num, total_budget):
+            trailing = trailing.astype(params["talker_codec_embed"].dtype)
             frames = jnp.zeros((chunk, cfg.num_code_groups), jnp.int32)
             trailing_minus = trailing.shape[1] - 1
 

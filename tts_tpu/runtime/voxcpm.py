@@ -107,6 +107,9 @@ class VoxCPMPipeline:
             This one loop serves v1.5's [text | audio_start | feats] layout
             and all four v2 Assemble modes (v2 Export:1014-1115) — the
             per-position kind mask IS the segment plan."""
+            dt = params["embed"].dtype
+            feat_embed_buf = feat_embed_buf.astype(dt)
+            feat_cond0 = feat_cond0.astype(dt)
             base_kv = KVCache.create(b.num_layers, 1, b.num_kv_heads,
                                      b.max_seq_len, b.head_dim, jnp.float32)
             res_kv = KVCache.create(cfg.residual.num_layers, 1,
@@ -130,7 +133,7 @@ class VoxCPMPipeline:
                     params, h, fe, ctl, base_kv, res_kv, cfg)
                 return base_kv, res_kv, i + 1, dit, stop
 
-            dit0 = jnp.zeros((1, 1, cfg.estimator.hidden_size))
+            dit0 = jnp.zeros((1, 1, cfg.estimator.hidden_size), dt)
             base_kv, res_kv, _, dit, stop = jax.lax.while_loop(
                 pcond, pbody,
                 (base_kv, res_kv, jnp.zeros((), jnp.int32), dit0,
@@ -152,9 +155,11 @@ class VoxCPMPipeline:
                     sub, (1, cfg.patch_size, cfg.vae.latent_dim))
                 latent = cfm_feat_decoder(params, noise, dit, feat_cond, cfg)
                 latents = jax.lax.dynamic_update_slice(
-                    latents, latent, (num, 0, 0))
-                feat_embed, feat_cond = feat_encoder_cond(params, latent, cfg)
-                h = feat_embed[:, :1]
+                    latents, latent.astype(latents.dtype), (num, 0, 0))
+                feat_embed, feat_cond = feat_encoder_cond(
+                    params, latent.astype(dt), cfg)
+                feat_cond = feat_cond.astype(dt)
+                h = feat_embed[:, :1].astype(dt)
                 dit, stop, base_kv, res_kv = voxcpm_main_step(
                     params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
                 return (base_kv, res_kv, dit, feat_cond, latents, key,
