@@ -184,3 +184,30 @@ def test_voxcpm_llama_stack_loader_runs():
                                jnp.asarray(sin[:3]))
     assert out.shape == (1, 3, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_save_load_roundtrip_with_quant():
+    """Fused-pytree persistence (the reference's optimized-artifact analog)
+    must round-trip arrays, lists, and quantized tensors."""
+    import os
+    import tempfile
+
+    from tts_tpu.models.kani import KaniConfig, init_params
+    from tts_tpu.quant import quantize_pytree
+    from tts_tpu.weights.save import load_params, save_params
+
+    cfg = KaniConfig(hidden_size=32, num_heads=2, num_kv_heads=1, head_dim=16,
+                     ffn_dim=64, vocab_size=64, layer_types=("conv", "attn"),
+                     max_seq_len=32, stop_token=63)
+    params = quantize_pytree(init_params(cfg, jax.random.key(0)), min_size=256)
+    path = tempfile.mktemp(suffix=".npz")
+    try:
+        save_params(path, params)
+        back = load_params(path)
+        fa, fb = jax.tree.leaves(params), jax.tree.leaves(back)
+        assert len(fa) == len(fb)
+        for a, b in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert isinstance(back["layers"], list) and len(back["layers"]) == 2
+    finally:
+        os.unlink(path)

@@ -23,7 +23,7 @@ def make_mesh(dp: int = 1, tp: int | None = None,
     n = len(jax.devices())
     if tp is None:
         tp = n // dp
-    if dp * tp > n:
+    if dp < 1 or tp < 1 or dp * tp > n:
         raise ValueError(f"mesh {dp}x{tp} needs {dp * tp} devices, have {n}")
     devices = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
     return Mesh(devices, axis_names)

@@ -40,6 +40,7 @@ MAX_PROMPT_FEATS = 256     # prompt audio patches
 class VoxCPMDecodeConfig:
     max_latents: int = 256
     decode_limit_factor: int = 8       # limit = text_len * factor + 10
+    min_latents: int = 2               # MIN_SEQ_LEN before stop checks
     seed: int = 9527
     # retry with a fresh seed when generation hits the length cap without a
     # stop token (upstream bad-case retry, modeling_modified/core.py:140-142)
@@ -162,11 +163,14 @@ class VoxCPMPipeline:
                 h = feat_embed[:, :1].astype(dt)
                 dit, stop, base_kv, res_kv = voxcpm_main_step(
                     params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
+                # stop token honored only after min_latents (the reference's
+                # MIN_SEQ_LEN guard, v2 Export:99)
+                fin = (stop == 1) & (num + 1 >= dcfg.min_latents)
                 return (base_kv, res_kv, dit, feat_cond, latents, key,
-                        num + 1, stop == 1)
+                        num + 1, fin)
 
             init = (base_kv, res_kv, dit, feat_cond0, latents, key,
-                    jnp.zeros((), jnp.int32), stop == 1)
+                    jnp.zeros((), jnp.int32), jnp.zeros((), bool))
             _, _, _, _, latents, _, num, _ = jax.lax.while_loop(
                 gcond, gbody, init)
             return latents, num
