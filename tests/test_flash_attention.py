@@ -1,0 +1,41 @@
+"""Pallas flash attention vs the einsum reference, run in interpreter mode
+so CI needs no TPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tts_tpu.ops.flash_attention import flash_attention
+
+
+def _ref(q, k, v, kv_len, scale):
+    s = q.shape[2]
+    sc = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                    preferred_element_type=jnp.float32) * scale
+    mask = jnp.arange(s) < kv_len
+    sc = jnp.where(mask[None, None, None], sc, -1e30)
+    return jnp.einsum("bhst,bhtd->bhsd", jax.nn.softmax(sc, -1), v)
+
+
+@pytest.mark.parametrize("kv_len", [256, 150])
+@pytest.mark.parametrize("block_kv", [128, 256])
+def test_flash_matches_reference(kv_len, block_kv):
+    b, h, s, d = 1, 2, 256, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    scale = d ** -0.5
+    gold = np.asarray(_ref(q, k, v, kv_len, scale))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_attention(q, k, v, jnp.int32(kv_len),
+                                         scale=scale, block_q=128,
+                                         block_kv=block_kv))
+    np.testing.assert_allclose(out, gold, atol=2e-5)
+
+
+def test_flash_rejects_bad_blocks():
+    q = jnp.zeros((1, 1, 100, 64))
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, block_q=64, block_kv=64)

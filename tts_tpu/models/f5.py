@@ -210,8 +210,11 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     if use_flash:
         from ..ops.flash_attention import flash_attention
 
-        # full-kv blocks at these lengths: scores tile stays in VMEM and
-        # each grid program does enough math to amortize its launch
+        # full-kv blocks at these lengths: the whole score tile stays in
+        # VMEM and each grid program amortizes its launch. (An in-kernel
+        # RoPE variant exists — flash_attention_rope — but Mosaic's fp32-only
+        # rotate made it a net loss; XLA already fuses the rope elementwise
+        # chain well.)
         bq = 256 if t % 256 == 0 else 128
         bkv = t if t <= 2048 else 512
         out = flash_attention(
