@@ -18,7 +18,11 @@ import numpy as np
 __all__ = ["convert_char_to_pinyin", "text_to_ids", "f5_duration"]
 
 _CUSTOM_TRANS = str.maketrans({";": ",", "“": '"', "”": '"', "‘": "'", "’": "'"})
-_ZH_PAUSE_PUNC = r"。，、；：？！"
+# character class: each pause mark adds 3 to the byte-length estimate. (The
+# reference passes the bare string to re.findall — matching only the full
+# 7-char sequence — but upstream F5's own heuristic uses a class; we follow
+# the intent.)
+_ZH_PAUSE_PUNC = r"[。，、；：？！]"
 
 
 def _is_chinese(c: str) -> bool:

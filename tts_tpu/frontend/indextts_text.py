@@ -47,9 +47,14 @@ def tokenize_by_cjk_char(line: str, do_upper_case: bool = True) -> str:
 
 
 def normalize_text(text: str) -> str:
-    """Punctuation normalization via the reference's replacement map; the
-    reference additionally runs tn/wetext number expansion, which this
-    environment lacks — digits pass through."""
+    """Punctuation normalization via the reference's replacement map plus
+    number expansion (frontend/normalize.py — the self-contained analog of
+    the reference's tn/wetext normalizers)."""
+    from .normalize import normalize_numbers
+
+    has_cjk = re.search(_CJK_RANGE, text) is not None
+    if not has_cjk:
+        text = normalize_numbers(text)
     text = _REP_PATTERN.sub(lambda m: _CHAR_REP[m.group()], text)
     return re.sub(r"\s+", " ", text).strip()
 
