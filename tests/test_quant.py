@@ -102,3 +102,26 @@ def test_int4_roundtrip_and_dense():
     params = {"lm_head": jnp.ones((512, 1024))}
     q = quantize_pytree(params, min_size=1024, bits=4)
     assert isinstance(q["lm_head"], QTensor4)
+
+
+def test_f5_pipeline_quantized_smoke():
+    """The Q8 F5 path must synthesize deterministically through the jitted
+    scan (the reference's Q8F32 release analog)."""
+    from tests.test_f5 import TINY
+    from tts_tpu.models.f5 import init_params as f5_init
+    from tts_tpu.models.vocos import VocosConfig
+    from tts_tpu.models.vocos import init_params as vocos_init
+    from tts_tpu.runtime.f5 import F5Pipeline
+
+    vcfg = VocosConfig(input_channels=TINY.n_mels, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=TINY.n_fft, hop=TINY.hop,
+                       sample_rate=TINY.sample_rate)
+    vocab = {c: i for i, c in enumerate("abcdefghij ")}
+    pipe = F5Pipeline(f5_init(TINY, jax.random.key(0)), TINY, vocab,
+                      vocos_init(vcfg, jax.random.key(1)), vcfg, quantize=8)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(2000) * 3000).astype(np.int16)
+    wav, stats = pipe.synthesize(audio, "abc def", "hij abc", seed=7)
+    wav2, _ = pipe.synthesize(audio, "abc def", "hij abc", seed=7)
+    assert wav.dtype == np.int16 and len(wav) > 0
+    np.testing.assert_array_equal(wav, wav2)

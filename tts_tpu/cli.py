@@ -92,6 +92,105 @@ def cmd_kani(args) -> None:
     _write(args.out, wav, ccfg.sample_rate, rep)
 
 
+def cmd_indextts(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .audio.wav import read_wav
+    from .models.bigvgan import BigVGANConfig
+    from .models.bigvgan import init_params as bigvgan_init
+    from .models.indextts import (
+        IndexTTSConfig,
+        init_conformer_params,
+        init_ecapa_params,
+        init_gpt_params,
+        init_perceiver_params,
+    )
+    from .runtime.indextts import IndexTTSPipeline
+    from .utils.timing import SynthesisReport
+
+    if args.ckpt:
+        from .weights.indextts_loader import load_indextts
+
+        params, cfg, vcfg = load_indextts(args.ckpt)
+        tok_path = args.ckpt + "/bpe.model"
+    else:
+        cfg = IndexTTSConfig(enc_layers=2, gpt_layers=2, gpt_dim=512,
+                             gpt_heads=8, num_latents=32)
+        vcfg = BigVGANConfig(num_mels=cfg.gpt_dim,
+                             upsample_initial_channel=256,
+                             use_tanh_at_final=True, use_bias_at_final=True)
+        ks = jax.random.split(jax.random.key(0), 8)
+        c0 = vcfg.upsample_initial_channel
+        params = {
+            "conformer": init_conformer_params(cfg, ks[0]),
+            "perceiver": init_perceiver_params(cfg, ks[1]),
+            "ecapa": init_ecapa_params(cfg, ks[2]),
+            "gpt": init_gpt_params(cfg, ks[3]),
+            "bigvgan": bigvgan_init(vcfg, ks[4]),
+            "cond_layer": {"w": jnp.zeros((cfg.speaker_embed_dim, c0)),
+                           "b": jnp.zeros((c0,))},
+            "conds": [{"w": jnp.zeros((cfg.speaker_embed_dim, c)),
+                       "b": jnp.zeros((c,))} for c in vcfg.stage_channels],
+        }
+        tok_path = None
+        print("note: random weights (no --ckpt) — audio will be noise")
+    pipe = IndexTTSPipeline(params, cfg, vcfg)
+    audio, _ = read_wav(args.ref_audio, target_rate=24000)
+    ref = pipe.encode_reference(audio)
+    from .frontend.indextts_text import IndexTTSTokenizer
+
+    tok = IndexTTSTokenizer(tok_path)
+    wav, stats = pipe.synthesize(args.text, ref, tokenizer=tok,
+                                 max_gen=args.max_tokens)
+    total_tokens = sum(s.tokens for s in stats)
+    wall = sum(s.wall_s for s in stats)
+    rep = SynthesisReport("indextts", len(wav) / 24000, wall,
+                          tokens=total_tokens)
+    _write(args.out, wav, 24000, rep)
+
+
+def cmd_voxcpm(args) -> None:
+    import jax
+
+    from .audio.wav import read_wav
+    from .models.voxcpm import VoxCPMConfig, init_params, init_vae_params
+    from .runtime.voxcpm import VoxCPMDecodeConfig, VoxCPMPipeline
+    from .utils.timing import SynthesisReport
+
+    if args.ckpt:
+        from .weights.voxcpm_loader import load_voxcpm
+
+        params, vae_params, cfg = load_voxcpm(
+            args.ckpt, use_mup=args.v2, scale_emb=12.0 if args.v2 else 1.0,
+            scale_depth=1.4 if args.v2 else 1.0)
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.ckpt)
+        ids = tok(args.text, return_tensors="np")["input_ids"].astype("int32")
+        p_ids = (tok(args.prompt_text, return_tensors="np")["input_ids"]
+                 .astype("int32") if args.prompt_text else
+                 np.zeros((1, 0), np.int32))
+    else:
+        cfg = VoxCPMConfig()
+        params = jax.jit(lambda k: init_params(cfg, k))(jax.random.key(0))
+        vae_params = jax.jit(lambda k: init_vae_params(cfg.vae, k))(
+            jax.random.key(1))
+        ids = np.array([[11, 13, 17, 19]], np.int32)
+        p_ids = np.zeros((1, 0), np.int32)
+        print("note: random weights (no --ckpt) — audio will be noise")
+    pipe = VoxCPMPipeline(params, cfg, vae_params,
+                          VoxCPMDecodeConfig(max_latents=args.max_latents))
+    prompt_audio = None
+    if args.prompt_audio:
+        prompt_audio, _ = read_wav(args.prompt_audio,
+                                   target_rate=cfg.sample_rate)
+    wav, stats = pipe.synthesize_ids(p_ids, ids, prompt_audio)
+    rep = SynthesisReport("voxcpm", len(wav) / cfg.sample_rate,
+                          stats["wall_s"])
+    _write(args.out, wav, cfg.sample_rate, rep)
+
+
 def cmd_bench(args) -> None:
     import json
 
@@ -127,6 +226,24 @@ def main(argv=None) -> int:
     ka.add_argument("--max-tokens", type=int, default=1019)
     ka.add_argument("--out", default="generated.wav")
     ka.set_defaults(fn=cmd_kani)
+
+    it = sub.add_parser("indextts", help="IndexTTS voice cloning")
+    it.add_argument("--ref-audio", required=True)
+    it.add_argument("--text", default="Hello from the TPU.")
+    it.add_argument("--ckpt", help="IndexTTS-1.5 model dir")
+    it.add_argument("--max-tokens", type=int, default=800)
+    it.add_argument("--out", default="generated.wav")
+    it.set_defaults(fn=cmd_indextts)
+
+    vc = sub.add_parser("voxcpm", help="VoxCPM synthesis")
+    vc.add_argument("--text", default="Hello from the TPU.")
+    vc.add_argument("--prompt-audio")
+    vc.add_argument("--prompt-text")
+    vc.add_argument("--ckpt", help="VoxCPM model dir")
+    vc.add_argument("--v2", action="store_true", help="VoxCPM-2 muP folds")
+    vc.add_argument("--max-latents", type=int, default=256)
+    vc.add_argument("--out", default="generated.wav")
+    vc.set_defaults(fn=cmd_voxcpm)
 
     be = sub.add_parser("bench", help="run the driver benchmark")
     be.set_defaults(fn=cmd_bench)

@@ -40,6 +40,7 @@ from ..audio.mel import MelSpectrogram
 from ..nn.norm import layer_norm
 from ..nn.rope import apply_rope_interleaved, rope_table_interleaved
 from ..ops.conv import conv1d
+from ..quant.weight_only import dense
 
 __all__ = [
     "F5Config",
@@ -197,7 +198,7 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     flash-attention kernel (ops/flash_attention.py) — the profile showed the
     materialized (B, H, S, S) fp32 scores dominating the DiT step."""
     b, t, _ = x.shape
-    qkv = jnp.matmul(x, p["wqkv"]) + p["bqkv"]
+    qkv = dense(x, p["wqkv"]) + p["bqkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, t, heads, head_dim)
     k = k.reshape(b, t, heads, head_dim)
@@ -231,7 +232,7 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhst,bthd->bshd", probs, v)
     out = out.reshape(b, t, heads * head_dim)
-    return jnp.matmul(out, p["wo"]) + p["bo"]
+    return dense(out, p["wo"]) + p["bo"]
 
 
 def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
@@ -245,9 +246,9 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
     x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos, rope_sin,
                                       cfg.heads, cfg.head_dim, kv_len)
     norm = layer_norm(x, eps=1e-6) * (1 + scale_mlp) + shift_mlp
-    h = jnp.matmul(norm, p["ff1"]["w"]) + p["ff1"]["b"]
+    h = dense(norm, p["ff1"]["w"]) + p["ff1"]["b"]
     h = jax.nn.gelu(h, approximate=True)
-    h = jnp.matmul(h, p["ff2"]["w"]) + p["ff2"]["b"]
+    h = dense(h, p["ff2"]["w"]) + p["ff2"]["b"]
     return x + gate_mlp * h
 
 

@@ -1,20 +1,28 @@
 from .vocoder import BigVGANVocoder
 
-__all__ = ["BigVGANVocoder", "F5Pipeline", "KaniPipeline", "IndexTTSPipeline"]
+__all__ = [
+    "BigVGANVocoder",
+    "F5Pipeline",
+    "KaniPipeline",
+    "IndexTTSPipeline",
+    "QwenTTSPipeline",
+    "VoxCPMPipeline",
+]
+
+_LAZY = {
+    "F5Pipeline": ("tts_tpu.runtime.f5", "F5Pipeline"),
+    "KaniPipeline": ("tts_tpu.runtime.kani", "KaniPipeline"),
+    "IndexTTSPipeline": ("tts_tpu.runtime.indextts", "IndexTTSPipeline"),
+    "QwenTTSPipeline": ("tts_tpu.runtime.qwen", "QwenTTSPipeline"),
+    "VoxCPMPipeline": ("tts_tpu.runtime.voxcpm", "VoxCPMPipeline"),
+}
 
 
 def __getattr__(name):
     # lazy imports: each pipeline pulls its model family only when used
-    if name == "F5Pipeline":
-        from .f5 import F5Pipeline
+    if name in _LAZY:
+        import importlib
 
-        return F5Pipeline
-    if name == "KaniPipeline":
-        from .kani import KaniPipeline
-
-        return KaniPipeline
-    if name == "IndexTTSPipeline":
-        from .indextts import IndexTTSPipeline
-
-        return IndexTTSPipeline
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)

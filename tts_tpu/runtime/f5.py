@@ -54,7 +54,28 @@ class F5Pipeline:
 
     def __init__(self, f5_params, f5_cfg: F5Config, vocab: dict[str, int],
                  vocos_params, vocos_cfg: VocosConfig | None = None,
-                 seed: int = 9527):
+                 seed: int = 9527, quantize: int | None = None):
+        if quantize:
+            from ..quant.weight_only import quantize_int4, quantize_int8
+
+            # DiT attention/FFN matmul weights only — AdaLN, convs, and the
+            # vocoder stay float (the reference's Q8/Q4 per-model policy)
+            def q(w):
+                if quantize == 4 and w.ndim == 2 and w.shape[0] % 32 == 0:
+                    return quantize_int4(w)
+                return quantize_int8(w)
+
+            blocks = [
+                {
+                    **blk,
+                    "attn": {**blk["attn"], "wqkv": q(blk["attn"]["wqkv"]),
+                             "wo": q(blk["attn"]["wo"])},
+                    "ff1": {**blk["ff1"], "w": q(blk["ff1"]["w"])},
+                    "ff2": {**blk["ff2"], "w": q(blk["ff2"]["w"])},
+                }
+                for blk in f5_params["blocks"]
+            ]
+            f5_params = {**f5_params, "blocks": blocks}
         self.params = f5_params
         self.cfg = f5_cfg
         self.vocab = vocab
