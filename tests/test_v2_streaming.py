@@ -126,3 +126,22 @@ def test_qwen_streaming_matches_batch():
     # so compare the shared prefix
     n = min(len(batch_wav), len(stream_wav))
     assert n > 0
+
+
+def test_voxcpm_streaming_runs():
+    """Chunked VoxCPM streaming must emit int16 audio with the same total
+    latent count as the batch path (greedy CFM is seed-deterministic)."""
+    pipe = _vox_pipe(max_latents=6)
+    tgt = np.array([[11, 13, 17]], np.int32)
+    segs = [("text", np.concatenate([tgt[0], [VOX_TINY.audio_start_id]])
+             .astype(np.int32))]
+    feat_cond = jnp.zeros((2, VOX_TINY.patch_size,
+                           VOX_TINY.estimator.hidden_size))
+    batch_wav, stats = pipe._run_segments(segs, feat_cond, 6, seed=3)
+    chunks = list(pipe.synthesize_streaming(segs, feat_cond, 6, seed=3,
+                                            chunk=2))
+    stream_wav = np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
+    assert stream_wav.dtype == np.int16
+    up = VOX_TINY.patch_size * VOX_TINY.chunk_size
+    assert len(stream_wav) % up == 0
+    assert len(stream_wav) // up == stats["latents"]

@@ -36,7 +36,15 @@ from ..models.indextts import (
     perceiver_resample,
 )
 
-__all__ = ["IndexTTSPipeline"]
+__all__ = ["IndexTTSPipeline", "IndexTTSDecodeConfig"]
+
+
+@dataclass(frozen=True)
+class IndexTTSDecodeConfig:
+    """Reference knobs (Export_IndexTTS.py:37-39)."""
+
+    repeat_penalty: float = 0.9
+    penalty_range: int = 10
 
 
 @dataclass
@@ -56,9 +64,11 @@ class IndexTTSPipeline:
 
     def __init__(self, params, cfg: IndexTTSConfig,
                  bigvgan_cfg: BigVGANConfig, sample_rate: int = 24000,
-                 n_fft: int = 1024, hop: int = 256, seed: int = 0):
+                 n_fft: int = 1024, hop: int = 256, seed: int = 0,
+                 decode_cfg: IndexTTSDecodeConfig | None = None):
         self.params = params
         self.cfg = cfg
+        self.dcfg = decode_cfg or IndexTTSDecodeConfig()
         self.vcfg = bigvgan_cfg
         self.sample_rate = sample_rate
         self.melspec = MelSpectrogram(sample_rate, n_fft, hop, n_fft,
@@ -113,8 +123,8 @@ class IndexTTSPipeline:
         if key not in self._dec_cache:
             cfg = self.cfg
             n_lat = cfg.num_latents
-            penalty = 0.9
-            penalty_range = 10
+            penalty = self.dcfg.repeat_penalty
+            penalty_range = self.dcfg.penalty_range
 
             @jax.jit
             def run(params, conds_latent, text_ids, text_len):

@@ -190,6 +190,147 @@ class VoxCPMPipeline:
             self._vae_dec_cache[n] = run
         return self._vae_dec_cache[n]
 
+    # --------------------------------------------------- streaming decode
+
+    def _build_gen_chunk(self, chunk: int):
+        """Generation loop bounded to `chunk` latents with the carry
+        round-tripped — the TPU-native version of the reference's
+        executor-overlapped pairwise VAE decode (Inference :511-523)."""
+        cfg, dcfg = self.cfg, self.dcfg
+
+        def run(params, base_kv, res_kv, dit, feat_cond, key, num, budget):
+            latents = jnp.zeros((chunk, cfg.patch_size, cfg.vae.latent_dim))
+
+            def gcond(c):
+                _, _, _, _, _, _, n_in, num, fin = c
+                return (~fin) & (n_in < chunk) & (num < budget)
+
+            def gbody(c):
+                base_kv, res_kv, dit, feat_cond, latents, key, n_in, num, _ = c
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(
+                    sub, (1, cfg.patch_size, cfg.vae.latent_dim))
+                latent = cfm_feat_decoder(params, noise, dit, feat_cond, cfg)
+                latents = jax.lax.dynamic_update_slice(
+                    latents, latent.astype(latents.dtype), (n_in, 0, 0))
+                dt = params["embed"].dtype
+                feat_embed, feat_cond = feat_encoder_cond(
+                    params, latent.astype(dt), cfg)
+                feat_cond = feat_cond.astype(dt)
+                h = feat_embed[:, :1].astype(dt)
+                dit, stop, base_kv, res_kv = voxcpm_main_step(
+                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
+                fin = (stop == 1) & (num + 1 >= dcfg.min_latents)
+                return (base_kv, res_kv, dit, feat_cond, latents, key,
+                        n_in + 1, num + 1, fin)
+
+            init = (base_kv, res_kv, dit, feat_cond, latents, key,
+                    jnp.zeros((), jnp.int32), num, jnp.zeros((), bool))
+            (base_kv, res_kv, dit, feat_cond, latents, key, n_in, num,
+             fin) = jax.lax.while_loop(gcond, gbody, init)
+            return base_kv, res_kv, dit, feat_cond, latents, key, n_in, num, fin
+
+        return jax.jit(run)
+
+    def synthesize_streaming(self, segments, feat_cond, max_steps: int,
+                             seed: int | None = None, chunk: int = 4):
+        """Generator of int16 audio chunks: run the generation loop in
+        `chunk`-latent slices and VAE-decode pairs with one latent of left
+        context discarded (the reference's half-overlap pairwise decode,
+        Inference :562-580). `segments`/`feat_cond` as in _run_segments."""
+        from .streaming import ChunkedCodecStream
+
+        cfg, dcfg = self.cfg, self.dcfg
+        cap = MAX_PREFILL_TOKENS + MAX_PROMPT_FEATS
+        text_buf = np.zeros((1, cap), np.int32)
+        fe_buf = np.zeros((1, cap, cfg.base.hidden_size), np.float32)
+        is_audio = np.zeros((cap,), bool)
+        pos = 0
+        for kind, data in segments:
+            if kind == "text":
+                n = len(data)
+                text_buf[0, pos:pos + n] = data
+            else:
+                n = data.shape[1]
+                fe_buf[:, pos:pos + n] = np.asarray(data)
+                is_audio[pos:pos + n] = True
+            pos += n
+
+        if not hasattr(self, "_prefill_only_fn") or self._prefill_only_fn is None:
+            cfg_ = self.cfg
+            b = cfg_.base
+
+            def prefill(params, text_buf, is_audio, prefill_len, fe_buf,
+                        feat_cond0):
+                dt = params["embed"].dtype
+                fe = fe_buf.astype(dt)
+                base_kv = KVCache.create(b.num_layers, 1, b.num_kv_heads,
+                                         b.max_seq_len, b.head_dim,
+                                         jnp.float32)
+                res_kv = KVCache.create(cfg_.residual.num_layers, 1,
+                                        cfg_.residual.num_kv_heads,
+                                        b.max_seq_len,
+                                        cfg_.residual.head_dim, jnp.float32)
+
+                def pcond(c):
+                    _, _, i, *_ = c
+                    return i < prefill_len
+
+                def pbody(c):
+                    base_kv, res_kv, i, dit, stop = c
+                    tok = jax.lax.dynamic_slice(text_buf, (0, i), (1, 1))
+                    f = jax.lax.dynamic_slice(
+                        fe, (0, i, 0), (1, 1, b.hidden_size))
+                    audio = is_audio[i]
+                    h = jnp.where(audio, f, params["embed"][tok])
+                    ctl = jnp.where(audio, 0, 1).astype(jnp.int32)
+                    dit, stop, base_kv, res_kv = voxcpm_main_step(
+                        params, h, f, ctl, base_kv, res_kv, cfg_)
+                    return base_kv, res_kv, i + 1, dit, stop
+
+                dit0 = jnp.zeros((1, 1, cfg_.estimator.hidden_size), dt)
+                base_kv, res_kv, _, dit, _ = jax.lax.while_loop(
+                    pcond, pbody,
+                    (base_kv, res_kv, jnp.zeros((), jnp.int32), dit0,
+                     jnp.zeros((), jnp.int32)))
+                return base_kv, res_kv, dit, feat_cond0.astype(dt)
+
+            self._prefill_only_fn = jax.jit(prefill)
+
+        key = ("gen_chunk", chunk)
+        if key not in self._vae_dec_cache:
+            self._vae_dec_cache[key] = self._build_gen_chunk(chunk)
+        gen_fn = self._vae_dec_cache[key]
+
+        up = cfg.patch_size * cfg.chunk_size
+        stream = ChunkedCodecStream(
+            lambda lat: self._vae_dec_fn(lat.shape[1])(
+                self.vae_params,
+                jnp.asarray(lat[0].astype(np.float32))),
+            window=chunk + 1, left_context=1, upsample=up,
+            num_groups=cfg.patch_size)
+
+        base_kv, res_kv, dit, feat_cond = self._prefill_only_fn(
+            self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
+            jnp.int32(pos), jnp.asarray(fe_buf), feat_cond)
+        rng_key = jax.random.key(self.dcfg.seed if seed is None else seed)
+        num = jnp.zeros((), jnp.int32)
+        budget = jnp.int32(min(max_steps, dcfg.max_latents))
+        while True:
+            (base_kv, res_kv, dit, feat_cond, latents, rng_key, n_in, num,
+             fin) = gen_fn(self.params, base_kv, res_kv, dit, feat_cond,
+                           rng_key, num, budget)
+            n = int(n_in)
+            if n > 0:
+                out = stream.push_frames(np.asarray(latents)[:n])
+                if out is not None and len(out):
+                    yield out
+            if bool(fin) or int(num) >= int(budget) or n == 0:
+                break
+        for out in stream.finish():
+            if len(out):
+                yield out
+
     # -------------------------------------------------------------- public
 
     def _run_segments(self, segments, feat_cond, max_steps: int,
