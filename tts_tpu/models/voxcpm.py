@@ -51,6 +51,7 @@ __all__ = [
     "cfm_feat_decoder",
     "init_params",
     "init_vae_params",
+    "voxcpm_v2_config",
 ]
 
 
@@ -106,6 +107,21 @@ class VoxCPMConfig:
     cfg_value: float = 2.0
     stop_act: str = "tanh"             # stop_actn nonlinearity
     sample_rate: int = 44100
+
+
+def voxcpm_v2_config() -> "VoxCPMConfig":
+    """VoxCPM-2 preset (reference v2 Export:93-101): 16 kHz VAE input,
+    48 kHz output via resample, MAX_SEQ_LEN 2048, muP checkpoint (folded at
+    load with use_mup=True). The loader overrides exact stack geometry."""
+    return VoxCPMConfig(
+        base=LlamaStackConfig(hidden_size=1024, num_heads=16, num_kv_heads=2,
+                              head_dim=64, ffn_dim=2560, num_layers=24,
+                              max_seq_len=2048),
+        residual=LlamaStackConfig(hidden_size=1024, num_heads=16,
+                                  num_kv_heads=2, head_dim=64, ffn_dim=2560,
+                                  num_layers=4, max_seq_len=2048),
+        sample_rate=16000,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -379,6 +379,12 @@ class VoxCPMPipeline:
         wav = self._vae_dec_fn(nb)(self.vae_params, jnp.asarray(lat))
         n_samples = num * cfg.patch_size * cfg.chunk_size
         wav = np.asarray(wav)[0, :n_samples]
+        if self.output_sample_rate != cfg.sample_rate:
+            # v2: 16 kHz VAE -> 48 kHz output (reference v2 Export:100-101)
+            from ..audio.wav import resample_linear
+
+            wav = resample_linear(wav, cfg.sample_rate,
+                                  self.output_sample_rate)
         wall = time.perf_counter() - t0
         return wav, {"latents": num, "wall_s": wall,
                      "rtf": wall / max(n_samples / cfg.sample_rate, 1e-9)}
