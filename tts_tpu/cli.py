@@ -159,10 +159,12 @@ def cmd_voxcpm(args) -> None:
     from .utils.timing import SynthesisReport
 
     if args.ckpt:
+        from .models.voxcpm import voxcpm_v2_config
         from .weights.voxcpm_loader import load_voxcpm
 
         params, vae_params, cfg = load_voxcpm(
-            args.ckpt, use_mup=args.v2, scale_emb=12.0 if args.v2 else 1.0,
+            args.ckpt, cfg=voxcpm_v2_config() if args.v2 else None,
+            use_mup=args.v2, scale_emb=12.0 if args.v2 else 1.0,
             scale_depth=1.4 if args.v2 else 1.0)
         from transformers import AutoTokenizer
 
@@ -186,9 +188,9 @@ def cmd_voxcpm(args) -> None:
         prompt_audio, _ = read_wav(args.prompt_audio,
                                    target_rate=cfg.sample_rate)
     wav, stats = pipe.synthesize_ids(p_ids, ids, prompt_audio)
-    rep = SynthesisReport("voxcpm", len(wav) / cfg.sample_rate,
-                          stats["wall_s"])
-    _write(args.out, wav, cfg.sample_rate, rep)
+    sr = pipe.output_sample_rate
+    rep = SynthesisReport("voxcpm", len(wav) / sr, stats["wall_s"])
+    _write(args.out, wav, sr, rep)
 
 
 def cmd_bench(args) -> None:

@@ -72,11 +72,37 @@ class LlamaStackConfig:
 
 @dataclass(frozen=True)
 class VaeConfig:
-    d_model: int = 64
+    """Defaults = the upstream AudioVAEConfig
+    (modeling_modified/audio_vae.py:273-281): encoder_dim 128, rates
+    (2,5,8,8), decoder_dim 1536, decoder rates (8,8,5,2), depthwise
+    residual convs."""
+
+    d_model: int = 128
     latent_dim: int = 64
-    strides: tuple[int, ...] = (2, 4, 8, 8)
-    decoder_channels: int = 1024
+    strides: tuple[int, ...] = (2, 5, 8, 8)
+    decoder_channels: int = 1536
     use_noise_block: bool = False
+    # depthwise=True (upstream default): the k=7 conv in every residual
+    # unit is grouped per channel (audio_vae.py:81-99 groups=dim)
+    depthwise: bool = True
+    # v2 decoder deltas (reference v2 Export:860-1005): decoder upsample
+    # rates may differ from the encoder strides (16 kHz in -> 48 kHz out),
+    # the init conv is depthwise+pointwise, and each block is modulated by
+    # a sample-rate conditioning layer (scale/bias embeddings selected by
+    # bucketized target rate)
+    # When depthwise=True the decoder init conv is a depthwise k7 +
+    # pointwise pair (audio_vae.py:231-241) — applies to v1.5 AND v2.
+    decoder_rates: tuple[int, ...] | None = None
+    sr_bins: tuple[float, ...] = ()
+
+    @property
+    def encoder_stride(self) -> int:
+        return int(np.prod(self.strides))
+
+    @property
+    def decoder_stride(self) -> int:
+        rates = self.decoder_rates or tuple(reversed(self.strides))
+        return int(np.prod(rates))
 
 
 @dataclass(frozen=True)
@@ -97,7 +123,7 @@ class VoxCPMConfig:
         ffn_dim=1280, num_layers=6, max_seq_len=16)
     vae: VaeConfig = VaeConfig()
     patch_size: int = 4
-    chunk_size: int = 256              # vae total stride
+    chunk_size: int = 640              # vae encoder stride per latent
     fsq_dim: int = 32
     fsq_levels: int = 9
     vocab_size: int = 73448
@@ -106,21 +132,34 @@ class VoxCPMConfig:
     cfm_sway: float = 1.0
     cfg_value: float = 2.0
     stop_act: str = "tanh"             # stop_actn nonlinearity
-    sample_rate: int = 44100
+    sample_rate: int = 44100           # VAE input rate
+
+    @property
+    def output_sample_rate(self) -> int:
+        """Native decoder output rate: the decoder's total upsample may
+        exceed the encoder's stride (v2: 16 kHz in -> 48 kHz out)."""
+        return self.sample_rate * self.vae.decoder_stride // self.vae.encoder_stride
+
+    @property
+    def samples_per_latent(self) -> int:
+        return self.patch_size * self.vae.decoder_stride
 
 
 def voxcpm_v2_config() -> "VoxCPMConfig":
-    """VoxCPM-2 preset (reference v2 Export:93-101): 16 kHz VAE input,
-    48 kHz output via resample, MAX_SEQ_LEN 2048, muP checkpoint (folded at
-    load with use_mup=True). The loader overrides exact stack geometry."""
+    """VoxCPM-2 preset (reference v2 Export:93-101, 180-210, 860-1005):
+    16 kHz VAE input with encoder strides (2,5,8,8) (chunk 640) and a
+    sample-rate-conditioned decoder whose upsample totals 1920 — native
+    48 kHz output, no resampling. Pass use_mup=True (+ scale_emb/
+    scale_depth from the checkpoint config) to load_voxcpm for the muP
+    folds. LM stack geometry must still come from the checkpoint config."""
     return VoxCPMConfig(
-        base=LlamaStackConfig(hidden_size=1024, num_heads=16, num_kv_heads=2,
-                              head_dim=64, ffn_dim=2560, num_layers=24,
-                              max_seq_len=2048),
-        residual=LlamaStackConfig(hidden_size=1024, num_heads=16,
-                                  num_kv_heads=2, head_dim=64, ffn_dim=2560,
-                                  num_layers=4, max_seq_len=2048),
         sample_rate=16000,
+        chunk_size=640,
+        vae=VaeConfig(
+            d_model=128, latent_dim=64, strides=(2, 5, 8, 8),
+            decoder_channels=2048, decoder_rates=(8, 8, 6, 5),
+            sr_bins=(22050.0, 44100.0),
+        ),
     )
 
 
@@ -214,8 +253,11 @@ def _causal_conv_t(x, w, b=None, pad: int = 0, stride: int = 1,
 
 def _residual_unit(x, p, dilation: int):
     pad = ((7 - 1) * dilation) // 2
+    # depthwise when the stored kernel has a single input channel
+    groups = x.shape[-1] if p["c1"]["w"].shape[1] == 1 else 1
     h = snake(x, p["s1"]["alpha"], p["s1"]["alpha_recip"])
-    h = _causal_conv(h, p["c1"]["w"], p["c1"]["b"], pad=pad, dilation=dilation)
+    h = _causal_conv(h, p["c1"]["w"], p["c1"]["b"], pad=pad,
+                     dilation=dilation, groups=groups)
     h = snake(h, p["s2"]["alpha"], p["s2"]["alpha_recip"])
     h = _causal_conv(h, p["c2"]["w"], p["c2"]["b"])
     return x + h
@@ -237,11 +279,34 @@ def vae_encode(params, audio: jax.Array, cfg: VaeConfig) -> jax.Array:
 
 
 def vae_decode(params, latents: jax.Array, cfg: VaeConfig,
-               noise_key: jax.Array | None = None) -> jax.Array:
-    """latents (B, T, latent_dim) -> audio (B, T*total_stride) in [-1, 1]."""
-    x = _causal_conv(latents, params["pre"]["w"], params["pre"]["b"], pad=3)
-    for i, stride in enumerate(reversed(cfg.strides)):
+               noise_key: jax.Array | None = None,
+               sr_idx: jax.Array | int = 0) -> jax.Array:
+    """latents (B, T, latent_dim) -> audio (B, T*decoder_stride) in [-1, 1].
+
+    v2 variant (cfg.depthwise / sr_bins set): depthwise+pointwise init
+    convs, and each block pre-modulated by the SampleRateConditionLayer
+    (x*scale + bias from embeddings at sr_idx, optional snake+conv
+    out_layer) — reference v2 Export:973-1005."""
+    if cfg.depthwise and "pre_dw" in params:
+        x = _causal_conv(latents, params["pre_dw"]["w"], params["pre_dw"]["b"],
+                         pad=3, groups=latents.shape[-1])
+        x = _causal_conv(x, params["pre"]["w"], params["pre"]["b"])
+    else:
+        x = _causal_conv(latents, params["pre"]["w"], params["pre"]["b"], pad=3)
+    rates = cfg.decoder_rates or tuple(reversed(cfg.strides))
+    for i, stride in enumerate(rates):
         blk = params["dec_blocks"][i]
+        if "sr_scale" in blk:
+            scale = blk["sr_scale"][sr_idx][None, None]
+            bias = blk["sr_bias"][sr_idx][None, None]
+            x = x * scale + bias
+            if "sr_out_conv" in blk:
+                x = snake(x, blk["sr_out_snake"]["alpha"],
+                          blk["sr_out_snake"]["alpha_recip"])
+                k = blk["sr_out_conv"]["w"].shape[0]
+                x = _causal_conv(x, blk["sr_out_conv"]["w"],
+                                 blk["sr_out_conv"].get("b"),
+                                 pad=(k - 1) // 2)
         x = snake(x, blk["snake"]["alpha"], blk["snake"]["alpha_recip"])
         x = _causal_conv_t(x, blk["up"]["w"], blk["up"]["b"],
                            pad=-(-stride // 2), stride=stride,
@@ -437,7 +502,8 @@ def init_vae_params(cfg: VaeConfig, key, dtype=jnp.float32):
                 "alpha_recip": jnp.ones((c,), dtype)}
 
     def unit(c):
-        return {"s1": snake_p(c), "c1": conv_p(7, c, c),
+        cin = 1 if cfg.depthwise else c
+        return {"s1": snake_p(c), "c1": conv_p(7, cin, c),
                 "s2": snake_p(c), "c2": conv_p(1, c, c)}
 
     d = cfg.d_model
@@ -453,9 +519,11 @@ def init_vae_params(cfg: VaeConfig, key, dtype=jnp.float32):
     enc_dim = d
 
     dc = cfg.decoder_channels
+    dec_rates = cfg.decoder_rates or tuple(reversed(cfg.strides))
+    n_bins = len(cfg.sr_bins) + 1
     dec_blocks = []
     cin = dc
-    for s in reversed(cfg.strides):
+    for s in dec_rates:
         cout = cin // 2
         blk = {
             "snake": snake_p(cin),
@@ -464,20 +532,28 @@ def init_vae_params(cfg: VaeConfig, key, dtype=jnp.float32):
         }
         if cfg.use_noise_block:
             blk["noise"] = {"w": mat(1, cout, cout)}
+        if cfg.sr_bins:
+            blk["sr_scale"] = jnp.ones((n_bins, cin), dtype)
+            blk["sr_bias"] = jnp.zeros((n_bins, cin), dtype)
         dec_blocks.append(blk)
         cin = cout
+    dec = {
+        "pre": (conv_p(1, cfg.latent_dim, dc) if cfg.depthwise
+                else conv_p(7, cfg.latent_dim, dc)),
+        "dec_blocks": dec_blocks,
+        "post_snake": snake_p(cin),
+        "post": conv_p(7, cin, 1),
+    }
+    if cfg.depthwise:
+        dec["pre_dw"] = {"w": mat(7, 1, cfg.latent_dim),
+                         "b": jnp.zeros((cfg.latent_dim,), dtype)}
     return {
         "pre": conv_p(7, 1, cfg.d_model),
         "enc_blocks": enc_blocks,
         "fc_mu": conv_p(3, enc_dim, cfg.latent_dim),
         # decoder params live under the same pytree for simplicity; the
         # decoder's own pre conv maps latent -> channels
-        "dec": {
-            "pre": conv_p(7, cfg.latent_dim, dc),
-            "dec_blocks": dec_blocks,
-            "post_snake": snake_p(cin),
-            "post": conv_p(7, cin, 1),
-        },
+        "dec": dec,
     }
 
 

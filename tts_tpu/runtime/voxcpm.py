@@ -55,7 +55,7 @@ class VoxCPMPipeline:
         self.cfg = cfg
         self.vae_params = vae_params
         self.dcfg = decode_cfg or VoxCPMDecodeConfig()
-        self.output_sample_rate = output_sample_rate or cfg.sample_rate
+        self.output_sample_rate = output_sample_rate or cfg.output_sample_rate
         self._enc_cache: dict = {}
         self._dec_fn = None
         self._vae_dec_cache: dict = {}
@@ -181,10 +181,15 @@ class VoxCPMPipeline:
         if n not in self._vae_dec_cache:
             cfg = self.cfg
 
+            sr_idx = int(np.searchsorted(np.asarray(cfg.vae.sr_bins),
+                                         cfg.output_sample_rate)) \
+                if cfg.vae.sr_bins else 0
+
             @jax.jit
             def run(vae_params, latents):
                 flat = latents.reshape(1, -1, cfg.vae.latent_dim)
-                wav = vae_decode(vae_params["dec"], flat, cfg.vae)
+                wav = vae_decode(vae_params["dec"], flat, cfg.vae,
+                                 sr_idx=sr_idx)
                 return (wav * 32767.0).astype(jnp.int16)
 
             self._vae_dec_cache[n] = run
@@ -302,7 +307,8 @@ class VoxCPMPipeline:
             self._vae_dec_cache[key] = self._build_gen_chunk(chunk)
         gen_fn = self._vae_dec_cache[key]
 
-        up = cfg.patch_size * cfg.chunk_size
+        up = cfg.samples_per_latent   # native decoder rate (no resample
+        # on the streaming path — chunks are at cfg.output_sample_rate)
         stream = ChunkedCodecStream(
             lambda lat: self._vae_dec_fn(lat.shape[1])(
                 self.vae_params,
@@ -377,17 +383,17 @@ class VoxCPMPipeline:
         lat = np.zeros((nb, cfg.patch_size, cfg.vae.latent_dim), np.float32)
         lat[:num] = np.asarray(latents)[:num]
         wav = self._vae_dec_fn(nb)(self.vae_params, jnp.asarray(lat))
-        n_samples = num * cfg.patch_size * cfg.chunk_size
+        n_samples = num * cfg.samples_per_latent
         wav = np.asarray(wav)[0, :n_samples]
-        if self.output_sample_rate != cfg.sample_rate:
-            # v2: 16 kHz VAE -> 48 kHz output (reference v2 Export:100-101)
+        native = cfg.output_sample_rate   # v2 decodes 48 kHz natively
+        if self.output_sample_rate != native:
             from ..audio.wav import resample_linear
 
-            wav = resample_linear(wav, cfg.sample_rate,
-                                  self.output_sample_rate)
+            wav = resample_linear(wav, native, self.output_sample_rate)
         wall = time.perf_counter() - t0
         return wav, {"latents": num, "wall_s": wall,
-                     "rtf": wall / max(n_samples / cfg.sample_rate, 1e-9)}
+                     "sample_rate": self.output_sample_rate,
+                     "rtf": wall / max(n_samples / native, 1e-9)}
 
     # -------------------------------------------------------------- public
 

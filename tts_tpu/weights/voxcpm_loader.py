@@ -108,10 +108,16 @@ def vae_from_state_dict(sd: Mapping[str, np.ndarray], cfg, dtype=jnp.float32):
             "down": _conv(sd, f"{b}.4", dtype),
         })
     d = "audio_vae.decoder.model"
-    n = len(cfg.strides)
+    dec_rates = cfg.decoder_rates or tuple(reversed(cfg.strides))
+    n = len(dec_rates)
+    # depthwise decoder init (v1.5 and v2): model.0 = depthwise conv, model.1 =
+    # pointwise, blocks start at index 2 and each pairs with a
+    # sr_cond_model.{i} SampleRateConditionLayer (v2 Export:884-905)
+    first_block = 2 if cfg.depthwise else 1
     dec_blocks = []
     for i in range(n):
-        b = f"{d}.{i + 1}.block"
+        b = f"{d}.{i + first_block}.block"
+        sr = f"audio_vae.decoder.sr_cond_model.{i + first_block}"
         off = 2
         blk = {
             "snake": _snake(sd, f"{b}.0", dtype),
@@ -130,19 +136,35 @@ def vae_from_state_dict(sd: Mapping[str, np.ndarray], cfg, dtype=jnp.float32):
              "c2": _conv(sd, f"{b}.{off + j}.block.3", dtype)}
             for j in range(3)
         ]
+        if f"{sr}.scale_embed.weight" in sd:
+            blk["sr_scale"] = jnp.asarray(sd[f"{sr}.scale_embed.weight"], dtype)
+            blk["sr_bias"] = jnp.asarray(sd[f"{sr}.bias_embed.weight"], dtype)
+            if f"{sr}.out_layer.0.alpha" in sd:
+                blk["sr_out_snake"] = _snake(sd, f"{sr}.out_layer.0", dtype)
+                blk["sr_out_conv"] = _conv(sd, f"{sr}.out_layer.1", dtype)
         dec_blocks.append(blk)
+    if cfg.depthwise:
+        dec = {
+            "pre_dw": _conv(sd, f"{d}.0", dtype),
+            "pre": _conv(sd, f"{d}.1", dtype),
+            "dec_blocks": dec_blocks,
+            "post_snake": _snake(sd, f"{d}.{n + 2}", dtype),
+            "post": _conv(sd, f"{d}.{n + 3}", dtype),
+        }
+    else:
+        dec = {
+            "pre": _conv(sd, f"{d}.0", dtype),
+            "dec_blocks": dec_blocks,
+            "post_snake": _snake(sd, f"{d}.{n + 1}", dtype),
+            "post": _conv(sd, f"{d}.{n + 2}", dtype),
+        }
     return {
         # reference folds 1/32768 into the first encoder conv (:90-93); we
         # keep float input in [-1, 1] so no scale is applied here
         "pre": _conv(sd, f"{e}.block.0", dtype),
         "enc_blocks": enc_blocks,
         "fc_mu": _conv(sd, f"{e}.fc_mu", dtype),
-        "dec": {
-            "pre": _conv(sd, f"{d}.0", dtype),
-            "dec_blocks": dec_blocks,
-            "post_snake": _snake(sd, f"{d}.{n + 1}", dtype),
-            "post": _conv(sd, f"{d}.{n + 2}", dtype),
-        },
+        "dec": dec,
     }
 
 
