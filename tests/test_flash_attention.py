@@ -35,6 +35,25 @@ def test_flash_matches_reference(kv_len, block_kv):
     np.testing.assert_allclose(out, gold, atol=2e-5)
 
 
+@pytest.mark.parametrize("kv_len", [256, 150])
+@pytest.mark.parametrize("head_block", [1, 2])
+def test_flash_onepass_matches_reference(kv_len, head_block):
+    """block_kv == s takes the single-pass kernel (no online-softmax
+    scratch) with `head_block` heads batched per grid program."""
+    b, h, s, d = 1, 2, 256, 64
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    scale = d ** -0.5
+    gold = np.asarray(_ref(q, k, v, kv_len, scale))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_attention(q, k, v, jnp.int32(kv_len),
+                                         scale=scale, block_q=128,
+                                         block_kv=s, head_block=head_block))
+    np.testing.assert_allclose(out, gold, atol=2e-5)
+
+
 def test_flash_rejects_bad_blocks():
     q = jnp.zeros((1, 1, 100, 64))
     with pytest.raises(ValueError):

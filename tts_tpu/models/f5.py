@@ -211,17 +211,30 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     if use_flash:
         from ..ops.flash_attention import flash_attention
 
-        # full-kv blocks at these lengths: the whole score tile stays in
-        # VMEM and each grid program amortizes its launch. (An in-kernel
-        # RoPE variant exists — flash_attention_rope — but Mosaic's fp32-only
-        # rotate made it a net loss; XLA already fuses the rope elementwise
-        # chain well.)
-        bq = 256 if t % 256 == 0 else 128
-        bkv = t if t <= 2048 else 512
-        out = flash_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), kv_len, block_q=bq, block_kv=bkv,
-        ).transpose(0, 2, 1, 3)
+        # full-kv blocks at these lengths: the whole score row stays in
+        # VMEM so the single-pass kernel applies (no online-softmax
+        # scratch), with 2 heads batched per grid program — measured 35%
+        # faster than the scratch-carry config at t=1024. Block sizes keep
+        # the fp32 score tile near 4 MB. (An in-kernel RoPE variant exists —
+        # flash_attention_rope — but Mosaic's fp32-only rotate made it a net
+        # loss; XLA already fuses the rope elementwise chain well.)
+        if t <= 4096:
+            hb = 2 if heads % 2 == 0 else 1
+            bq = 512
+            # keep the fp32 score tile (hb, bq, t) near 4 MB; bq must
+            # divide t (t is always a multiple of 128 here)
+            while bq > 128 and (hb * bq * t * 4 > (1 << 22) or t % bq):
+                bq //= 2
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), kv_len, block_q=bq, block_kv=t,
+                head_block=hb,
+            ).transpose(0, 2, 1, 3)
+        else:
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), kv_len, block_q=256, block_kv=512,
+            ).transpose(0, 2, 1, 3)
     else:
         scores = jnp.einsum("bshd,bthd->bhst", q, k,
                             preferred_element_type=jnp.float32)

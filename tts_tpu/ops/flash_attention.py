@@ -69,12 +69,73 @@ def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0, 0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+def _kernel_onepass(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Single-kv-block fast path: the whole score row fits in VMEM, so the
+    softmax is one pass — no running max/denom scratch, no rescale exps.
+    q/k/v blocks carry a head-block axis so several heads share one grid
+    program (amortizes per-program overhead; the dots batch on the MXU)."""
+    q = q_ref[0]                                      # (hb, bq, d)
+    k = k_ref[0]                                      # (hb, skv, d)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                 # (hb, bq, skv)
+    if scale != 1.0:
+        s = s * scale
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(kv_idx < kvlen_ref[0], s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                 # (hb, bq, d)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
+                   head_block: int):
+    b, h, s, d = q.shape
+    grid = (b, h // head_block, s // block_q)
+    kernel = functools.partial(_kernel_onepass, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, head_block, block_q, d),
+                             lambda ib, ih, iq, kvlen: (ib, ih, iq, 0)),
+                pl.BlockSpec((1, head_block, s, d),
+                             lambda ib, ih, iq, kvlen: (ib, ih, 0, 0)),
+                pl.BlockSpec((1, head_block, s, d),
+                             lambda ib, ih, iq, kvlen: (ib, ih, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, head_block, block_q, d),
+                                   lambda ib, ih, iq, kvlen: (ib, ih, iq, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(kv_len, q, k, v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_kv",
+                                    "head_block"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     kv_len: jax.Array | None = None, scale: float = 1.0,
-                    block_q: int = 256, block_kv: int = 256) -> jax.Array:
+                    block_q: int = 256, block_kv: int = 256,
+                    head_block: int = 1) -> jax.Array:
     """q, k, v: (B, H, S, D) -> (B, H, S, D). Non-causal; keys at positions
-    >= kv_len are masked out (kv_len defaults to S)."""
+    >= kv_len are masked out (kv_len defaults to S). When block_kv covers
+    the whole sequence a single-pass kernel (no online-softmax scratch) is
+    used, with `head_block` heads batched per grid program."""
     b, h, s, d = q.shape
     block_q = min(block_q, s)
     block_kv = min(block_kv, s)
@@ -84,6 +145,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if kv_len is None:
         kv_len = jnp.int32(s)
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    if block_kv == s and head_block and h % head_block == 0:
+        return _flash_onepass(q, k, v, kv_len, scale, block_q, head_block)
+    # head_block=0 forces the scratch-carry kernel even at block_kv == s
 
     grid = (b, h, s // block_q, s // block_kv)
     kernel = functools.partial(_kernel, bkv=block_kv, scale=scale)
