@@ -158,3 +158,10 @@ def test_indextts_pipeline_smoke():
     wav, stats = pipe.synthesize_ids(ids, ref, max_gen=12)
     assert wav.dtype == np.int16
     assert stats.tokens <= 12
+
+    # int8 weight-only GPT follows the same decode path
+    pipe8 = IndexTTSPipeline(params, TINY, vcfg, sample_rate=8000,
+                             n_fft=256, hop=64, quantize=8)
+    wav8, stats8 = pipe8.synthesize_ids(ids, ref, max_gen=12)
+    assert wav8.dtype == np.int16
+    assert stats8.tokens <= 12

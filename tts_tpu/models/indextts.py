@@ -33,6 +33,7 @@ from ..kv.cache import KVCache
 from ..nn.attention import attention_mask
 from ..nn.norm import layer_norm
 from ..ops.conv import conv1d
+from ..quant.weight_only import dense
 
 __all__ = [
     "IndexTTSConfig",
@@ -304,7 +305,7 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
     x = hidden
     for i, p in enumerate(params["layers"]):
         h = layer_norm(x, p["ln1"]["w"], p["ln1"]["b"], eps=1e-5)
-        qkv = jnp.matmul(h, p["wqkv"]) + p["bqkv"]
+        qkv = dense(h, p["wqkv"]) + p["bqkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
         k = k.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
@@ -313,15 +314,15 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
         from ..nn.attention import gqa_attention
 
         out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, d)
-        x = x + (jnp.matmul(out, p["wo"]) + p["bo"])
+        x = x + (dense(out, p["wo"]) + p["bo"])
         h = layer_norm(x, p["ln2"]["w"], p["ln2"]["b"], eps=1e-5)
-        h = jnp.matmul(h, p["fc"]["w"]) + p["fc"]["b"]
+        h = dense(h, p["fc"]["w"]) + p["fc"]["b"]
         h = jax.nn.gelu(h, approximate=True)               # GPT-2 gelu_new
-        x = x + (jnp.matmul(h, p["proj"]["w"]) + p["proj"]["b"])
+        x = x + (dense(h, p["proj"]["w"]) + p["proj"]["b"])
     kv = kv.advance(s)
     last = layer_norm(x[:, -1], params["ln_f"]["w"], params["ln_f"]["b"],
                       eps=1e-5)
-    logits = (jnp.matmul(last, params["lm_head"]) + params["lm_head_b"]
+    logits = (dense(last, params["lm_head"]) + params["lm_head_b"]
               ) * penalty_vec
     return logits, last, kv
 

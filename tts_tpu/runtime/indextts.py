@@ -65,7 +65,30 @@ class IndexTTSPipeline:
     def __init__(self, params, cfg: IndexTTSConfig,
                  bigvgan_cfg: BigVGANConfig, sample_rate: int = 24000,
                  n_fft: int = 1024, hop: int = 256, seed: int = 0,
-                 decode_cfg: IndexTTSDecodeConfig | None = None):
+                 decode_cfg: IndexTTSDecodeConfig | None = None,
+                 quantize: int | None = None):
+        if quantize:
+            # weight-only int8/int4 on the AR GPT stack — the decode loop is
+            # HBM-bandwidth-bound (the reference ships Q8 ONNX variants of
+            # the GPT, IndexTTS Optimize_ONNX analog); encoders/vocoder
+            # stay float
+            from ..quant.weight_only import quantize_int4, quantize_int8
+
+            def q(w):
+                if quantize == 4 and w.ndim == 2 and w.shape[0] % 32 == 0:
+                    return quantize_int4(w)
+                return quantize_int8(w)
+
+            gpt = params["gpt"]
+            layers = [
+                {**lyr, "wqkv": q(lyr["wqkv"]), "wo": q(lyr["wo"]),
+                 "fc": {**lyr["fc"], "w": q(lyr["fc"]["w"])},
+                 "proj": {**lyr["proj"], "w": q(lyr["proj"]["w"])}}
+                for lyr in gpt["layers"]
+            ]
+            params = {**params,
+                      "gpt": {**gpt, "layers": layers,
+                              "lm_head": q(gpt["lm_head"])}}
         self.params = params
         self.cfg = cfg
         self.dcfg = decode_cfg or IndexTTSDecodeConfig()
