@@ -134,6 +134,17 @@ def test_kani_pipeline_greedy_smoke():
     np.testing.assert_array_equal(wav, wav2)
     assert stats["tokens"] <= 24
 
+    # int8 weight-only LM follows the same decode path
+    pipe8 = KaniPipeline(
+        params, TINY, cparams, TINY_CODEC,
+        KaniDecodeConfig(max_new_tokens=24, repeat_penalty=0.8,
+                         penalty_range=4),
+        audio_tokens_start=0, quantize=8,
+    )
+    wav8, stats8 = pipe8.synthesize_ids(ids)
+    assert wav8.dtype == np.int16
+    assert stats8["tokens"] <= 24
+
 
 def test_kani_pipeline_beam_smoke():
     from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline

@@ -128,3 +128,9 @@ def test_qwen_pipeline_smoke():
     assert wav.dtype == np.int16
     np.testing.assert_array_equal(wav, wav2)
     assert stats["frames"] <= 6
+
+    pipe8 = QwenTTSPipeline(params, TINY, cparams, TINY_CODEC,
+                            QwenDecodeConfig(max_frames=6), quantize=8)
+    wav8, stats8 = pipe8.synthesize_ids(ids, language_id=3)
+    assert wav8.dtype == np.int16
+    assert stats8["frames"] <= 6

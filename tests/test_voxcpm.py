@@ -136,3 +136,9 @@ def test_voxcpm_pipeline_smoke():
     assert wav.dtype == np.int16
     np.testing.assert_array_equal(wav, wav2)
     assert stats["latents"] <= 5
+
+    pipe8 = VoxCPMPipeline(params, TINY, vae_params,
+                           VoxCPMDecodeConfig(max_latents=5), quantize=8)
+    wav8, stats8 = pipe8.synthesize_ids(p_ids, t_ids, audio, seed=1)
+    assert wav8.dtype == np.int16
+    assert stats8["latents"] <= 5

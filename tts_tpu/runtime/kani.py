@@ -85,7 +85,14 @@ class KaniPipeline:
     def __init__(self, params, cfg: KaniConfig, codec_params,
                  codec_cfg: NanoCodecConfig,
                  decode_cfg: KaniDecodeConfig | None = None,
-                 tokenizer=None, audio_tokens_start: int | None = None):
+                 tokenizer=None, audio_tokens_start: int | None = None,
+                 quantize: int | None = None):
+        if quantize:
+            # weight-only int8/int4 on the LM matmuls; the codec stays
+            # float (reference Q8/Q4 Optimize_ONNX policy)
+            from ..quant.weight_only import quantize_pytree
+
+            params = quantize_pytree(params, bits=quantize)
         self.params = params
         self.cfg = cfg
         self.codec_params = codec_params

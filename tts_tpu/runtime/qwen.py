@@ -52,7 +52,15 @@ class QwenTTSPipeline:
     def __init__(self, params, cfg: QwenTTSConfig, codec_params,
                  codec_cfg: QwenCodecDecoderConfig,
                  decode_cfg: QwenDecodeConfig | None = None,
-                 output_sample_rate: int = 24000):
+                 output_sample_rate: int = 24000,
+                 quantize: int | None = None):
+        if quantize:
+            # talker + predictor LM matmuls only; the codec decoder and the
+            # stacked lm_heads/group_embeds stay float (heads are (15,H,V)
+            # 3-D stacks read once per frame — not the bandwidth hot spot)
+            from ..quant.weight_only import quantize_pytree
+
+            params = quantize_pytree(params, bits=quantize)
         self.params = params
         self.cfg = cfg
         self.codec_params = codec_params

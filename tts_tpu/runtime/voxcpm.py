@@ -50,7 +50,14 @@ class VoxCPMDecodeConfig:
 class VoxCPMPipeline:
     def __init__(self, params, cfg: VoxCPMConfig, vae_params,
                  decode_cfg: VoxCPMDecodeConfig | None = None,
-                 output_sample_rate: int | None = None):
+                 output_sample_rate: int | None = None,
+                 quantize: int | None = None):
+        if quantize:
+            # base/residual/feat-encoder/estimator LM matmuls; the VAE is
+            # passed separately and stays float
+            from ..quant.weight_only import quantize_pytree
+
+            params = quantize_pytree(params, bits=quantize)
         self.params = params
         self.cfg = cfg
         self.vae_params = vae_params
