@@ -45,7 +45,8 @@ def cmd_f5(args) -> None:
         vparams = jax.jit(lambda k: vocos_init(vcfg, k, dtype))(jax.random.key(1))
         vocab = {" ": 0}
         print("note: random weights (no --ckpt) — audio will be noise")
-    pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg, seed=args.seed)
+    pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg, seed=args.seed,
+                      quantize=args.quantize)
     audio, _ = read_wav(args.ref_audio, target_rate=cfg.sample_rate)
     wav, stats = pipe.synthesize(audio, args.ref_text, args.gen_text,
                                  speed=args.speed)
@@ -81,7 +82,8 @@ def cmd_kani(args) -> None:
     dcfg = KaniDecodeConfig(
         use_beam=args.beam > 1, beam_size=args.beam,
         repeat_penalty=args.penalty, max_new_tokens=args.max_tokens)
-    pipe = KaniPipeline(params, cfg, cparams, ccfg, dcfg, tokenizer=tok)
+    pipe = KaniPipeline(params, cfg, cparams, ccfg, dcfg, tokenizer=tok,
+                        quantize=args.quantize)
     if tok is not None:
         wav, stats = pipe.synthesize(args.text, speaker=args.speaker)
     else:
@@ -135,7 +137,7 @@ def cmd_indextts(args) -> None:
         }
         tok_path = None
         print("note: random weights (no --ckpt) — audio will be noise")
-    pipe = IndexTTSPipeline(params, cfg, vcfg)
+    pipe = IndexTTSPipeline(params, cfg, vcfg, quantize=args.quantize)
     audio, _ = read_wav(args.ref_audio, target_rate=24000)
     ref = pipe.encode_reference(audio)
     from .frontend.indextts_text import IndexTTSTokenizer
@@ -148,6 +150,56 @@ def cmd_indextts(args) -> None:
     rep = SynthesisReport("indextts", len(wav) / 24000, wall,
                           tokens=total_tokens)
     _write(args.out, wav, 24000, rep)
+
+
+def cmd_qwen(args) -> None:
+    import jax
+
+    from .models.qwen_codec import QwenCodecDecoderConfig
+    from .models.qwen_codec import init_decoder_params as codec_init
+    from .models.qwen_tts import (
+        QwenTTSConfig,
+        init_predictor_params,
+        init_talker_params,
+    )
+    from .runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+    from .utils.timing import SynthesisReport
+
+    if args.ckpt:
+        from .weights.qwen_loader import load_qwen_codec, load_qwen_tts
+
+        params, cfg = load_qwen_tts(args.ckpt)
+        cparams, ccfg = load_qwen_codec(args.ckpt)
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.ckpt)
+        ids = tok(args.text, return_tensors="np")["input_ids"].astype("int32")
+    else:
+        from .models.qwen_tts import Qwen3StackConfig
+
+        stack = Qwen3StackConfig(hidden_size=64, num_heads=4, num_kv_heads=2,
+                                 head_dim=16, ffn_dim=128, num_layers=2,
+                                 max_seq_len=512)
+        cfg = QwenTTSConfig(talker=stack, predictor=stack)
+        ccfg = QwenCodecDecoderConfig(
+            num_quantizers=cfg.num_code_groups, codebook_size=64,
+            codebook_dim=16, rvq_dim=8, latent_dim=24, decoder_dim=32,
+            upsampling_ratios=(2,), upsample_rates=(4, 2), hidden_size=24,
+            num_heads=2, num_kv_heads=2, head_dim=12, ffn_dim=48,
+            num_layers=2, max_seq_len=256)
+        params = {**init_talker_params(cfg, jax.random.key(0)),
+                  **init_predictor_params(cfg, jax.random.key(1))}
+        cparams = codec_init(ccfg, jax.random.key(2))
+        ids = np.array([[5, 9, 13, 2]], np.int32)
+        print("note: random weights (no --ckpt) — audio will be noise")
+    pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
+                           QwenDecodeConfig(max_frames=args.max_frames),
+                           quantize=args.quantize)
+    wav, stats = pipe.synthesize_ids(ids, language_id=args.language_id,
+                                     speaker_id=args.speaker_id)
+    sr = pipe.output_sample_rate
+    rep = SynthesisReport("qwen_tts", len(wav) / sr, stats["wall_s"])
+    _write(args.out, wav, sr, rep)
 
 
 def cmd_voxcpm(args) -> None:
@@ -174,7 +226,23 @@ def cmd_voxcpm(args) -> None:
                  .astype("int32") if args.prompt_text else
                  np.zeros((1, 0), np.int32))
     else:
-        cfg = VoxCPMConfig()
+        from .models.voxcpm import LlamaStackConfig, VaeConfig
+
+        tiny = LlamaStackConfig(hidden_size=32, num_heads=2, num_kv_heads=1,
+                                head_dim=16, ffn_dim=64, num_layers=2,
+                                max_seq_len=512)
+        cfg = VoxCPMConfig(
+            base=tiny, residual=tiny,
+            feat_encoder=LlamaStackConfig(
+                hidden_size=24, num_heads=2, num_kv_heads=1, head_dim=12,
+                ffn_dim=48, num_layers=1, max_seq_len=8),
+            estimator=LlamaStackConfig(
+                hidden_size=24, num_heads=2, num_kv_heads=1, head_dim=12,
+                ffn_dim=48, num_layers=1, max_seq_len=16),
+            vae=VaeConfig(d_model=4, latent_dim=8, strides=(2, 4),
+                          decoder_channels=16),
+            patch_size=4, chunk_size=8, fsq_dim=8, vocab_size=128,
+            cfm_steps=4)
         params = jax.jit(lambda k: init_params(cfg, k))(jax.random.key(0))
         vae_params = jax.jit(lambda k: init_vae_params(cfg.vae, k))(
             jax.random.key(1))
@@ -182,7 +250,8 @@ def cmd_voxcpm(args) -> None:
         p_ids = np.zeros((1, 0), np.int32)
         print("note: random weights (no --ckpt) — audio will be noise")
     pipe = VoxCPMPipeline(params, cfg, vae_params,
-                          VoxCPMDecodeConfig(max_latents=args.max_latents))
+                          VoxCPMDecodeConfig(max_latents=args.max_latents),
+                          quantize=args.quantize)
     prompt_audio = None
     if args.prompt_audio:
         prompt_audio, _ = read_wav(args.prompt_audio,
@@ -247,8 +316,21 @@ def main(argv=None) -> int:
     vc.add_argument("--out", default="generated.wav")
     vc.set_defaults(fn=cmd_voxcpm)
 
+    qw = sub.add_parser("qwen", help="Qwen3-TTS synthesis")
+    qw.add_argument("--text", default="Hello from the TPU.")
+    qw.add_argument("--ckpt", help="Qwen3-TTS HF model dir")
+    qw.add_argument("--language-id", type=int, default=0)
+    qw.add_argument("--speaker-id", type=int)
+    qw.add_argument("--max-frames", type=int, default=600)
+    qw.add_argument("--out", default="generated.wav")
+    qw.set_defaults(fn=cmd_qwen)
+
     be = sub.add_parser("bench", help="run the driver benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    for p in (f5, ka, it, vc, qw):
+        p.add_argument("--quantize", type=int, choices=(4, 8),
+                       help="weight-only int8/int4 on the model's LM/DiT")
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -28,9 +28,11 @@ from ..models.qwen_tts import (
     QwenTTSConfig,
     make_suppress_bias,
 )
+from ..models.qwen_codec import QwenCodecDecoderConfig
 from ..nn.rope import rope_table
 
-__all__ = ["load_qwen_tts", "qwen3_stack_from_state_dict"]
+__all__ = ["load_qwen_tts", "qwen3_stack_from_state_dict",
+           "load_qwen_codec", "qwen_codec_from_state_dict"]
 
 
 def _hf_state_dict(model_dir: str) -> dict[str, np.ndarray]:
@@ -173,3 +175,169 @@ def load_qwen_tts(model_dir: str, cfg: QwenTTSConfig | None = None,
         "pred_rope_sin": jnp.asarray(p_sin, dtype),
     }
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Codec decoder (speech_tokenizer.model.decoder.* in the same HF checkpoint)
+
+def _cdconv(sd, pre, dtype, transposed=False):
+    """CausalConvNet/CausalTransConvNet `{pre}.conv` -> WIO layout."""
+    w = np.asarray(sd[f"{pre}.conv.weight"])
+    w = np.transpose(w, (2, 0, 1) if transposed else (2, 1, 0))
+    p = {"w": jnp.asarray(w, dtype)}
+    if f"{pre}.conv.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{pre}.conv.bias"], dtype)
+    else:
+        p["b"] = jnp.zeros((w.shape[-1 if not transposed else 1],), dtype)
+    return p
+
+
+def _snake_beta(sd, pre, dtype):
+    """SnakeBeta stores log-scale alpha/beta; precompute exp(alpha) and
+    1/(exp(beta)+1e-9) (tokenizer_v2.py:658-663)."""
+    alpha = np.asarray(sd[f"{pre}.alpha"]).astype(np.float64)
+    beta = np.asarray(sd[f"{pre}.beta"]).astype(np.float64)
+    return {"alpha": jnp.asarray(np.exp(alpha), dtype),
+            "beta_recip": jnp.asarray(1.0 / (np.exp(beta) + 1e-9), dtype)}
+
+
+def _codebook(sd, pre) -> np.ndarray:
+    """EuclideanCodebook: embedding = embedding_sum / clamp(cluster_usage)
+    (tokenizer_v2.py:730-755)."""
+    s = np.asarray(sd[f"{pre}.embedding_sum"], np.float64)
+    u = np.asarray(sd[f"{pre}.cluster_usage"], np.float64)
+    return s / np.clip(u, 1e-5, None)[:, None]
+
+
+def qwen_codec_from_state_dict(sd: Mapping[str, np.ndarray],
+                               cfg: QwenCodecDecoderConfig,
+                               dtype=jnp.float32,
+                               prefix: str = "speech_tokenizer.model.decoder"):
+    """Map the Qwen3-TTS tokenizer-v2 decoder onto models/qwen_codec.py's
+    pytree with the reference export's load-time folds
+    (Export_Qwen_TTS_ONNX.py:766-846): QKV fused with d^-0.25, input/post
+    RMSNorm weights into qkv / gate_up, per-layer scales into wo / w_down,
+    final norm into output_proj, ConvNeXt LayerNorm affine into pw1 and
+    gamma into pw2. SnakeBeta exp/recip precomputed; RVQ codebooks
+    normalized by cluster usage."""
+    d = prefix
+    scale = cfg.head_dim ** -0.25
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{d}.pre_transformer.layers.{i}"
+        in_norm = np.asarray(sd[f"{p}.input_layernorm.weight"])[None, :]
+        post_norm = np.asarray(
+            sd[f"{p}.post_attention_layernorm.weight"])[None, :]
+        attn_scale = np.asarray(
+            sd[f"{p}.self_attn_layer_scale.scale"])[:, None]
+        mlp_scale = np.asarray(sd[f"{p}.mlp_layer_scale.scale"])[:, None]
+        wq = np.asarray(sd[f"{p}.self_attn.q_proj.weight"]) * in_norm * scale
+        wk = np.asarray(sd[f"{p}.self_attn.k_proj.weight"]) * in_norm * scale
+        wv = np.asarray(sd[f"{p}.self_attn.v_proj.weight"]) * in_norm
+        layer = {
+            "wqkv": jnp.asarray(np.concatenate([wq, wk, wv], axis=0).T, dtype),
+            "wo": jnp.asarray(
+                (np.asarray(sd[f"{p}.self_attn.o_proj.weight"]) * attn_scale
+                 ).T, dtype),
+            "w_gate_up": jnp.asarray(np.concatenate(
+                [np.asarray(sd[f"{p}.mlp.gate_proj.weight"]) * post_norm,
+                 np.asarray(sd[f"{p}.mlp.up_proj.weight"]) * post_norm],
+                axis=0).T, dtype),
+            "w_down": jnp.asarray(
+                (np.asarray(sd[f"{p}.mlp.down_proj.weight"]) * mlp_scale).T,
+                dtype),
+        }
+        if f"{p}.self_attn.q_proj.bias" in sd:
+            layer["bqkv"] = jnp.asarray(np.concatenate(
+                [np.asarray(sd[f"{p}.self_attn.q_proj.bias"]) * scale,
+                 np.asarray(sd[f"{p}.self_attn.k_proj.bias"]) * scale,
+                 np.asarray(sd[f"{p}.self_attn.v_proj.bias"])]), dtype)
+        layers.append(layer)
+
+    final_norm = np.asarray(sd[f"{d}.pre_transformer.norm.weight"])[None, :]
+    out_proj_w = np.asarray(sd[f"{d}.pre_transformer.output_proj.weight"]) \
+        * final_norm
+
+    n_ac = cfg.num_quantizers - 1
+    ac_codebooks = np.stack([
+        _codebook(sd, f"{d}.quantizer.rvq_rest.vq.layers.{g}._codebook")
+        for g in range(n_ac)
+    ])
+
+    def upsample_block(i):
+        up = _cdconv(sd, f"{d}.upsample.{i}.0", dtype, transposed=True)
+        c = f"{d}.upsample.{i}.1"
+        nw = np.asarray(sd[f"{c}.norm.weight"])[None, :]
+        nb = np.asarray(sd[f"{c}.norm.bias"])
+        gamma = np.asarray(sd[f"{c}.gamma"])[:, None]
+        pw1_w = np.asarray(sd[f"{c}.pwconv1.weight"])
+        pw1_b = np.asarray(sd[f"{c}.pwconv1.bias"]) + pw1_w @ nb
+        pw1_w = pw1_w * nw
+        pw2_w = np.asarray(sd[f"{c}.pwconv2.weight"]) * gamma
+        pw2_b = np.asarray(sd[f"{c}.pwconv2.bias"]) * gamma[:, 0]
+        return {"conv": up, "convnext": {
+            "dwconv": _cdconv(sd, f"{c}.dwconv", dtype),
+            "pw1": {"w": jnp.asarray(pw1_w.T, dtype),
+                    "b": jnp.asarray(pw1_b, dtype)},
+            "pw2": {"w": jnp.asarray(pw2_w.T, dtype),
+                    "b": jnp.asarray(pw2_b, dtype)},
+        }}
+
+    n_rates = len(cfg.upsample_rates)
+
+    def dec_block(i):
+        b = f"{d}.decoder.{i + 1}.block"
+        return {
+            "act": _snake_beta(sd, f"{b}.0", dtype),
+            "up": _cdconv(sd, f"{b}.1", dtype, transposed=True),
+            "units": [
+                {"act1": _snake_beta(sd, f"{b}.{2 + j}.act1", dtype),
+                 "conv1": _cdconv(sd, f"{b}.{2 + j}.conv1", dtype),
+                 "act2": _snake_beta(sd, f"{b}.{2 + j}.act2", dtype),
+                 "conv2": _cdconv(sd, f"{b}.{2 + j}.conv2", dtype)}
+                for j in range(3)
+            ],
+        }
+
+    rope_cos, rope_sin = rope_table(cfg.max_seq_len, cfg.head_dim,
+                                    cfg.rope_base)
+    sem_out = np.asarray(
+        sd[f"{d}.quantizer.rvq_first.output_proj.weight"])[:, :, 0]
+    ac_out = np.asarray(
+        sd[f"{d}.quantizer.rvq_rest.output_proj.weight"])[:, :, 0]
+    return {
+        "sem_codebook": jnp.asarray(_codebook(
+            sd, f"{d}.quantizer.rvq_first.vq.layers.0._codebook"), dtype),
+        "sem_out_proj": jnp.asarray(sem_out.T, dtype),
+        "ac_codebooks": jnp.asarray(ac_codebooks, dtype),
+        "ac_out_proj": jnp.asarray(ac_out.T, dtype),
+        "pre_conv": _cdconv(sd, f"{d}.pre_conv", dtype),
+        "input_proj": {
+            "w": jnp.asarray(np.asarray(
+                sd[f"{d}.pre_transformer.input_proj.weight"]).T, dtype),
+            "b": jnp.asarray(
+                sd[f"{d}.pre_transformer.input_proj.bias"], dtype)},
+        "layers": layers,
+        "output_proj": {
+            "w": jnp.asarray(out_proj_w.T, dtype),
+            "b": jnp.asarray(
+                sd[f"{d}.pre_transformer.output_proj.bias"], dtype)},
+        "rope_cos": jnp.asarray(rope_cos, dtype),
+        "rope_sin": jnp.asarray(rope_sin, dtype),
+        "upsample": [upsample_block(i)
+                     for i in range(len(cfg.upsampling_ratios))],
+        "dec_pre": _cdconv(sd, f"{d}.decoder.0", dtype),
+        "dec_blocks": [dec_block(i) for i in range(n_rates)],
+        "dec_post_act": _snake_beta(sd, f"{d}.decoder.{n_rates + 1}", dtype),
+        "dec_post": _cdconv(sd, f"{d}.decoder.{n_rates + 2}", dtype),
+    }
+
+
+def load_qwen_codec(model_dir: str, cfg: QwenCodecDecoderConfig | None = None,
+                    dtype=jnp.float32):
+    """Load the codec decoder from the same HF checkpoint directory as
+    load_qwen_tts. Returns (params, cfg)."""
+    sd = _hf_state_dict(model_dir)
+    cfg = cfg or QwenCodecDecoderConfig()
+    return qwen_codec_from_state_dict(sd, cfg, dtype), cfg
