@@ -32,7 +32,8 @@ from ..models.qwen_codec import QwenCodecDecoderConfig
 from ..nn.rope import rope_table
 
 __all__ = ["load_qwen_tts", "qwen3_stack_from_state_dict",
-           "load_qwen_codec", "qwen_codec_from_state_dict"]
+           "load_qwen_codec", "qwen_codec_from_state_dict",
+           "load_qwen_encoder", "mimi_encoder_from_state_dict"]
 
 
 def _hf_state_dict(model_dir: str) -> dict[str, np.ndarray]:
@@ -341,3 +342,138 @@ def load_qwen_codec(model_dir: str, cfg: QwenCodecDecoderConfig | None = None,
     sd = _hf_state_dict(model_dir)
     cfg = cfg or QwenCodecDecoderConfig()
     return qwen_codec_from_state_dict(sd, cfg, dtype), cfg
+
+
+# ---------------------------------------------------------------------------
+# Mimi prompt encoder (speech_tokenizer.model.encoder.* — voice-clone path)
+
+def _mimi_conv(sd, pre, dtype, bias=True):
+    """MimiConv1d `{pre}.conv` (possibly weight-normed) -> WIO layout."""
+    for gk, vk in ((f"{pre}.conv.weight_g", f"{pre}.conv.weight_v"),
+                   (f"{pre}.conv.parametrizations.weight.original0",
+                    f"{pre}.conv.parametrizations.weight.original1")):
+        if gk in sd:
+            g, v = np.asarray(sd[gk], np.float64), np.asarray(sd[vk],
+                                                              np.float64)
+            w = g * v / np.linalg.norm(v.reshape(v.shape[0], -1), axis=1
+                                       ).reshape(-1, 1, 1)
+            break
+    else:
+        w = np.asarray(sd[f"{pre}.conv.weight"])
+    p = {"w": jnp.asarray(np.transpose(w, (2, 1, 0)), dtype)}
+    if bias and f"{pre}.conv.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{pre}.conv.bias"], dtype)
+    else:
+        p["b"] = jnp.zeros((w.shape[0],), dtype)
+    return p
+
+
+def _mimi_codebook(sd, pre) -> np.ndarray:
+    """MimiEuclideanCodebook: embed = embed_sum / cluster_usage
+    (modeling_mimi.py:1190-1203)."""
+    s = np.asarray(sd[f"{pre}.embed_sum"], np.float64)
+    u = np.asarray(sd[f"{pre}.cluster_usage"], np.float64)
+    return s / np.clip(u, 1e-5, None)[:, None]
+
+
+def mimi_encoder_from_state_dict(sd: Mapping[str, np.ndarray],
+                                 cfg, dtype=jnp.float32,
+                                 prefix: str = "speech_tokenizer.model.encoder"):
+    """Map the HF Mimi encoder (SEANet convs + transformer + downsample +
+    split RVQ) onto models/qwen_encoder.py's pytree. Transformer LayerNorm
+    affines and per-layer scales are folded into the adjacent linears
+    (the export keeps them separate — Export_Qwen_TTS_ONNX.py:555-581 —
+    but folding is numerically identical); QKV fused with d^-0.25."""
+    from ..models.qwen_encoder import MimiEncoderConfig  # noqa: F401
+    from ..nn.rope import rope_table
+
+    e = f"{prefix}.encoder"
+    scale = cfg.head_dim ** -0.25
+
+    # SEANet layer indices follow the constructor (modeling_mimi.py:444-473)
+    idx = 0
+    pre_conv = _mimi_conv(sd, f"{e}.layers.{idx}", dtype)
+    idx += 1
+    blocks = []
+    for ratio in reversed(cfg.upsampling_ratios):
+        res = []
+        for _ in range(cfg.num_residual_layers):
+            res.append({
+                "c1": _mimi_conv(sd, f"{e}.layers.{idx}.block.1", dtype),
+                "c2": _mimi_conv(sd, f"{e}.layers.{idx}.block.3", dtype),
+            })
+            idx += 1
+        idx += 1                                   # nn.ELU slot
+        blocks.append({"res": res,
+                       "down": _mimi_conv(sd, f"{e}.layers.{idx}", dtype)})
+        idx += 1
+    idx += 1                                       # final nn.ELU slot
+    post_conv = _mimi_conv(sd, f"{e}.layers.{idx}", dtype)
+
+    t = f"{prefix}.encoder_transformer"
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{t}.layers.{i}"
+        ln_w = np.asarray(sd[f"{p}.input_layernorm.weight"])[None, :]
+        ln_b = np.asarray(sd[f"{p}.input_layernorm.bias"])
+        pn_w = np.asarray(sd[f"{p}.post_attention_layernorm.weight"])[None, :]
+        pn_b = np.asarray(sd[f"{p}.post_attention_layernorm.bias"])
+        a_sc = np.asarray(sd[f"{p}.self_attn_layer_scale.scale"])[:, None]
+        m_sc = np.asarray(sd[f"{p}.mlp_layer_scale.scale"])[:, None]
+        wq = np.asarray(sd[f"{p}.self_attn.q_proj.weight"])
+        wk = np.asarray(sd[f"{p}.self_attn.k_proj.weight"])
+        wv = np.asarray(sd[f"{p}.self_attn.v_proj.weight"])
+        fc1 = np.asarray(sd[f"{p}.mlp.fc1.weight"])
+        # fold LN affine: y = W(x_hat * ln_w + ln_b) = (W*ln_w) x_hat + W@ln_b
+        qkv_w = np.concatenate([wq * ln_w * scale, wk * ln_w * scale,
+                                wv * ln_w], axis=0)
+        qkv_b = np.concatenate([wq @ ln_b * scale, wk @ ln_b * scale,
+                                wv @ ln_b])
+        layers.append({
+            "wqkv": jnp.asarray(qkv_w.T, dtype),
+            "bqkv": jnp.asarray(qkv_b, dtype),
+            "wo": jnp.asarray(
+                (np.asarray(sd[f"{p}.self_attn.o_proj.weight"]) * a_sc).T,
+                dtype),
+            "bo": jnp.zeros((cfg.hidden_size,), dtype),
+            "fc1": {"w": jnp.asarray((fc1 * pn_w).T, dtype),
+                    "b": jnp.asarray(fc1 @ pn_b, dtype)},
+            "fc2": {"w": jnp.asarray(
+                (np.asarray(sd[f"{p}.mlp.fc2.weight"]) * m_sc).T, dtype),
+                "b": jnp.zeros((cfg.hidden_size,), dtype)},
+        })
+
+    q = f"{prefix}.quantizer"
+    sem = f"{q}.semantic_residual_vector_quantizer"
+    ac = f"{q}.acoustic_residual_vector_quantizer"
+    n_ac = cfg.num_quantizers - 1
+    rope_cos, rope_sin = rope_table(cfg.max_seq_len, cfg.head_dim,
+                                    cfg.rope_base)
+    return {
+        "pre": pre_conv,
+        "blocks": blocks,
+        "post": post_conv,
+        "layers": layers,
+        "rope_cos": jnp.asarray(rope_cos, dtype),
+        "rope_sin": jnp.asarray(rope_sin, dtype),
+        "downsample": _mimi_conv(sd, f"{prefix}.downsample", dtype),
+        "sem_in_proj": jnp.asarray(np.asarray(
+            sd[f"{sem}.input_proj.weight"])[:, :, 0].T, dtype),
+        "sem_codebook": jnp.asarray(_mimi_codebook(
+            sd, f"{sem}.layers.0.codebook"), dtype),
+        "ac_in_proj": jnp.asarray(np.asarray(
+            sd[f"{ac}.input_proj.weight"])[:, :, 0].T, dtype),
+        "ac_codebooks": jnp.asarray(np.stack([
+            _mimi_codebook(sd, f"{ac}.layers.{g}.codebook")
+            for g in range(n_ac)]), dtype),
+    }
+
+
+def load_qwen_encoder(model_dir: str, cfg=None, dtype=jnp.float32):
+    """Load the Mimi prompt encoder from the HF checkpoint. Returns
+    (params, cfg)."""
+    from ..models.qwen_encoder import MimiEncoderConfig
+
+    sd = _hf_state_dict(model_dir)
+    cfg = cfg or MimiEncoderConfig()
+    return mimi_encoder_from_state_dict(sd, cfg, dtype), cfg
