@@ -195,8 +195,14 @@ def cmd_qwen(args) -> None:
     pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
                            QwenDecodeConfig(max_frames=args.max_frames),
                            quantize=args.quantize)
-    wav, stats = pipe.synthesize_ids(ids, language_id=args.language_id,
-                                     speaker_id=args.speaker_id)
+    if args.language:
+        from .runtime.qwen import resolve_voice
+
+        language_id, speaker_id = resolve_voice(args.language, args.speaker)
+    else:
+        language_id, speaker_id = args.language_id, args.speaker_id
+    wav, stats = pipe.synthesize_ids(ids, language_id=language_id,
+                                     speaker_id=speaker_id)
     sr = pipe.output_sample_rate
     rep = SynthesisReport("qwen_tts", len(wav) / sr, stats["wall_s"])
     _write(args.out, wav, sr, rep)
@@ -319,6 +325,8 @@ def main(argv=None) -> int:
     qw = sub.add_parser("qwen", help="Qwen3-TTS synthesis")
     qw.add_argument("--text", default="Hello from the TPU.")
     qw.add_argument("--ckpt", help="Qwen3-TTS HF model dir")
+    qw.add_argument("--language", help="language name (english, chinese, ...)")
+    qw.add_argument("--speaker", help="speaker name (serena, ryan, ...)")
     qw.add_argument("--language-id", type=int, default=0)
     qw.add_argument("--speaker-id", type=int)
     qw.add_argument("--max-frames", type=int, default=600)

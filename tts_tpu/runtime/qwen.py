@@ -32,7 +32,38 @@ from ..models.qwen_tts import (
     talker_logits,
 )
 
-__all__ = ["QwenTTSPipeline", "QwenDecodeConfig"]
+__all__ = ["QwenTTSPipeline", "QwenDecodeConfig", "LANGUAGE_ID_MAP",
+           "SPEAKER_ID_MAP", "resolve_voice"]
+
+# Token-id maps from the Qwen3-TTS checkpoint's talker_config
+# (reference Export_Qwen_TTS_ONNX.py:1955-1995; values are model metadata)
+LANGUAGE_ID_MAP = {
+    "english": 2050, "german": 2053, "spanish": 2054, "chinese": 2055,
+    "japanese": 2058, "french": 2061, "korean": 2064, "russian": 2069,
+    "italian": 2070, "portuguese": 2071,
+}
+SPEAKER_ID_MAP = {
+    "serena": 3066, "vivian": 3065, "uncle_fu": 3010, "ryan": 3061,
+    "aiden": 2861, "ono_anna": 2873, "sohee": 2864, "eric": 2875,
+    "dylan": 2878,
+}
+# speakers locked to a dialect language id (custom_voice mode)
+_SPEAKER_DIALECT = {"eric": 2062, "dylan": 2074}   # sichuan / beijing
+
+
+def resolve_voice(language: str, speaker: str | None = None
+                  ) -> tuple[int, int | None]:
+    """(language name, optional speaker name) -> (language_id, speaker_id),
+    applying the per-speaker dialect override the reference applies for
+    custom_voice (Export_Qwen_TTS_ONNX.py:1993-2003)."""
+    lang_id = LANGUAGE_ID_MAP[language.lower()]
+    spk_id = None
+    if speaker is not None:
+        key = speaker.lower()
+        spk_id = SPEAKER_ID_MAP[key]
+        lang_id = _SPEAKER_DIALECT.get(key, lang_id)
+    return lang_id, spk_id
+
 
 MAX_PREFILL = 512
 

@@ -5,11 +5,12 @@ ThreadPoolExecutor and assembles sliding windows host-side
 (Qwen_TTS/Export_Qwen_TTS_ONNX.py:2706-2726, VoxCPM/v1.5/Inference:511-523).
 Under XLA, dispatch is already asynchronous — the TPU-native streaming
 pattern is: run the AR loop in fixed-size chunks (one jitted while_loop per
-chunk, carry threaded through), and dispatch the codec decode of each
-finished window while the next chunk is still running. The host assembler
-below handles the left-context overlap discard (the reference's
-chunked_decode / SLIDE_WINDOW semantics,
-modeling_qwen3_tts_tokenizer_v2.py chunked_decode: left_context_size=25).
+chunk, carry threaded through), dispatch the codec decode of each finished
+window, and materialize it one window LATE so the decode executes while the
+next AR chunk is running. The host assembler below handles the
+left-context overlap discard (the reference's chunked_decode /
+SLIDE_WINDOW semantics, modeling_qwen3_tts_tokenizer_v2.py chunked_decode:
+left_context_size=25).
 """
 from __future__ import annotations
 
@@ -28,6 +29,11 @@ class ChunkedCodecStream:
     `left_context` frames of already-emitted codes whose audio is discarded
     after decode — the reference's overlap-discard
     (Export_Qwen_TTS_ONNX.py:2706-2726).
+
+    Decodes are pipelined one window deep: `push_frames` dispatches the new
+    window and returns the audio of the PREVIOUS one, so the device decode
+    overlaps the caller's next AR chunk (the reference's executor overlap,
+    without the thread).
     """
 
     def __init__(self, decode_fn: Callable, window: int, left_context: int,
@@ -38,39 +44,54 @@ class ChunkedCodecStream:
         self.upsample = upsample
         self.num_groups = num_groups
         self._codes: list[np.ndarray] = []      # (G,) frames
-        self._emitted = 0                        # frames already decoded
-        self._pending = None                     # in-flight device array
+        self._decoded = 0                        # frames whose decode started
+        self._pending = None                     # (device wav, ctx, n_new)
 
-    def push_frames(self, frames: np.ndarray) -> np.ndarray | None:
-        """frames: (N, G) new codec frames. Returns an int16 chunk when a
-        window completes, else None."""
-        self._codes.extend(list(frames))
-        return self._maybe_decode(final=False)
-
-    def _maybe_decode(self, final: bool) -> np.ndarray | None:
-        avail = len(self._codes) - self._emitted
+    def _ready(self, final: bool) -> bool:
+        avail = len(self._codes) - self._decoded
         step = self.window - self.left_context
-        if not final and avail < step:
-            return None
-        if avail <= 0:
-            return None
-        start = max(self._emitted - self.left_context, 0)
-        ctx = self._emitted - start
+        return avail > 0 and (final or avail >= step)
+
+    def _dispatch(self) -> None:
+        start = max(self._decoded - self.left_context, 0)
+        ctx = self._decoded - start
         chunk = np.asarray(self._codes[start:start + self.window])
+        avail = len(self._codes) - self._decoded
         n_new = min(len(chunk) - ctx, avail)
         if len(chunk) < self.window:              # pad the tail window
             pad = np.repeat(chunk[-1:], self.window - len(chunk), axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        wav = np.asarray(self.decode_fn(chunk[None]))
+        self._pending = (self.decode_fn(chunk[None]), ctx, n_new)
+        self._decoded += n_new
+
+    def _take_pending(self) -> np.ndarray | None:
+        if self._pending is None:
+            return None
+        dev, ctx, n_new = self._pending
+        self._pending = None
+        wav = np.asarray(dev)                     # sync point
         wav = wav.reshape(-1)[ctx * self.upsample:
                               (ctx + n_new) * self.upsample]
-        self._emitted += n_new
         return wav.astype(np.int16)
 
+    def push_frames(self, frames: np.ndarray) -> np.ndarray | None:
+        """frames: (N, G) new codec frames. Dispatches a decode when a
+        window completes and returns the previous window's audio (one-deep
+        pipeline), else None."""
+        self._codes.extend(list(frames))
+        if not self._ready(final=False):
+            return None
+        out = self._take_pending()
+        self._dispatch()
+        return out
+
     def finish(self) -> Iterator[np.ndarray]:
-        """Flush remaining frames."""
-        while True:
-            out = self._maybe_decode(final=True)
-            if out is None or len(out) == 0:
-                break
+        """Flush remaining frames and drain the pipeline."""
+        while self._ready(final=True):
+            out = self._take_pending()
+            self._dispatch()
+            if out is not None and len(out):
+                yield out
+        out = self._take_pending()
+        if out is not None and len(out):
             yield out
