@@ -171,20 +171,26 @@ class IndexTTSPipeline:
                     [jnp.asarray(conds_latent), text_emb, mel_start], axis=1)
                 p_len = n_lat + tb2 + 1
 
+                # KV spans only this call's prefill + generation budget
+                # (rounded up), not the global max — attention reads scale
+                # with the actual request, and the cache stores the params'
+                # compute dtype (bf16 on TPU)
+                kv_max = min(cfg.max_seq_len,
+                             -(-(p_len + max_gen) // 256) * 256)
+                cdt = gpt["text_embed"].dtype   # params' compute dtype
                 # kv hole: padded text positions [n_lat+text_len+2, p_len-1)
-                kv_idx = jnp.arange(cfg.max_seq_len)
+                kv_idx = jnp.arange(kv_max)
                 kv_valid = ~((kv_idx >= n_lat + text_len + 2)
                              & (kv_idx < p_len - 1))
 
                 kv = KVCache.create(cfg.gpt_layers, 1, cfg.gpt_heads,
-                                    cfg.max_seq_len, cfg.gpt_head_dim,
-                                    jnp.float32)
+                                    kv_max, cfg.gpt_head_dim, cdt)
                 ones = jnp.ones((1, cfg.num_mel_codes), jnp.float32)
                 logits, last_h, kv = gpt_step(gpt, prefill, kv, ones, cfg,
                                               kv_valid)
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
 
-                hiddens = jnp.zeros((max_gen, cfg.gpt_dim))
+                hiddens = jnp.zeros((max_gen, cfg.gpt_dim), cdt)
                 hiddens = hiddens.at[0].set(last_h[0])
                 save = jnp.zeros((max_gen,), jnp.int32).at[0].set(tok)
 
