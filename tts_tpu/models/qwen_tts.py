@@ -178,7 +178,8 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
     codec_embed0 = params["talker_codec_embed"][codec_token0][:, None]  # (1,1,H)
 
     kv = KVCache.create(pcfg.num_layers, 1, pcfg.num_kv_heads,
-                        pcfg.max_seq_len, pcfg.head_dim, jnp.float32)
+                        pcfg.max_seq_len, pcfg.head_dim,
+                        talker_hidden.dtype)
     prefill = jnp.concatenate([talker_hidden, codec_embed0], axis=1)
     prefill = jnp.matmul(prefill, params["small_to_mtp"])    # (1, 2, pH)
 

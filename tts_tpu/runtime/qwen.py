@@ -169,7 +169,7 @@ class QwenTTSPipeline:
             prefill_buf = prefill_buf.astype(dt)
             trailing = trailing.astype(dt)
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
-                                t.max_seq_len, t.head_dim, jnp.float32)
+                                t.max_seq_len, t.head_dim, dt)
 
             # serial prefill: one talker position per iteration
             def pcond(c):
@@ -352,7 +352,7 @@ class QwenTTSPipeline:
             dt = params["talker_codec_embed"].dtype
             prefill_buf = prefill_buf.astype(dt)
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
-                                t.max_seq_len, t.head_dim, jnp.float32)
+                                t.max_seq_len, t.head_dim, dt)
 
             def pcond(c):
                 _, i, _ = c

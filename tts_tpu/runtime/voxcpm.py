@@ -119,10 +119,10 @@ class VoxCPMPipeline:
             feat_embed_buf = feat_embed_buf.astype(dt)
             feat_cond0 = feat_cond0.astype(dt)
             base_kv = KVCache.create(b.num_layers, 1, b.num_kv_heads,
-                                     b.max_seq_len, b.head_dim, jnp.float32)
+                                     b.max_seq_len, b.head_dim, dt)
             res_kv = KVCache.create(cfg.residual.num_layers, 1,
                                     cfg.residual.num_kv_heads, b.max_seq_len,
-                                    cfg.residual.head_dim, jnp.float32)
+                                    cfg.residual.head_dim, dt)
 
             def pcond(c):
                 _, _, i, *_ = c
@@ -277,12 +277,11 @@ class VoxCPMPipeline:
                 dt = params["embed"].dtype
                 fe = fe_buf.astype(dt)
                 base_kv = KVCache.create(b.num_layers, 1, b.num_kv_heads,
-                                         b.max_seq_len, b.head_dim,
-                                         jnp.float32)
+                                         b.max_seq_len, b.head_dim, dt)
                 res_kv = KVCache.create(cfg_.residual.num_layers, 1,
                                         cfg_.residual.num_kv_heads,
                                         b.max_seq_len,
-                                        cfg_.residual.head_dim, jnp.float32)
+                                        cfg_.residual.head_dim, dt)
 
                 def pcond(c):
                     _, _, i, *_ = c
