@@ -54,7 +54,21 @@ class F5Pipeline:
 
     def __init__(self, f5_params, f5_cfg: F5Config, vocab: dict[str, int],
                  vocos_params, vocos_cfg: VocosConfig | None = None,
-                 seed: int = 9527, quantize: int | None = None):
+                 seed: int = 9527, quantize: int | None = None,
+                 mesh=None):
+        if mesh is not None:
+            # tensor-parallel serving: matmul weights shard on their output
+            # axis over the mesh's "tp" axis, XLA inserts the collectives
+            # over ICI; the same jitted program then runs on every chip.
+            # (Mutually exclusive with quantize — QTensor scales don't
+            # carry a sharding annotation.)
+            if quantize:
+                raise ValueError("mesh and quantize are mutually exclusive")
+            from ..parallel.mesh import shard_params_tp
+
+            f5_params = shard_params_tp(f5_params, mesh)
+            vocos_params = shard_params_tp(vocos_params, mesh)
+        self.mesh = mesh
         if quantize:
             from ..quant.weight_only import quantize_int4, quantize_int8
 
