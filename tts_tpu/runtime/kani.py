@@ -120,8 +120,9 @@ class KaniPipeline:
                 logits, save_ids, num, dcfg.repeat_penalty, dcfg.penalty_range)
 
         def greedy_run(params, ids_buf, prompt_len):
-            state, logits = _prefill_loop(params, ids_buf, prompt_len,
-                                          init_state(cfg), cfg)
+            state, logits = _prefill_loop(
+                params, ids_buf, prompt_len,
+                init_state(cfg, kv_dtype=params["embed"].dtype), cfg)
             first = greedy(logits)
             save_ids = jnp.zeros((1, dcfg.max_new_tokens), jnp.int32)
             save_ids = save_ids.at[:, 0].set(first)
@@ -147,8 +148,9 @@ class KaniPipeline:
 
         def beam_run(params, ids_buf, prompt_len):
             beam = dcfg.beam_size
-            state, logits = _prefill_loop(params, ids_buf, prompt_len,
-                                          init_state(cfg), cfg)
+            state, logits = _prefill_loop(
+                params, ids_buf, prompt_len,
+                init_state(cfg, kv_dtype=params["embed"].dtype), cfg)
             bs = beam_init(logits, beam)
             state = KaniState(state.kv.repeat_batch(beam),
                               jnp.tile(state.conv, (1, beam, 1, 1)))
