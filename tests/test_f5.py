@@ -208,3 +208,38 @@ def test_vocos_decode_shapes():
     wav = jax.jit(lambda m: vocos_decode(params, m, vcfg))(mel)
     assert wav.shape == (1, 19 * 64)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_f5_pipeline_layer_cache():
+    """FORA-style layer caching (layer_cache_interval=2): the pipeline runs,
+    output is finite deterministic int16, and the first (full-compute) Euler
+    step math is shared with the exact path — on a 4-step schedule with K=2
+    the output stays close to exact."""
+    from tts_tpu.models.vocos import VocosConfig
+    from tts_tpu.models.vocos import init_params as vocos_init
+    from tts_tpu.runtime.f5 import F5Pipeline
+
+    vocab = {c: i for i, c in enumerate("abcdefghij ")}
+    cfg = TINY
+    vcfg = VocosConfig(input_channels=cfg.n_mels, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=cfg.n_fft, hop=cfg.hop,
+                       sample_rate=cfg.sample_rate)
+    params = init_params(cfg, jax.random.key(0))
+    vparams = vocos_init(vcfg, jax.random.key(1))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(2000) * 3000).astype(np.int16)
+
+    exact = F5Pipeline(params, cfg, vocab, vparams, vcfg)
+    wav_exact, _ = exact.synthesize(audio, "abc def", "hij abc", seed=7)
+
+    cached = F5Pipeline(params, cfg, vocab, vparams, vcfg,
+                        layer_cache_interval=2)
+    wav1, _ = cached.synthesize(audio, "abc def", "hij abc", seed=7)
+    wav2, _ = cached.synthesize(audio, "abc def", "hij abc", seed=7)
+    np.testing.assert_array_equal(wav1, wav2)
+    assert wav1.dtype == np.int16 and len(wav1) == len(wav_exact)
+    # approximation, not equality — but the waveforms must be correlated
+    a = wav1.astype(np.float64)
+    b = wav_exact.astype(np.float64)
+    corr = (a * b).sum() / max(np.sqrt((a * a).sum() * (b * b).sum()), 1e-9)
+    assert corr > 0.5, corr

@@ -265,6 +265,61 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
     return x + gate_mlp * h
 
 
+def _dit_block_cached(p, x, t_emb, rope_cos, rope_sin, cfg: F5Config,
+                      kv_len, cached_attn, cached_ff, use_cache: bool):
+    """_dit_block with the attention and FF sub-module outputs exposed for
+    cross-step caching. With use_cache=True the expensive sub-modules are
+    skipped and their previous-step outputs are re-modulated by THIS step's
+    AdaLN gates — the FORA-style DiT layer cache (arXiv:2509.08696: adjacent
+    diffusion steps produce near-identical layer activations)."""
+    mod = jnp.matmul(jax.nn.silu(t_emb), p["ada"]["w"]) + p["ada"]["b"]
+    s1, c1, g1, s2, c2, g2 = jnp.split(mod, 6, axis=-1)
+    if use_cache:
+        attn_out, ff_out = cached_attn, cached_ff
+    else:
+        norm = layer_norm(x, eps=1e-6) * (1 + c1) + s1
+        attn_out = _dit_attention(p["attn"], norm, rope_cos, rope_sin,
+                                  cfg.heads, cfg.head_dim, kv_len)
+    x = x + g1 * attn_out
+    if not use_cache:
+        norm = layer_norm(x, eps=1e-6) * (1 + c2) + s2
+        h = dense(norm, p["ff1"]["w"]) + p["ff1"]["b"]
+        h = jax.nn.gelu(h, approximate=True)
+        ff_out = dense(h, p["ff2"]["w"]) + p["ff2"]["b"]
+    return x + g2 * ff_out, attn_out, ff_out
+
+
+def dit_forward_cached(params, noise, cond, cond_drop, t_emb, rope_cos,
+                       rope_sin, cfg: F5Config, kv_len, cache,
+                       use_cache: bool):
+    """dit_forward variant carrying a per-layer (attn, ff) activation cache
+    across diffusion steps. cache: ((depth, 2, T, dim) attn,
+    (depth, 2, T, dim) ff). use_cache is a PYTHON bool — callers branch the
+    two variants with lax.cond. Returns (pred, pred_uncond, new_cache)."""
+    x = input_embedding(
+        params,
+        jnp.concatenate([noise, noise], axis=0),
+        jnp.concatenate([cond, cond_drop], axis=0),
+    )
+    t_emb = t_emb.reshape(1, 1, -1)
+    cache_attn, cache_ff = cache
+    new_attn, new_ff = [], []
+    for i, p in enumerate(params["blocks"]):
+        x, a, f = _dit_block_cached(p, x, t_emb, rope_cos, rope_sin, cfg,
+                                    kv_len, cache_attn[i], cache_ff[i],
+                                    use_cache)
+        new_attn.append(a)
+        new_ff.append(f)
+    mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) \
+        + params["norm_out"]["b"]
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
+    x = jnp.matmul(x, params["proj_out"]["w"],
+                   precision="highest") + params["proj_out"]["b"]
+    new_cache = (jnp.stack(new_attn), jnp.stack(new_ff))
+    return x[:1], x[1:], new_cache
+
+
 def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
                 t_emb: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                 cfg: F5Config, kv_len: jax.Array | None = None

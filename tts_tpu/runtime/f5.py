@@ -55,7 +55,7 @@ class F5Pipeline:
     def __init__(self, f5_params, f5_cfg: F5Config, vocab: dict[str, int],
                  vocos_params, vocos_cfg: VocosConfig | None = None,
                  seed: int = 9527, quantize: int | None = None,
-                 mesh=None):
+                 mesh=None, layer_cache_interval: int = 1):
         if mesh is not None:
             # tensor-parallel serving: matmul weights shard on their output
             # axis over the mesh's "tp" axis, XLA inserts the collectives
@@ -96,12 +96,19 @@ class F5Pipeline:
         self.vparams = vocos_params
         self.vcfg = vocos_cfg or VocosConfig()
         self.seed = seed
+        # FORA-style DiT layer caching (arXiv:2509.08696): recompute the
+        # attention/FF sub-modules only every K-th Euler step and re-modulate
+        # the cached activations with the current step's AdaLN gates on the
+        # steps between. K=1 (default) is exact; K>1 trades fidelity for
+        # ~1/K of the transformer cost on the skipped steps.
+        self.layer_cache_interval = max(1, int(layer_cache_interval))
         self._fn_cache: dict = {}
 
     # -- the jitted program (one per shape bucket) --------------------------
 
     def _build(self, audio_len: int, text_len: int, frames: int):
         cfg, vcfg = self.cfg, self.vcfg
+        cache_k = self.layer_cache_interval
         melspec = MelSpectrogram(cfg.sample_rate, cfg.n_fft, cfg.hop,
                                  cfg.win_length, cfg.n_mels)
 
@@ -132,18 +139,51 @@ class F5Pipeline:
             rope_cos = params["rope_cos"][:frames]
             rope_sin = params["rope_sin"][:frames]
 
-            def step(carry, idx):
-                pred, pred1 = dit_forward(
-                    params, carry.astype(cdt), cat_mel_text, cat_mel_text_drop,
-                    params["time_table"][idx], rope_cos, rope_sin, cfg,
-                    kv_len=duration,
-                )
-                update = (pred + (pred - pred1) * cfg.cfg_strength).astype(
-                    jnp.float32) * params["delta_t"][idx].astype(jnp.float32)
-                return (carry + update) * in_len, None
+            if cache_k == 1:
+                def step(carry, idx):
+                    pred, pred1 = dit_forward(
+                        params, carry.astype(cdt), cat_mel_text,
+                        cat_mel_text_drop, params["time_table"][idx],
+                        rope_cos, rope_sin, cfg, kv_len=duration,
+                    )
+                    update = (pred + (pred - pred1) * cfg.cfg_strength
+                              ).astype(jnp.float32) \
+                        * params["delta_t"][idx].astype(jnp.float32)
+                    return (carry + update) * in_len, None
 
-            denoised, _ = jax.lax.scan(step, noise,
-                                       jnp.arange(cfg.nfe_steps - 1))
+                denoised, _ = jax.lax.scan(step, noise,
+                                           jnp.arange(cfg.nfe_steps - 1))
+            else:
+                from ..models.f5 import dit_forward_cached
+
+                cshape = (cfg.depth, 2, frames, cfg.dim)
+                cache0 = (jnp.zeros(cshape, cdt), jnp.zeros(cshape, cdt))
+
+                def step(carry, idx):
+                    x, cache = carry
+
+                    def full(args):
+                        return dit_forward_cached(
+                            params, args[0], cat_mel_text, cat_mel_text_drop,
+                            params["time_table"][idx], rope_cos, rope_sin,
+                            cfg, duration, args[1], use_cache=False)
+
+                    def reuse(args):
+                        return dit_forward_cached(
+                            params, args[0], cat_mel_text, cat_mel_text_drop,
+                            params["time_table"][idx], rope_cos, rope_sin,
+                            cfg, duration, args[1], use_cache=True)
+
+                    pred, pred1, cache = jax.lax.cond(
+                        idx % cache_k == 0, full, reuse,
+                        (x.astype(cdt), cache))
+                    update = (pred + (pred - pred1) * cfg.cfg_strength
+                              ).astype(jnp.float32) \
+                        * params["delta_t"][idx].astype(jnp.float32)
+                    return ((x + update) * in_len, cache), None
+
+                (denoised, _), _ = jax.lax.scan(
+                    step, (noise, cache0), jnp.arange(cfg.nfe_steps - 1))
 
             # --- decode (reference graph C) ---
             gen = jax.lax.dynamic_slice(
