@@ -33,7 +33,18 @@ def cmd_f5(args) -> None:
     from .runtime.f5 import F5Pipeline
     from .utils.timing import SynthesisReport
 
-    if args.ckpt:
+    if args.npz:
+        # fused-artifact fast path (the reference's .ort analog): skips
+        # torch/safetensors parsing and the fold math
+        import json
+
+        from .weights.save import load_params
+
+        bundle = load_params(args.npz)
+        params, vparams = bundle["f5"], bundle["vocos"]
+        cfg, vcfg = F5Config(), VocosConfig()
+        vocab = json.loads(open(args.npz + ".vocab.json").read())
+    elif args.ckpt:
         from .weights.f5_loader import load_f5, load_vocos
 
         params, cfg, vocab = load_f5(args.ckpt, args.vocab)
@@ -45,6 +56,14 @@ def cmd_f5(args) -> None:
         vparams = jax.jit(lambda k: vocos_init(vcfg, k, dtype))(jax.random.key(1))
         vocab = {" ": 0}
         print("note: random weights (no --ckpt) — audio will be noise")
+    if args.save_npz:
+        import json
+
+        from .weights.save import save_params
+
+        save_params(args.save_npz, {"f5": params, "vocos": vparams})
+        open(args.save_npz + ".vocab.json", "w").write(json.dumps(vocab))
+        print(f"saved fused params to {args.save_npz}")
     pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg, seed=args.seed,
                       quantize=args.quantize)
     audio, _ = read_wav(args.ref_audio, target_rate=cfg.sample_rate)
@@ -291,6 +310,8 @@ def main(argv=None) -> int:
     f5.add_argument("--out", default="generated.wav")
     f5.add_argument("--speed", type=float, default=1.0)
     f5.add_argument("--seed", type=int, default=9527)
+    f5.add_argument("--npz", help="load fused params from .npz (fast start)")
+    f5.add_argument("--save-npz", help="persist fused params to .npz")
     f5.set_defaults(fn=cmd_f5)
 
     ka = sub.add_parser("kani", help="KaniTTS synthesis")

@@ -35,7 +35,13 @@ def _flatten(node, prefix, out):
     elif node is None:
         out[f"{prefix}{_SEP}none"] = np.asarray(0)
     else:
-        out[f"{prefix}{_SEP}arr"] = np.asarray(node)
+        a = np.asarray(node)
+        if a.dtype.itemsize == 2 and a.dtype.kind == "V" or str(
+                a.dtype) == "bfloat16":
+            # np.savez has no bfloat16: store the raw bits as uint16
+            out[f"{prefix}{_SEP}bf16"] = a.view(np.uint16)
+        else:
+            out[f"{prefix}{_SEP}arr"] = a
 
 
 def save_params(path: str, params) -> None:
@@ -74,6 +80,11 @@ def load_params(path: str, device: bool = True):
         elif kind == "arr":
             set_path(root, parts, jnp.asarray(data[name]) if device
                      else data[name])
+        elif kind == "bf16":
+            import ml_dtypes
+
+            a = data[name].view(ml_dtypes.bfloat16)
+            set_path(root, parts, jnp.asarray(a) if device else a)
         elif kind == "none":
             set_path(root, parts, None)
         else:
