@@ -181,6 +181,13 @@ class KaniPipeline:
             return save_ids[:1], num - finished.astype(jnp.int32)
 
         degenerate = self.dcfg.top_k < 2 or self.dcfg.beam_size < 2
+        if self.dcfg.use_beam and degenerate:
+            import warnings
+
+            # the reference warns and falls back the same way
+            # (Inference_Kani_TTS_ONNX.py:173-179)
+            warnings.warn("beam search requested with beam_size/top_k < 2; "
+                          "falling back to greedy", stacklevel=2)
         run = beam_run if (self.dcfg.use_beam and not degenerate) else greedy_run
         return jax.jit(run)
 
