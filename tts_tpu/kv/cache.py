@@ -71,6 +71,14 @@ class KVCache:
     def advance(self, num_tokens) -> "KVCache":
         return dataclasses.replace(self, length=self.length + num_tokens)
 
+    def rewind(self, length) -> "KVCache":
+        """Set length to a (possibly traced) value <= current. Used after a
+        batched prefill over a padded bucket: decode then appends at the true
+        prompt length, overwriting the padded garbage, and the causal mask
+        (keys < pos+s) never exposes it."""
+        return dataclasses.replace(
+            self, length=jnp.asarray(length, jnp.int32))
+
     def repeat_batch(self, n: int) -> "KVCache":
         """Tile batch dim (beam-search expansion, reference FIRST_BEAM_SEARCH
         Kani_TTS/Export_Kani_TTS.py:110-112)."""

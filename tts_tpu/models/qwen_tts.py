@@ -100,7 +100,7 @@ class QwenTTSConfig:
 def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
                      cfg: Qwen3StackConfig, rope_cos, rope_sin,
                      kv_valid: jax.Array | None = None,
-                     causal: bool = True):
+                     causal: bool = True, return_all: bool = False):
     """One pass over S new positions. hidden (B, S, H). Norm weights are
     absorbed into qkv/gate_up at load; q/k per-head norms (scale-folded) are
     applied inline. Returns (final_hidden (B, H) pre-head-normed, kv)."""
@@ -136,6 +136,8 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
         x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
     kv = kv.advance(s)
     # final norm weight is folded into the downstream head(s)
+    if return_all:
+        return rms_norm(x, eps=cfg.rms_eps), kv
     return rms_norm(x[:, -1], eps=cfg.rms_eps), kv
 
 

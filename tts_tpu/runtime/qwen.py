@@ -171,26 +171,19 @@ class QwenTTSPipeline:
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
                                 t.max_seq_len, t.head_dim, dt)
 
-            # serial prefill: one talker position per iteration
-            def pcond(c):
-                _, i, _ = c
-                return i < prefill_len
-
-            def pbody(c):
-                kv, i, _ = c
-                h = jax.lax.dynamic_slice(
-                    prefill_buf, (0, i, 0), (1, 1, t.hidden_size))
-                pos = kv.length
-                rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
-                                           (1, t.head_dim))
-                rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
-                                           (1, t.head_dim))
-                hid, kv = qwen3_stack_step(params["talker"], h, kv, t, rc, rs)
-                return kv, i + 1, hid
-
-            dummy = jnp.zeros((1, t.hidden_size), dt)
-            kv, _, hid = jax.lax.while_loop(
-                pcond, pbody, (kv, jnp.zeros((), jnp.int32), dummy))
+            # batched prefill: one pass over the whole padded bucket (the
+            # serial loop paid per-position launch overhead); the cache is
+            # then rewound to the true length so decode appends there with
+            # true rope positions, overwriting the padded garbage
+            s_buf = prefill_buf.shape[1]
+            hid_all, kv = qwen3_stack_step(
+                params["talker"], prefill_buf, kv, t,
+                params["rope_cos"][:s_buf], params["rope_sin"][:s_buf],
+                return_all=True)
+            hid = jax.lax.dynamic_slice(
+                hid_all, (0, prefill_len - 1, 0),
+                (1, 1, t.hidden_size))[:, 0]
+            kv = kv.rewind(prefill_len)
 
             frames = jnp.zeros((dcfg.max_frames, cfg.num_code_groups),
                                jnp.int32)
@@ -354,25 +347,19 @@ class QwenTTSPipeline:
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
                                 t.max_seq_len, t.head_dim, dt)
 
-            def pcond(c):
-                _, i, _ = c
-                return i < prefill_len
-
-            def pbody(c):
-                kv, i, _ = c
-                h = jax.lax.dynamic_slice(
-                    prefill_buf, (0, i, 0), (1, 1, t.hidden_size))
-                pos = kv.length
-                rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
-                                           (1, t.head_dim))
-                rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
-                                           (1, t.head_dim))
-                hid, kv = qwen3_stack_step(params["talker"], h, kv, t, rc, rs)
-                return kv, i + 1, hid
-
-            dummy = jnp.zeros((1, t.hidden_size), dt)
-            kv, _, hid = jax.lax.while_loop(
-                pcond, pbody, (kv, jnp.zeros((), jnp.int32), dummy))
+            # batched prefill: one pass over the whole padded bucket (the
+            # serial loop paid per-position launch overhead); the cache is
+            # then rewound to the true length so decode appends there with
+            # true rope positions, overwriting the padded garbage
+            s_buf = prefill_buf.shape[1]
+            hid_all, kv = qwen3_stack_step(
+                params["talker"], prefill_buf, kv, t,
+                params["rope_cos"][:s_buf], params["rope_sin"][:s_buf],
+                return_all=True)
+            hid = jax.lax.dynamic_slice(
+                hid_all, (0, prefill_len - 1, 0),
+                (1, 1, t.hidden_size))[:, 0]
+            kv = kv.rewind(prefill_len)
             return kv, hid
 
         return jax.jit(run)
