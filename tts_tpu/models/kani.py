@@ -119,10 +119,13 @@ def _attn_layer(p, x, state: KaniState, layer_idx: int, cfg: KaniConfig,
     return dense(out, p["wo"]), state
 
 
-def _conv_layer(p, x, state: KaniState, conv_idx: int, cfg: KaniConfig):
+def _conv_layer(p, x, state: KaniState, conv_idx: int, cfg: KaniConfig,
+                valid_len=None):
     """LFM2 short-conv mixer (Export_Kani_TTS.py:446-461): in_proj ->
     (B, C, x) gates, Bx through a causal depthwise conv with a carried
-    (k-1)-sample state, output C * conv_out -> out_proj."""
+    (k-1)-sample state, output C * conv_out -> out_proj. valid_len (scalar)
+    marks the true sequence end inside a padded bucket: the carry is taken
+    from the last k-1 VALID inputs (batched prefill)."""
     h = rms_norm(x, eps=cfg.rms_eps)            # weight absorbed into in_proj
     bcx = dense(h, p["in_proj"])
     b_gate, c_gate, xv = jnp.split(bcx, 3, axis=-1)
@@ -130,7 +133,15 @@ def _conv_layer(p, x, state: KaniState, conv_idx: int, cfg: KaniConfig):
 
     carry = state.conv[conv_idx].astype(bx.dtype)               # (B, k-1, H)
     seq = jnp.concatenate([carry, bx], axis=1)                  # (B, k-1+S, H)
-    new_carry = seq[:, -(cfg.conv_kernel - 1):].astype(state.conv.dtype)
+    if valid_len is None:
+        new_carry = seq[:, -(cfg.conv_kernel - 1):].astype(state.conv.dtype)
+    else:
+        # inputs at seq positions [valid_len, valid_len + k-1) are the last
+        # k-1 valid samples (seq is left-extended by the k-1 carry)
+        new_carry = jax.lax.dynamic_slice(
+            seq, (0, valid_len, 0),
+            (seq.shape[0], cfg.conv_kernel - 1, seq.shape[2]),
+        ).astype(state.conv.dtype)
     state = KaniState(
         state.kv,
         jax.lax.dynamic_update_index_in_dim(state.conv, new_carry, conv_idx, 0),
@@ -149,10 +160,13 @@ def _ffn(p, x, cfg: KaniConfig):
     return dense(jax.nn.silu(gate) * up, p["w_down"])
 
 
-def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig
-              ) -> tuple[jax.Array, KaniState]:
+def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
+              valid_len=None) -> tuple[jax.Array, KaniState]:
     """One LM step over S new tokens. hidden: (B, S, H) embedded inputs.
-    Returns (logits (B, vocab), new state with kv.length advanced)."""
+    Returns (logits (B, vocab), new state with kv.length advanced).
+    valid_len: true length inside a padded bucket (batched prefill) — the
+    logits come from position valid_len-1 and the conv carries from the
+    last valid inputs; the caller rewinds kv.length to valid_len."""
     b, s, _ = hidden.shape
     pos = state.kv.length
     rope_cos = jax.lax.dynamic_slice(
@@ -169,13 +183,18 @@ def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig
                                      rope_cos, rope_sin, mask)
             attn_i += 1
         else:
-            out, state = _conv_layer(p, x, state, conv_i, cfg)
+            out, state = _conv_layer(p, x, state, conv_i, cfg, valid_len)
             conv_i += 1
         x = x + out
         x = x + _ffn(p["ffn"], x, cfg)
 
     state = KaniState(state.kv.advance(s), state.conv)
-    final = rms_norm(x[:, -1], eps=cfg.rms_eps)  # embedding_norm in lm_head
+    if valid_len is None:
+        last = x[:, -1]
+    else:
+        last = jax.lax.dynamic_slice(
+            x, (0, valid_len - 1, 0), (b, 1, x.shape[2]))[:, 0]
+    final = rms_norm(last, eps=cfg.rms_eps)      # embedding_norm in lm_head
     logits = dense(final, params["lm_head"])
     return logits, state
 

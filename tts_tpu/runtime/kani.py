@@ -59,26 +59,17 @@ class KaniDecodeConfig:
 
 
 def _prefill_loop(params, ids_buf, prompt_len, state, cfg: KaniConfig):
-    """Force-feed the prompt one token at a time under a while_loop; returns
-    (state, logits at the last prompt position). Serial but prompt-length
-    agnostic — one compile serves all sentences."""
+    """Batched prefill: one causal pass over the padded id bucket (the old
+    one-token-at-a-time loop paid per-position launch overhead). The conv
+    carries and final logits come from the true prompt positions and the KV
+    length is rewound to prompt_len so decode appends there, overwriting the
+    padded garbage (never exposed by the causal mask). Returns
+    (state, logits at the last prompt position)."""
+    from ..kv.cache import KVCache as _KV  # noqa: F401 (doc reference)
 
-    def cond(c):
-        _, i, _ = c
-        return i < prompt_len
-
-    def body(c):
-        state, i, _ = c
-        tok = jax.lax.dynamic_slice(ids_buf, (0, i), (1, 1))
-        h = embed_tokens(params, tok)
-        logits, state = kani_step(params, h, state, cfg)
-        return state, i + 1, logits
-
-    # logits dtype follows the compute dtype (embed table's dtype)
-    dummy = jnp.zeros((1, cfg.vocab_size), params["embed"].dtype)
-    state, _, logits = jax.lax.while_loop(
-        cond, body, (state, jnp.zeros((), jnp.int32), dummy))
-    return state, logits
+    h = embed_tokens(params, ids_buf)                    # (1, S, H)
+    logits, state = kani_step(params, h, state, cfg, valid_len=prompt_len)
+    return KaniState(state.kv.rewind(prompt_len), state.conv), logits
 
 
 class KaniPipeline:
@@ -225,7 +216,10 @@ class KaniPipeline:
         if self._decode_fn is None:
             self._decode_fn = self._build_decode()
         prompt_len = ids.shape[1]
-        ids_buf = np.zeros((1, MAX_PROMPT), np.int32)
+        # bucket bounded by the rope table / KV size
+        cap = min(MAX_PROMPT, self.cfg.max_seq_len // 2)
+        bucket = max(16, min(cap, -(-prompt_len // 64) * 64))
+        ids_buf = np.zeros((1, bucket), np.int32)
         ids_buf[0, :prompt_len] = ids[0]
 
         t0 = time.perf_counter()
