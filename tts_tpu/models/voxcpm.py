@@ -367,10 +367,17 @@ def fsq_layer(params, x: jax.Array, cfg: VoxCPMConfig) -> jax.Array:
 
 def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
                      concat_text_len, base_kv: KVCache, res_kv: KVCache,
-                     cfg: VoxCPMConfig):
-    """One dual-LM pass over S positions. hidden (1, S, base_H); positions
-    >= concat_text_len are audio (FSQ-bottlenecked + feat_embed added before
-    the residual LM; feat_embed must be (1, S, H) aligned with hidden).
+                     cfg: VoxCPMConfig, valid_len=None):
+    """One dual-LM pass over S positions. hidden (1, S, base_H).
+    concat_text_len marks audio positions: a scalar boundary (positions
+    >= it are audio — the v1.5 layout) OR a (S,) bool mask (the v2 modes
+    interleave text and audio segments). Audio positions are
+    FSQ-bottlenecked + feat_embed added before the residual LM; feat_embed
+    must be (1, S, H) aligned with hidden.
+
+    valid_len (scalar): true length inside a padded bucket (batched
+    prefill) — the dit/stop outputs come from position valid_len-1 and the
+    caller rewinds the KV lengths.
 
     Returns (dit_hidden (1, 1, est_H), stop_flag (), lm state)."""
     b = cfg.base
@@ -385,16 +392,26 @@ def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
                                   rope_cos, rope_sin)
     x = rms_norm(x, params["base_norm"], eps=b.rms_eps)
 
-    idx = jnp.arange(s)[None, :, None]
-    is_audio = idx >= concat_text_len
+    ctl = jnp.asarray(concat_text_len)
+    if ctl.ndim == 1:                                       # per-position mask
+        is_audio = ctl[None, :, None]
+    else:
+        is_audio = jnp.arange(s)[None, :, None] >= ctl
     fsq_out = fsq_layer(params, x, cfg)
     mixed = jnp.where(is_audio, fsq_out, x)
-    lm_hidden = mixed[:, -1:]                               # pre-feat add
     res_in = jnp.where(is_audio, fsq_out + feat_embed, x)
 
     r, res_kv = llama_stack_step(params["residual"], res_in, res_kv,
                                  cfg.residual, rope_cos, rope_sin)
-    res_hidden = rms_norm(r[:, -1:], eps=cfg.residual.rms_eps)
+
+    def at_last(t):
+        if valid_len is None:
+            return t[:, -1:]
+        return jax.lax.dynamic_slice(
+            t, (0, valid_len - 1, 0), (t.shape[0], 1, t.shape[2]))
+
+    lm_hidden = at_last(mixed)                              # pre-feat add
+    res_hidden = rms_norm(at_last(r), eps=cfg.residual.rms_eps)
 
     fused = jnp.matmul(lm_hidden, params["dit_stop"]["w"])
     if "b" in params["dit_stop"]:

@@ -124,28 +124,19 @@ class VoxCPMPipeline:
                                     cfg.residual.num_kv_heads, b.max_seq_len,
                                     cfg.residual.head_dim, dt)
 
-            def pcond(c):
-                _, _, i, *_ = c
-                return i < prefill_len
-
-            def pbody(c):
-                base_kv, res_kv, i, dit, stop = c
-                tok = jax.lax.dynamic_slice(text_buf, (0, i), (1, 1))
-                fe = jax.lax.dynamic_slice(
-                    feat_embed_buf, (0, i, 0), (1, 1, b.hidden_size))
-                audio = is_audio[i]
-                h = jnp.where(audio, fe, params["embed"][tok])
-                # text position: concat_text_len=1 (no FSQ); audio: 0
-                ctl = jnp.where(audio, 0, 1).astype(jnp.int32)
-                dit, stop, base_kv, res_kv = voxcpm_main_step(
-                    params, h, fe, ctl, base_kv, res_kv, cfg)
-                return base_kv, res_kv, i + 1, dit, stop
-
-            dit0 = jnp.zeros((1, 1, cfg.estimator.hidden_size), dt)
-            base_kv, res_kv, _, dit, stop = jax.lax.while_loop(
-                pcond, pbody,
-                (base_kv, res_kv, jnp.zeros((), jnp.int32), dit0,
-                 jnp.zeros((), jnp.int32)))
+            # batched prefill: the per-position kind mask IS the segment
+            # plan, so one dual-LM pass over the whole padded bucket
+            # replaces the old one-position-at-a-time loop (which paid
+            # per-position launch overhead); KV lengths rewind to the true
+            # prompt length afterwards (padded garbage is overwritten by
+            # decode and never exposed by the causal mask)
+            h = jnp.where(is_audio[None, :, None], feat_embed_buf,
+                          params["embed"][text_buf])
+            dit, stop, base_kv, res_kv = voxcpm_main_step(
+                params, h, feat_embed_buf, is_audio, base_kv, res_kv, cfg,
+                valid_len=prefill_len)
+            base_kv = base_kv.rewind(prefill_len)
+            res_kv = res_kv.rewind(prefill_len)
 
             # ---- generation loop
             latents = jnp.zeros((dcfg.max_latents, cfg.patch_size,
@@ -283,27 +274,15 @@ class VoxCPMPipeline:
                                         b.max_seq_len,
                                         cfg_.residual.head_dim, dt)
 
-                def pcond(c):
-                    _, _, i, *_ = c
-                    return i < prefill_len
-
-                def pbody(c):
-                    base_kv, res_kv, i, dit, stop = c
-                    tok = jax.lax.dynamic_slice(text_buf, (0, i), (1, 1))
-                    f = jax.lax.dynamic_slice(
-                        fe, (0, i, 0), (1, 1, b.hidden_size))
-                    audio = is_audio[i]
-                    h = jnp.where(audio, f, params["embed"][tok])
-                    ctl = jnp.where(audio, 0, 1).astype(jnp.int32)
-                    dit, stop, base_kv, res_kv = voxcpm_main_step(
-                        params, h, f, ctl, base_kv, res_kv, cfg_)
-                    return base_kv, res_kv, i + 1, dit, stop
-
-                dit0 = jnp.zeros((1, 1, cfg_.estimator.hidden_size), dt)
-                base_kv, res_kv, _, dit, _ = jax.lax.while_loop(
-                    pcond, pbody,
-                    (base_kv, res_kv, jnp.zeros((), jnp.int32), dit0,
-                     jnp.zeros((), jnp.int32)))
+                # batched prefill over the padded bucket (see
+                # _build_decode) with KV rewind to the true length
+                h = jnp.where(is_audio[None, :, None], fe,
+                              params["embed"][text_buf])
+                dit, _, base_kv, res_kv = voxcpm_main_step(
+                    params, h, fe, is_audio, base_kv, res_kv, cfg_,
+                    valid_len=prefill_len)
+                base_kv = base_kv.rewind(prefill_len)
+                res_kv = res_kv.rewind(prefill_len)
                 return base_kv, res_kv, dit, feat_cond0.astype(dt)
 
             self._prefill_only_fn = jax.jit(prefill)
