@@ -225,7 +225,10 @@ class F5Pipeline:
 
         audio_bucket = _bucket(audio.shape[-1], 32768, 32768)
         text_bucket = _bucket(ids.shape[-1], 64, 64)
-        frame_bucket = _bucket(duration, 256, 256)
+        # 128-frame buckets: the DiT cost scales with the padded length, so
+        # finer buckets cut ~8-10% of wasted frames at typical durations
+        # (flash attention needs multiples of 128)
+        frame_bucket = _bucket(duration, 128, 256)
         frame_bucket = min(frame_bucket, cfg.max_signal_len)
 
         audio_p = np.pad(audio, ((0, 0), (0, audio_bucket - audio.shape[-1])))
