@@ -21,7 +21,7 @@ Weights pytree (see `init_params` for the authoritative shape spec).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

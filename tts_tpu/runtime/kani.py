@@ -65,8 +65,6 @@ def _prefill_loop(params, ids_buf, prompt_len, state, cfg: KaniConfig):
     length is rewound to prompt_len so decode appends there, overwriting the
     padded garbage (never exposed by the causal mask). Returns
     (state, logits at the last prompt position)."""
-    from ..kv.cache import KVCache as _KV  # noqa: F401 (doc reference)
-
     h = embed_tokens(params, ids_buf)                    # (1, S, H)
     logits, state = kani_step(params, h, state, cfg, valid_len=prompt_len)
     return KaniState(state.kv.rewind(prompt_len), state.conv), logits
