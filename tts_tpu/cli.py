@@ -23,6 +23,42 @@ def _write(path: str, wav: np.ndarray, sr: int, report=None) -> None:
         print(report.table())
 
 
+
+def _save_bundle(path: str, arrays: dict, configs: dict,
+                 extra: dict | None = None) -> None:
+    """Persist fused param pytrees + their configs (the reference's
+    optimized-artifact analog): arrays -> .npz, configs/extra -> .json."""
+    import json
+
+    from .weights.save import config_to_dict, save_params
+
+    save_params(path, arrays)
+    meta = {k: {"cls": f"{type(c).__module__}:{type(c).__name__}",
+                "data": config_to_dict(c)} for k, c in configs.items()}
+    if extra:
+        meta["__extra__"] = extra
+    open(path + ".json", "w").write(json.dumps(meta))
+    print(f"saved fused params to {path}")
+
+
+def _load_bundle(path: str):
+    """Returns (arrays, configs, extra)."""
+    import importlib
+    import json
+
+    from .weights.save import config_from_dict, load_params
+
+    arrays = load_params(path)
+    meta = json.loads(open(path + ".json").read())
+    extra = meta.pop("__extra__", {})
+    configs = {}
+    for k, m in meta.items():
+        mod, name = m["cls"].split(":")
+        cls = getattr(importlib.import_module(mod), name)
+        configs[k] = config_from_dict(cls, m["data"])
+    return arrays, configs, extra
+
+
 def cmd_f5(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -36,14 +72,10 @@ def cmd_f5(args) -> None:
     if args.npz:
         # fused-artifact fast path (the reference's .ort analog): skips
         # torch/safetensors parsing and the fold math
-        import json
-
-        from .weights.save import load_params
-
-        bundle = load_params(args.npz)
-        params, vparams = bundle["f5"], bundle["vocos"]
-        cfg, vcfg = F5Config(), VocosConfig()
-        vocab = json.loads(open(args.npz + ".vocab.json").read())
+        arrays, cfgs, extra = _load_bundle(args.npz)
+        params, vparams = arrays["f5"], arrays["vocos"]
+        cfg, vcfg = cfgs["cfg"], cfgs["vcfg"]
+        vocab = extra["vocab"]
     elif args.ckpt:
         from .weights.f5_loader import load_f5, load_vocos
 
@@ -57,13 +89,8 @@ def cmd_f5(args) -> None:
         vocab = {" ": 0}
         print("note: random weights (no --ckpt) — audio will be noise")
     if args.save_npz:
-        import json
-
-        from .weights.save import save_params
-
-        save_params(args.save_npz, {"f5": params, "vocos": vparams})
-        open(args.save_npz + ".vocab.json", "w").write(json.dumps(vocab))
-        print(f"saved fused params to {args.save_npz}")
+        _save_bundle(args.save_npz, {"f5": params, "vocos": vparams},
+                     {"cfg": cfg, "vcfg": vcfg}, {"vocab": vocab})
     pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg, seed=args.seed,
                       quantize=args.quantize)
     audio, _ = read_wav(args.ref_audio, target_rate=cfg.sample_rate)
@@ -98,6 +125,14 @@ def cmd_kani(args) -> None:
         cparams = codec_init(ccfg, jax.random.key(1))
         tok = None
         print("note: random weights (no --ckpt) — audio will be noise")
+    if args.npz:
+        arrays, cfgs, _ = _load_bundle(args.npz)
+        params, cparams = arrays["lm"], arrays["codec"]
+        cfg, ccfg = cfgs["cfg"], cfgs["ccfg"]
+        tok = None
+    if args.save_npz:
+        _save_bundle(args.save_npz, {"lm": params, "codec": cparams},
+                     {"cfg": cfg, "ccfg": ccfg})
     dcfg = KaniDecodeConfig(
         use_beam=args.beam > 1, beam_size=args.beam,
         repeat_penalty=args.penalty, max_new_tokens=args.max_tokens)
@@ -156,6 +191,14 @@ def cmd_indextts(args) -> None:
         }
         tok_path = None
         print("note: random weights (no --ckpt) — audio will be noise")
+    if args.npz:
+        arrays, cfgs, _ = _load_bundle(args.npz)
+        params = arrays["params"]
+        cfg, vcfg = cfgs["cfg"], cfgs["vcfg"]
+        tok_path = None
+    if args.save_npz:
+        _save_bundle(args.save_npz, {"params": params},
+                     {"cfg": cfg, "vcfg": vcfg})
     pipe = IndexTTSPipeline(params, cfg, vcfg, quantize=args.quantize)
     audio, _ = read_wav(args.ref_audio, target_rate=24000)
     ref = pipe.encode_reference(audio)
@@ -211,6 +254,13 @@ def cmd_qwen(args) -> None:
         cparams = codec_init(ccfg, jax.random.key(2))
         ids = np.array([[5, 9, 13, 2]], np.int32)
         print("note: random weights (no --ckpt) — audio will be noise")
+    if args.npz:
+        arrays, cfgs, _ = _load_bundle(args.npz)
+        params, cparams = arrays["lm"], arrays["codec"]
+        cfg, ccfg = cfgs["cfg"], cfgs["ccfg"]
+    if args.save_npz:
+        _save_bundle(args.save_npz, {"lm": params, "codec": cparams},
+                     {"cfg": cfg, "ccfg": ccfg})
     pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
                            QwenDecodeConfig(max_frames=args.max_frames),
                            quantize=args.quantize)
@@ -274,6 +324,13 @@ def cmd_voxcpm(args) -> None:
         ids = np.array([[11, 13, 17, 19]], np.int32)
         p_ids = np.zeros((1, 0), np.int32)
         print("note: random weights (no --ckpt) — audio will be noise")
+    if args.npz:
+        arrays, cfgs, _ = _load_bundle(args.npz)
+        params, vae_params = arrays["lm"], arrays["vae"]
+        cfg = cfgs["cfg"]
+    if args.save_npz:
+        _save_bundle(args.save_npz, {"lm": params, "vae": vae_params},
+                     {"cfg": cfg})
     pipe = VoxCPMPipeline(params, cfg, vae_params,
                           VoxCPMDecodeConfig(max_latents=args.max_latents),
                           quantize=args.quantize)
@@ -310,8 +367,7 @@ def main(argv=None) -> int:
     f5.add_argument("--out", default="generated.wav")
     f5.add_argument("--speed", type=float, default=1.0)
     f5.add_argument("--seed", type=int, default=9527)
-    f5.add_argument("--npz", help="load fused params from .npz (fast start)")
-    f5.add_argument("--save-npz", help="persist fused params to .npz")
+
     f5.set_defaults(fn=cmd_f5)
 
     ka = sub.add_parser("kani", help="KaniTTS synthesis")
@@ -360,6 +416,9 @@ def main(argv=None) -> int:
     for p in (f5, ka, it, vc, qw):
         p.add_argument("--quantize", type=int, choices=(4, 8),
                        help="weight-only int8/int4 on the model's LM/DiT")
+        p.add_argument("--npz",
+                       help="load fused params from .npz (fast start)")
+        p.add_argument("--save-npz", help="persist fused params to .npz")
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -12,7 +12,7 @@ import numpy as np
 
 from ..quant.weight_only import QTensor, QTensor4
 
-__all__ = ["save_params", "load_params"]
+__all__ = ["save_params", "load_params", "config_to_dict", "config_from_dict"]
 
 _SEP = "||"
 
@@ -110,3 +110,41 @@ def load_params(path: str, device: bool = True):
         return node
 
     return listify(root)
+
+
+def config_to_dict(cfg) -> dict:
+    """Frozen-dataclass config -> JSON-able dict (nested configs recurse)."""
+    import dataclasses
+
+    def conv(v):
+        if dataclasses.is_dataclass(v):
+            return {k: conv(w) for k, w in dataclasses.asdict(v).items()}
+        if isinstance(v, tuple):
+            return list(v)
+        return v
+
+    return {f.name: conv(getattr(cfg, f.name))
+            for f in dataclasses.fields(cfg)}
+
+
+def config_from_dict(cls, d: dict):
+    """Rebuild a config dataclass from config_to_dict output. Nested config
+    types are inferred from the class's default instances; lists restore to
+    tuples when the default was a tuple."""
+    import dataclasses
+
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        default = f.default
+        if default is dataclasses.MISSING and f.default_factory is not dataclasses.MISSING:  # noqa: E501
+            default = f.default_factory()
+        if dataclasses.is_dataclass(default) and isinstance(v, dict):
+            v = config_from_dict(type(default), v)
+        elif isinstance(v, list):
+            # configs only ever hold tuples, never lists
+            v = tuple(v)
+        kw[f.name] = v
+    return cls(**kw)
