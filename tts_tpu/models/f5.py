@@ -220,11 +220,14 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
         # loss; XLA already fuses the rope elementwise chain well.)
         if t <= 4096:
             hb = 2 if heads % 2 == 0 else 1
-            bq = 512
-            # keep the fp32 score tile (hb, bq, t) near 4 MB; bq must
-            # divide t (t is always a multiple of 128 here)
-            while bq > 128 and (hb * bq * t * 4 > (1 << 22) or t % bq):
-                bq //= 2
+            # largest divisor-of-t q-block (multiple of 8) whose fp32 score
+            # tile (hb, bq, t) fits ~8 MB of VMEM — measured best across
+            # t=1024/1408/1536/2048
+            bq = 128
+            for cand in range(min(t, 1024), 127, -8):
+                if t % cand == 0 and hb * cand * t * 4 <= (1 << 23):
+                    bq = cand
+                    break
             out = flash_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), kv_len, block_q=bq, block_kv=t,
