@@ -125,3 +125,28 @@ def test_f5_pipeline_quantized_smoke():
     wav2, _ = pipe.synthesize(audio, "abc def", "hij abc", seed=7)
     assert wav.dtype == np.int16 and len(wav) > 0
     np.testing.assert_array_equal(wav, wav2)
+
+
+def test_quantized_matmul_kernel_matches_dequant():
+    """Pallas int8 kernel (interpret mode) vs explicit quantize->matmul."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tts_tpu.ops.quant_matmul import quantized_matmul
+    from tts_tpu.quant.weight_only import quantize_int8
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 256)) * 0.1, jnp.float32)
+    qt = quantize_int8(w)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(quantized_matmul(x, qt.q, qt.scale,
+                                          block_m=128, block_n=256))
+
+    # reference: same per-row activation quant in numpy, fp64 accum
+    xn = np.asarray(x, np.float64)
+    xs = np.maximum(np.abs(xn).max(1, keepdims=True), 1e-8) / 127.0
+    xq = np.clip(np.round(xn / xs), -127, 127)
+    ref = (xq @ np.asarray(qt.q, np.float64)) * xs * np.asarray(qt.scale)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

@@ -110,7 +110,12 @@ def dense(x: jax.Array, w) -> jax.Array:
     """x @ w for plain arrays, int8 QTensors, or packed int4 QTensor4s.
     Quantized weights upcast inside the kernel (XLA fuses the cast into the
     matmul read); scales apply outside (int8) or during unpack (int4) —
-    HBM traffic is 1 / 0.5 bytes per weight."""
+    HBM traffic is 1 / 0.5 bytes per weight.
+
+    (An int8-MXU Pallas kernel exists in ops/quant_matmul.py — its raw dot
+    is ~1.4x the bf16 dot, but routing dense() through it measured SLOWER
+    end-to-end on the F5 DiT: the standalone pallas_call breaks XLA's
+    bias/gelu epilogue fusion. bf16 dequant-in-matmul stays the Q8 path.)"""
     if isinstance(w, QTensor):
         y = jnp.matmul(x, w.q.astype(x.dtype))
         return y * w.scale.astype(x.dtype)
