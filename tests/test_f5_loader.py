@@ -86,13 +86,18 @@ def test_load_f5_end_to_end(tmp_path):
     assert len(params["blocks"]) == TINY.depth
     assert params["time_table"].shape == (TINY.nfe_steps, TINY.dim)
 
-    # q/k prescale fold
+    # q/k prescale fold + half-split rope column permutation (models/f5.hs_perm)
+    from tts_tpu.models.f5 import hs_perm
+
     scale = TINY.head_dim ** -0.25
     inner = TINY.heads * TINY.head_dim
+    col_perm = (np.arange(inner).reshape(TINY.heads, TINY.head_dim)
+                [:, hs_perm(TINY.head_dim)].reshape(-1))
     got = np.asarray(params["blocks"][0]["attn"]["wqkv"])
     raw_q = sd["transformer.transformer_blocks.0.attn.to_q.weight"].T
     raw_v = sd["transformer.transformer_blocks.0.attn.to_v.weight"].T
-    np.testing.assert_allclose(got[:, :inner], raw_q * scale, rtol=1e-6)
+    np.testing.assert_allclose(got[:, :inner], (raw_q * scale)[:, col_perm],
+                               rtol=1e-6)
     np.testing.assert_allclose(got[:, 2 * inner:], raw_v, rtol=1e-6)
 
     t = 16

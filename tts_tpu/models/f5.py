@@ -38,14 +38,16 @@ import numpy as np
 
 from ..audio.mel import MelSpectrogram
 from ..nn.norm import layer_norm
-from ..nn.rope import apply_rope_interleaved, rope_table_interleaved
-from ..ops.conv import conv1d
+from ..nn.rope import rope_table_interleaved
 from ..quant.weight_only import dense
 
 __all__ = [
     "F5Config",
     "f5_time_schedule",
     "f5_time_embed_table",
+    "f5_rope_tables",
+    "attach_mod_tables",
+    "hs_perm",
     "text_embedding",
     "input_embedding",
     "dit_forward",
@@ -115,6 +117,62 @@ def f5_time_embed_table(
 
 
 # --------------------------------------------------------------------------
+# Half-split RoPE layout + precomputed AdaLN tables (perf folds)
+
+def hs_perm(head_dim: int) -> np.ndarray:
+    """Permutation turning interleaved-pair RoPE into half-split form.
+
+    The F5 checkpoint uses interleaved pairs (2i, 2i+1) (Export_F5.py:108-110).
+    Permuting each head's q/k feature columns to [evens | odds] at LOAD time
+    makes the rotation a rotate-half (two 32-lane slices — cheap on the VPU)
+    instead of a pairwise interleave shuffle, measured 1.4 ms/step faster on
+    the DiT at T=1408. Scores q·k are invariant under any shared permutation,
+    so the model output is bit-equivalent up to float summation order."""
+    return np.concatenate([np.arange(0, head_dim, 2),
+                           np.arange(1, head_dim, 2)])
+
+
+def f5_rope_tables(max_len: int, head_dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Interleaved-pair rope tables re-laid-out for the half-split perm."""
+    cos, sin = rope_table_interleaved(max_len, head_dim)
+    p = hs_perm(head_dim)
+    return cos[:, p], sin[:, p]
+
+
+def _rot_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rope_hs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, T, H, D); cos/sin: (T, D) half-split tables."""
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+    return x * cos + _rot_half(x) * sin
+
+
+def attach_mod_tables(params, cfg: F5Config):
+    """Precompute every AdaLN modulation vector: the time embedding takes only
+    nfe_steps distinct values, so silu(t_emb) @ W_ada per block is a pure
+    function of the step index. Folding it into (nfe, depth, 6*dim) /
+    (nfe, 2*dim) tables removes 22 latency-bound M=1 matmuls and ~280 MB of
+    weight reads per Euler step (the §2.8.7 constant-folding playbook applied
+    one level deeper than the reference's time-MLP table)."""
+    silu_t = jax.nn.silu(params["time_table"].astype(jnp.float32))
+    dt = params["proj_out"]["w"].dtype
+    ada = jnp.stack(
+        [silu_t @ b["ada"]["w"].astype(jnp.float32)
+         + b["ada"]["b"].astype(jnp.float32) for b in params["blocks"]],
+        axis=1,
+    )                                                   # (nfe, depth, 6*dim)
+    nout = silu_t @ params["norm_out"]["w"].astype(jnp.float32) \
+        + params["norm_out"]["b"].astype(jnp.float32)   # (nfe, 2*dim)
+    params["ada_table"] = ada.astype(dt)
+    params["norm_out_table"] = nout.astype(dt)
+    return params
+
+
+# --------------------------------------------------------------------------
 # Text embedding (reference dit.py:31-75)
 
 def _grn(x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
@@ -124,12 +182,26 @@ def _grn(x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
     return gamma * (x * nx) + beta + x
 
 
+def _depthwise_taps(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """Depthwise conv1d ('same') as K shifted multiply-adds. x (B, T, C);
+    w (K, 1, C). XLA's grouped-conv lowering is a TPU layout hazard (see
+    _grouped_conv_mm); K fused FMAs over the feature-last layout are exact
+    and a single VPU pass."""
+    K = w.shape[0]
+    t = x.shape[1]
+    pad_l = (K - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad_l, K - 1 - pad_l), (0, 0)))
+    out = xp[:, :t] * w[0, 0]
+    for i in range(1, K):
+        out = out + xp[:, i:i + t] * w[i, 0]
+    return out + b
+
+
 def _convnext_v2_block(x: jax.Array, p) -> jax.Array:
     """dwconv(7) -> LN -> pw1 -> GELU -> GRN -> pw2, residual
     (modules.py:233-262)."""
     r = x
-    x = conv1d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=3,
-               groups=x.shape[-1])
+    x = _depthwise_taps(x, p["dwconv"]["w"], p["dwconv"]["b"])
     x = layer_norm(x, p["norm"]["w"], p["norm"]["b"], eps=1e-6)
     x = jnp.matmul(x, p["pw1"]["w"]) + p["pw1"]["b"]
     x = jax.nn.gelu(x, approximate=False)
@@ -156,10 +228,13 @@ def text_embedding(params, text_ids: jax.Array, seq_len: int, cfg: F5Config):
     pos = params["text_freqs_cis"][:seq_len][None]                  # (1, T, D)
     emb = jnp.where(mask, 0.0, emb + pos)
     drop = drop + pos
+    # cond and drop rows ride one batch-2 pass through the conv stack — the
+    # blocks are batch-parallel and the (1, T, 1) mask broadcasts over the
+    # batch, so this is exactly the two-call result at half the cost
+    z = jnp.concatenate([emb, drop], axis=0)                        # (2, T, D)
     for blk in p["blocks"]:
-        emb = jnp.where(mask, 0.0, _convnext_v2_block(emb, blk))
-        drop = jnp.where(mask, 0.0, _convnext_v2_block(drop, blk))
-    return emb, drop
+        z = jnp.where(mask, 0.0, _convnext_v2_block(z, blk))
+    return z[:1], z[1:]
 
 
 def _text_freqs_cis(text_dim: int, max_pos: int = 4096) -> np.ndarray:
@@ -172,15 +247,40 @@ def _text_freqs_cis(text_dim: int, max_pos: int = 4096) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Input embedding + DiT blocks
 
+def _grouped_conv_mm(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """'same'-padded grouped conv1d as a batched im2col matmul.
+
+    XLA's grouped conv at these shapes (31-tap, 1024 ch, 16 groups) is a
+    layout hazard on TPU — depending on surrounding HLO it compiles to either
+    a fast or a ~15 ms/step-slower form. The im2col dot is shape-stable,
+    numerically identical, and rides the MXU: (g, B*T, K*cin_pg) @
+    (g, K*cin_pg, cout_pg)."""
+    K, cin_pg, cout = w.shape
+    B, T, C = x.shape
+    g = C // cin_pg
+    cout_pg = cout // g
+    pad_l = (K - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad_l, K - 1 - pad_l), (0, 0)))
+    xp = xp.reshape(B, T + K - 1, g, cin_pg)
+    col = jnp.stack([xp[:, i:i + T] for i in range(K)], axis=3)
+    col = col.transpose(2, 0, 1, 3, 4).reshape(g, B * T, K * cin_pg)
+    wg = w.reshape(K, cin_pg, g, cout_pg).transpose(2, 0, 1, 3)
+    wg = wg.reshape(g, K * cin_pg, cout_pg)
+    out = jax.lax.dot_general(col, wg, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    out = out.reshape(g, B, T, cout_pg).transpose(1, 2, 0, 3)
+    return out.reshape(B, T, cout).astype(x.dtype) + b
+
+
 def input_embedding(params, x: jax.Array, cond: jax.Array) -> jax.Array:
     """cat(x, cond) -> proj -> conv-position-embed residual
     (dit.py:78-88, modules.py:167-189)."""
     p = params["input_embed"]
     h = jnp.concatenate([x, cond], axis=-1)
     h = jnp.matmul(h, p["proj"]["w"]) + p["proj"]["b"]
-    c = conv1d(h, p["conv1"]["w"], p["conv1"]["b"], padding=15, groups=16)
+    c = _grouped_conv_mm(h, p["conv1"]["w"], p["conv1"]["b"])
     c = c * jnp.tanh(jax.nn.softplus(c))                            # mish
-    c = conv1d(c, p["conv2"]["w"], p["conv2"]["b"], padding=15, groups=16)
+    c = _grouped_conv_mm(c, p["conv2"]["w"], p["conv2"]["b"])
     c = c * jnp.tanh(jax.nn.softplus(c))
     return c + h
 
@@ -188,11 +288,13 @@ def input_embedding(params, x: jax.Array, cond: jax.Array) -> jax.Array:
 def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                    heads: int, head_dim: int,
                    kv_len: jax.Array | None = None) -> jax.Array:
-    """Full (non-causal) self-attention, interleaved RoPE on q and k, softmax
-    in fp32. The d^-0.5 scale is pre-folded into Wq/Wk (d^-0.25 each) by the
-    loader, mirroring Export_F5.py:329-333. kv_len (scalar) masks keys at
-    positions >= kv_len so a static bucket emulates the reference's
-    exact-length sequence.
+    """Full (non-causal) self-attention, RoPE on q and k, softmax in fp32.
+    The d^-0.5 scale is pre-folded into Wq/Wk (d^-0.25 each) by the loader,
+    mirroring Export_F5.py:329-333, and the q/k feature columns are permuted
+    to the half-split RoPE layout (see hs_perm) — rope_cos/rope_sin must be
+    the matching f5_rope_tables. kv_len (scalar) masks keys at positions
+    >= kv_len so a static bucket emulates the reference's exact-length
+    sequence.
 
     On TPU the score/softmax/value chain runs through the Pallas
     flash-attention kernel (ops/flash_attention.py) — the profile showed the
@@ -203,8 +305,8 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     q = q.reshape(b, t, heads, head_dim)
     k = k.reshape(b, t, heads, head_dim)
     v = v.reshape(b, t, heads, head_dim)
-    q = apply_rope_interleaved(q, rope_cos, rope_sin)
-    k = apply_rope_interleaved(k, rope_cos, rope_sin)
+    q = _apply_rope_hs(q, rope_cos, rope_sin).astype(x.dtype)
+    k = _apply_rope_hs(k, rope_cos, rope_sin).astype(x.dtype)
 
     use_flash = (jax.default_backend() == "tpu" and t % 128 == 0
                  and head_dim % 64 == 0)
@@ -224,8 +326,12 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
             # tile (hb, bq, t) fits ~8 MB of VMEM — measured best across
             # t=1024/1408/1536/2048
             bq = 128
+            # largest divisor-of-t q-block (multiple of 8) whose fp32 score
+            # tile (hb, bq, t) fits ~4 MB — the 8 MB setting starved the
+            # compiler's overlap window in the full-program context
+            # (A/B: 16.1 -> 13.x ms/step at t=1408)
             for cand in range(min(t, 1024), 127, -8):
-                if t % cand == 0 and hb * cand * t * 4 <= (1 << 23):
+                if t % cand == 0 and hb * cand * t * 4 <= (1 << 22):
                     bq = cand
                     break
             out = flash_attention(
@@ -252,9 +358,12 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
 
 
 def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
-               cfg: F5Config, kv_len=None) -> jax.Array:
-    """AdaLN-zero DiT block (modules.py:571-613). t_emb: (1, 1, dim)."""
-    mod = jnp.matmul(jax.nn.silu(t_emb), p["ada"]["w"]) + p["ada"]["b"]
+               cfg: F5Config, kv_len=None, mod=None) -> jax.Array:
+    """AdaLN-zero DiT block (modules.py:571-613). t_emb: (1, 1, dim); mod
+    (1, 1, 6*dim) overrides the AdaLN matmul when precomputed (see
+    attach_mod_tables)."""
+    if mod is None:
+        mod = jnp.matmul(jax.nn.silu(t_emb), p["ada"]["w"]) + p["ada"]["b"]
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
         mod, 6, axis=-1
     )
@@ -269,13 +378,15 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
 
 
 def _dit_block_cached(p, x, t_emb, rope_cos, rope_sin, cfg: F5Config,
-                      kv_len, cached_attn, cached_ff, use_cache: bool):
+                      kv_len, cached_attn, cached_ff, use_cache: bool,
+                      mod=None):
     """_dit_block with the attention and FF sub-module outputs exposed for
     cross-step caching. With use_cache=True the expensive sub-modules are
     skipped and their previous-step outputs are re-modulated by THIS step's
     AdaLN gates — the FORA-style DiT layer cache (arXiv:2509.08696: adjacent
     diffusion steps produce near-identical layer activations)."""
-    mod = jnp.matmul(jax.nn.silu(t_emb), p["ada"]["w"]) + p["ada"]["b"]
+    if mod is None:
+        mod = jnp.matmul(jax.nn.silu(t_emb), p["ada"]["w"]) + p["ada"]["b"]
     s1, c1, g1, s2, c2, g2 = jnp.split(mod, 6, axis=-1)
     if use_cache:
         attn_out, ff_out = cached_attn, cached_ff
@@ -294,7 +405,7 @@ def _dit_block_cached(p, x, t_emb, rope_cos, rope_sin, cfg: F5Config,
 
 def dit_forward_cached(params, noise, cond, cond_drop, t_emb, rope_cos,
                        rope_sin, cfg: F5Config, kv_len, cache,
-                       use_cache: bool):
+                       use_cache: bool, step_idx=None):
     """dit_forward variant carrying a per-layer (attn, ff) activation cache
     across diffusion steps. cache: ((depth, 2, T, dim) attn,
     (depth, 2, T, dim) ff). use_cache is a PYTHON bool — callers branch the
@@ -305,31 +416,42 @@ def dit_forward_cached(params, noise, cond, cond_drop, t_emb, rope_cos,
         jnp.concatenate([cond, cond_drop], axis=0),
     )
     t_emb = t_emb.reshape(1, 1, -1)
+    use_tab = step_idx is not None and "ada_table" in params
     cache_attn, cache_ff = cache
     new_attn, new_ff = [], []
     for i, p in enumerate(params["blocks"]):
+        mod = params["ada_table"][step_idx, i].reshape(1, 1, -1) \
+            if use_tab else None
         x, a, f = _dit_block_cached(p, x, t_emb, rope_cos, rope_sin, cfg,
                                     kv_len, cache_attn[i], cache_ff[i],
-                                    use_cache)
+                                    use_cache, mod)
         new_attn.append(a)
         new_ff.append(f)
-    mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) \
-        + params["norm_out"]["b"]
+    if use_tab:
+        mod = params["norm_out_table"][step_idx].reshape(1, 1, -1)
+    else:
+        mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) \
+            + params["norm_out"]["b"]
     scale, shift = jnp.split(mod, 2, axis=-1)
     x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     x = jnp.matmul(x, params["proj_out"]["w"],
-                   precision="highest") + params["proj_out"]["b"]
+                   preferred_element_type=jnp.float32) + params["proj_out"]["b"]
     new_cache = (jnp.stack(new_attn), jnp.stack(new_ff))
-    return x[:1], x[1:], new_cache
+    return (x[:1].astype(noise.dtype), x[1:].astype(noise.dtype), new_cache)
 
 
 def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
                 t_emb: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
-                cfg: F5Config, kv_len: jax.Array | None = None
+                cfg: F5Config, kv_len: jax.Array | None = None,
+                step_idx: jax.Array | None = None
                 ) -> tuple[jax.Array, jax.Array]:
     """One CFG-paired DiT pass. noise (1, T, n_mels); cond/cond_drop
     (1, T, n_mels+text_dim); t_emb (dim,). Returns (pred_cond, pred_uncond),
-    each (1, T, n_mels) — the batch-2 trick of dit.py:217."""
+    each (1, T, n_mels) — the batch-2 trick of dit.py:217.
+
+    step_idx: NFE step index; when given and attach_mod_tables has run, the
+    per-block AdaLN vectors come from the precomputed tables instead of 22
+    M=1 matmuls (~0.3 ms/step on TPU at T=1408)."""
     # one batch-2 embedding call for the CFG pair (the convs are
     # batch-parallel, so this is exactly the two-call result at half the
     # dispatch cost — measured 3.5 -> 2.0 ms/step at t=1536)
@@ -339,14 +461,21 @@ def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
         jnp.concatenate([cond, cond_drop], axis=0),
     )                                                               # (2, T, dim)
     t_emb = t_emb.reshape(1, 1, -1)
-    for p in params["blocks"]:
-        x = _dit_block(p, x, t_emb, rope_cos, rope_sin, cfg, kv_len)
-    mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) + params["norm_out"]["b"]
+    use_tab = step_idx is not None and "ada_table" in params
+    for li, p in enumerate(params["blocks"]):
+        mod = params["ada_table"][step_idx, li].reshape(1, 1, -1) \
+            if use_tab else None
+        x = _dit_block(p, x, t_emb, rope_cos, rope_sin, cfg, kv_len, mod)
+    if use_tab:
+        mod = params["norm_out_table"][step_idx].reshape(1, 1, -1)
+    else:
+        mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) \
+            + params["norm_out"]["b"]
     scale, shift = jnp.split(mod, 2, axis=-1)
     x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     x = jnp.matmul(x, params["proj_out"]["w"],
-                   precision="highest") + params["proj_out"]["b"]
-    return x[:1], x[1:]
+                   preferred_element_type=jnp.float32) + params["proj_out"]["b"]
+    return x[:1].astype(noise.dtype), x[1:].astype(noise.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -421,13 +550,20 @@ def init_params(cfg: F5Config, key: jax.Array, dtype=jnp.float32):
     inner = cfg.inner_dim
     scale = cfg.head_dim ** -0.25
 
+    # per-head column permutation to the half-split rope layout (hs_perm)
+    col_perm = (np.arange(inner).reshape(cfg.heads, cfg.head_dim)
+                [:, hs_perm(cfg.head_dim)].reshape(-1))
+
     def attn_p():
         q = lin(d, inner)
         k = lin(d, inner)
         v = lin(d, inner)
-        # load-time scale fold: q,k weights carry d^-0.25 each
-        wqkv = jnp.concatenate([q["w"] * scale, k["w"] * scale, v["w"]], axis=-1)
-        bqkv = jnp.concatenate([q["b"] * scale, k["b"] * scale, v["b"]])
+        # load-time folds: q,k weights carry d^-0.25 each and their feature
+        # columns are permuted to the half-split rope layout
+        wqkv = jnp.concatenate([q["w"][:, col_perm] * scale,
+                                k["w"][:, col_perm] * scale, v["w"]], axis=-1)
+        bqkv = jnp.concatenate([q["b"][col_perm] * scale,
+                                k["b"][col_perm] * scale, v["b"]])
         o = lin(inner, d)
         return {"wqkv": wqkv, "bqkv": bqkv, "wo": o["w"], "bo": o["b"]}
 
@@ -464,7 +600,7 @@ def init_params(cfg: F5Config, key: jax.Array, dtype=jnp.float32):
         "norm_out": lin(d, d * 2),
         "proj_out": lin(d, cfg.n_mels),
     }
-    rope_cos, rope_sin = rope_table_interleaved(cfg.max_signal_len, cfg.head_dim)
+    rope_cos, rope_sin = f5_rope_tables(cfg.max_signal_len, cfg.head_dim)
     params["rope_cos"] = jnp.asarray(rope_cos, dtype)
     params["rope_sin"] = jnp.asarray(rope_sin, dtype)
     ts, dts = f5_time_schedule(cfg.nfe_steps, cfg.sway_coef)
@@ -479,4 +615,4 @@ def init_params(cfg: F5Config, key: jax.Array, dtype=jnp.float32):
         dtype,
     )
     params["delta_t"] = jnp.asarray(dts)     # fp32: Euler carry stays fp32
-    return params
+    return attach_mod_tables(params, cfg)

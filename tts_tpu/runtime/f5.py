@@ -103,10 +103,12 @@ class F5Pipeline:
         # ~1/K of the transformer cost on the skipped steps.
         self.layer_cache_interval = max(1, int(layer_cache_interval))
         self._fn_cache: dict = {}
+        self._key_cache: dict = {}
 
     # -- the jitted program (one per shape bucket) --------------------------
 
-    def _build(self, audio_len: int, text_len: int, frames: int):
+    def _build(self, audio_len: int, text_len: int, frames: int,
+               gen_frames: int):
         cfg, vcfg = self.cfg, self.vcfg
         cache_k = self.layer_cache_interval
         melspec = MelSpectrogram(cfg.sample_rate, cfg.n_fft, cfg.hop,
@@ -145,6 +147,7 @@ class F5Pipeline:
                         params, carry.astype(cdt), cat_mel_text,
                         cat_mel_text_drop, params["time_table"][idx],
                         rope_cos, rope_sin, cfg, kv_len=duration,
+                        step_idx=idx,
                     )
                     update = (pred + (pred - pred1) * cfg.cfg_strength
                               ).astype(jnp.float32) \
@@ -166,13 +169,15 @@ class F5Pipeline:
                         return dit_forward_cached(
                             params, args[0], cat_mel_text, cat_mel_text_drop,
                             params["time_table"][idx], rope_cos, rope_sin,
-                            cfg, duration, args[1], use_cache=False)
+                            cfg, duration, args[1], use_cache=False,
+                            step_idx=idx)
 
                     def reuse(args):
                         return dit_forward_cached(
                             params, args[0], cat_mel_text, cat_mel_text_drop,
                             params["time_table"][idx], rope_cos, rope_sin,
-                            cfg, duration, args[1], use_cache=True)
+                            cfg, duration, args[1], use_cache=True,
+                            step_idx=idx)
 
                     pred, pred1, cache = jax.lax.cond(
                         idx % cache_k == 0, full, reuse,
@@ -186,17 +191,22 @@ class F5Pipeline:
                     step, (noise, cache0), jnp.arange(cfg.nfe_steps - 1))
 
             # --- decode (reference graph C) ---
+            # gen_frames is a static bucket of the generated length: the
+            # vocoder runs only on the generated span and the returned wav is
+            # ~2.6x smaller — device->host fetches over a remote tunnel cost
+            # ~28 ms + ~30 MB/s, so bytes matter
             gen = jax.lax.dynamic_slice(
-                jnp.pad(denoised, ((0, 0), (0, frames), (0, 0))),
-                (0, ref_signal_len, 0), (1, frames, cfg.n_mels),
+                jnp.pad(denoised, ((0, 0), (0, gen_frames), (0, 0))),
+                (0, ref_signal_len, 0), (1, gen_frames, cfg.n_mels),
             )
             wav = vocos_decode(vparams, gen, vcfg)
             return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
         return run
 
-    def _get_fn(self, audio_len: int, text_len: int, frames: int):
-        key = (audio_len, text_len, frames)
+    def _get_fn(self, audio_len: int, text_len: int, frames: int,
+                gen_frames: int):
+        key = (audio_len, text_len, frames, gen_frames)
         if key not in self._fn_cache:
             self._fn_cache[key] = self._build(*key)
         return self._fn_cache[key]
@@ -236,13 +246,22 @@ class F5Pipeline:
         ids_p = np.pad(ids, ((0, 0), (0, text_bucket - ids.shape[-1])),
                        constant_values=-1)
 
-        fn = self._get_fn(audio_bucket, text_bucket, frame_bucket)
-        key = jax.random.key(self.seed if seed is None else seed)
+        gen_len = max(duration - ref_signal_len - 1, 0)
+        gen_bucket = min(_bucket(gen_len, 64, 64), frame_bucket)
+
+        fn = self._get_fn(audio_bucket, text_bucket, frame_bucket, gen_bucket)
+        # scalar jnp.int32()/jax.random.key() creation costs ~30 ms each over
+        # a remote-device tunnel (tiny blocking transfers); numpy scalars ride
+        # the fast argument path and keys are cached per seed
+        s = self.seed if seed is None else seed
+        key = self._key_cache.get(s)
+        if key is None:
+            key = self._key_cache[s] = jax.random.key(s)
 
         t0 = time.perf_counter()
         wav = fn(self.params, self.vparams, jnp.asarray(audio_p),
-                 jnp.asarray(ids_p), jnp.int32(ref_signal_len),
-                 jnp.int32(duration), key)
+                 jnp.asarray(ids_p), np.int32(ref_signal_len),
+                 np.int32(duration), key)
         wav = np.asarray(jax.block_until_ready(wav))
         wall = time.perf_counter() - t0
 

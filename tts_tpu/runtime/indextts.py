@@ -260,8 +260,9 @@ class IndexTTSPipeline:
         ids[0, :tlen] = text_ids[0]
 
         t0 = time.perf_counter()
+        # np.int32: jnp scalar creation costs ~30 ms/call over a tunnel
         hiddens, num, save = self._decode_fn(tb, max_gen)(
-            self.params, conds_latent, jnp.asarray(ids), jnp.int32(tlen))
+            self.params, conds_latent, jnp.asarray(ids), np.int32(tlen))
         num = int(num)
         # drop the last 2 collected hiddens (reference :303 latent[:-2])
         n_frames = max(num - 2, 0)

@@ -221,8 +221,10 @@ class KaniPipeline:
         ids_buf[0, :prompt_len] = ids[0]
 
         t0 = time.perf_counter()
+        # np.int32: per-call jnp scalar creation costs ~30 ms over a
+        # remote-device tunnel; numpy args ride the fast path
         save_ids, n = self._decode_fn(self.params, jnp.asarray(ids_buf),
-                                      jnp.int32(prompt_len))
+                                      np.int32(prompt_len))
         n = int(n)
         g = self.codec_cfg.num_groups
         frames = max((n - 2) // g, 0)

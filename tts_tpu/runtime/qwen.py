@@ -448,11 +448,14 @@ class QwenTTSPipeline:
             upsample=self.codec_cfg.total_upsample,
             num_groups=cfg.num_code_groups)
 
+        # np scalars/arrays ride the fast jit-argument path; per-call
+        # jnp.int32()/jnp.zeros() each cost a ~30 ms blocking round-trip on a
+        # remote-device tunnel
         kv, hid = self._prefill_fn(self.params, jnp.asarray(buf),
-                                   jnp.int32(p_len))
-        save0 = jnp.zeros((1, dcfg.max_frames), jnp.int32)
-        num = jnp.zeros((), jnp.int32)
-        budget = jnp.int32(dcfg.max_frames)
+                                   np.int32(p_len))
+        save0 = np.zeros((1, dcfg.max_frames), np.int32)
+        num = np.int32(0)
+        budget = np.int32(dcfg.max_frames)
         trailing_dev = jnp.asarray(tr)
         while True:
             kv, hid, frames, save0, n_keep, num, fin = chunk_fn(
@@ -493,7 +496,7 @@ class QwenTTSPipeline:
 
         t0 = time.perf_counter()
         frames, num = self._decode_fn[tb](
-            self.params, jnp.asarray(buf), jnp.int32(p_len), jnp.asarray(tr))
+            self.params, jnp.asarray(buf), np.int32(p_len), jnp.asarray(tr))
         num = int(num)
         if num == 0:
             return np.zeros(0, np.int16), {"frames": 0, "wall_s": 0.0}

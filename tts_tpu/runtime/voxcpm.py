@@ -66,6 +66,13 @@ class VoxCPMPipeline:
         self._enc_cache: dict = {}
         self._dec_fn = None
         self._vae_dec_cache: dict = {}
+        self._key_cache: dict = {}
+
+    def _get_key(self, seed: int):
+        key = self._key_cache.get(seed)
+        if key is None:
+            key = self._key_cache[seed] = jax.random.key(seed)
+        return key
 
     # ------------------------------------------------------------- prompt
 
@@ -301,12 +308,14 @@ class VoxCPMPipeline:
             window=chunk + 1, left_context=1, upsample=up,
             num_groups=cfg.patch_size)
 
+        # np scalars ride the fast jit-argument path (per-call jnp scalar
+        # creation costs ~30 ms over a remote-device tunnel); keys are cached
         base_kv, res_kv, dit, feat_cond = self._prefill_only_fn(
             self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
-            jnp.int32(pos), jnp.asarray(fe_buf), feat_cond)
-        rng_key = jax.random.key(self.dcfg.seed if seed is None else seed)
-        num = jnp.zeros((), jnp.int32)
-        budget = jnp.int32(min(max_steps, dcfg.max_latents))
+            np.int32(pos), jnp.asarray(fe_buf), feat_cond)
+        rng_key = self._get_key(self.dcfg.seed if seed is None else seed)
+        num = np.int32(0)
+        budget = np.int32(min(max_steps, dcfg.max_latents))
         while True:
             (base_kv, res_kv, dit, feat_cond, latents, rng_key, n_in, num,
              fin) = gen_fn(self.params, base_kv, res_kv, dit, feat_cond,
@@ -352,11 +361,11 @@ class VoxCPMPipeline:
 
         t0 = time.perf_counter()
         for attempt in range(self.dcfg.retry_badcase + 1):
-            key = jax.random.key(base_seed + attempt)
+            key = self._get_key(base_seed + attempt)
             latents, num = self._dec_fn(
                 self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
-                jnp.int32(pos), jnp.asarray(fe_buf),
-                feat_cond, jnp.int32(max_steps), key)
+                np.int32(pos), jnp.asarray(fe_buf),
+                feat_cond, np.int32(max_steps), key)
             num = int(num)
             cap = min(max_steps, dcfg.max_latents)
             if num < cap or attempt == self.dcfg.retry_badcase:

@@ -22,11 +22,13 @@ import jax.numpy as jnp
 from ..models.f5 import (
     F5Config,
     _text_freqs_cis,
+    attach_mod_tables,
+    f5_rope_tables,
     f5_time_embed_table,
     f5_time_schedule,
+    hs_perm,
 )
 from ..models.vocos import VocosConfig
-from ..nn.rope import rope_table_interleaved
 
 __all__ = ["load_f5_vocab", "load_f5", "load_vocos",
            "f5_params_from_state_dict", "vocos_params_from_state_dict"]
@@ -86,13 +88,19 @@ def f5_params_from_state_dict(
     scale = cfg.head_dim ** -0.25
     t = "transformer"
 
+    # per-head q/k column permutation to the half-split rope layout
+    # (models/f5.hs_perm) — exact reordering, folded at load like the scale
+    heads = cfg.inner_dim // cfg.head_dim
+    col_perm = (np.arange(cfg.inner_dim).reshape(heads, cfg.head_dim)
+                [:, hs_perm(cfg.head_dim)].reshape(-1))
+
     def attn_p(i):
         pre = f"{t}.transformer_blocks.{i}.attn"
-        wq = sd[f"{pre}.to_q.weight"].T * scale
-        wk = sd[f"{pre}.to_k.weight"].T * scale
+        wq = (sd[f"{pre}.to_q.weight"].T * scale)[:, col_perm]
+        wk = (sd[f"{pre}.to_k.weight"].T * scale)[:, col_perm]
         wv = sd[f"{pre}.to_v.weight"].T
-        bq = sd[f"{pre}.to_q.bias"] * scale
-        bk = sd[f"{pre}.to_k.bias"] * scale
+        bq = (sd[f"{pre}.to_q.bias"] * scale)[col_perm]
+        bk = (sd[f"{pre}.to_k.bias"] * scale)[col_perm]
         bv = sd[f"{pre}.to_v.bias"]
         return {
             "wqkv": jnp.asarray(np.concatenate([wq, wk, wv], axis=-1), dtype),
@@ -138,7 +146,7 @@ def f5_params_from_state_dict(
         "proj_out": _lin(sd, f"{t}.proj_out", dtype),
     }
 
-    rope_cos, rope_sin = rope_table_interleaved(cfg.max_signal_len, cfg.head_dim)
+    rope_cos, rope_sin = f5_rope_tables(cfg.max_signal_len, cfg.head_dim)
     params["rope_cos"] = jnp.asarray(rope_cos, dtype)
     params["rope_sin"] = jnp.asarray(rope_sin, dtype)
     ts, dts = f5_time_schedule(cfg.nfe_steps, cfg.sway_coef)
@@ -154,7 +162,7 @@ def f5_params_from_state_dict(
         dtype,
     )
     params["delta_t"] = jnp.asarray(dts)    # fp32: Euler carry stays fp32
-    return params
+    return attach_mod_tables(params, cfg)
 
 
 def load_f5(safetensors_path: str, vocab_path: str,
