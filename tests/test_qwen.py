@@ -88,6 +88,39 @@ def test_predictor_frame_shapes():
     assert ce0.shape == (1, 1, TINY.talker.hidden_size)
 
 
+def test_predictor_frame_beam_matches_greedy_at_beam1():
+    """beam_size=1, top_k=1 degenerates to argmax at every group, so the
+    beam path must reproduce the greedy scan exactly (the reference's
+    FIRST/SECOND_BEAM graphlets with k=1, Export_Qwen_TTS_ONNX.py:2528-2552)."""
+    from tts_tpu.models.qwen_tts import predictor_frame_beam
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    hid = jax.random.normal(jax.random.key(2), (1, 1, TINY.talker.hidden_size))
+    tok0 = jnp.asarray([3], jnp.int32)
+    greedy_ids, _ = jax.jit(
+        lambda h, t: predictor_frame(params, h, t, TINY))(hid, tok0)
+    beam_ids, ce0 = jax.jit(
+        lambda h, t: predictor_frame_beam(params, h, t, TINY, 1, 1))(hid, tok0)
+    np.testing.assert_array_equal(np.asarray(greedy_ids), np.asarray(beam_ids))
+    assert ce0.shape == (1, 1, TINY.talker.hidden_size)
+
+
+def test_predictor_frame_beam_shapes():
+    from tts_tpu.models.qwen_tts import predictor_frame_beam
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    hid = jax.random.normal(jax.random.key(5), (1, 1, TINY.talker.hidden_size))
+    tok0 = jnp.asarray([2], jnp.int32)
+    frame_ids, ce0 = jax.jit(
+        lambda h, t: predictor_frame_beam(params, h, t, TINY, 3, 2,
+                                          repeat_penalty=0.9))(hid, tok0)
+    assert frame_ids.shape == (TINY.num_code_groups,)
+    assert int(frame_ids[0]) == 2
+    assert (np.asarray(frame_ids[1:]) < TINY.group_vocab).all()
+
+
 def test_rvq_dequantize_split_semantics():
     """Group 0 goes through the semantic path, others through acoustic —
     changing group 0 must not change the acoustic component."""
@@ -134,3 +167,10 @@ def test_qwen_pipeline_smoke():
     wav8, stats8 = pipe8.synthesize_ids(ids, language_id=3)
     assert wav8.dtype == np.int16
     assert stats8["frames"] <= 6
+
+    pipe_b = QwenTTSPipeline(params, TINY, cparams, TINY_CODEC,
+                             QwenDecodeConfig(max_frames=6, use_beam=True,
+                                              beam_size=2, beam_top_k=2))
+    wav_b, stats_b = pipe_b.synthesize_ids(ids, language_id=3)
+    assert wav_b.dtype == np.int16
+    assert stats_b["frames"] <= 6

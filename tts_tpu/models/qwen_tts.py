@@ -165,7 +165,8 @@ def make_suppress_bias(vocab_size: int, eos_id: int,
 # Predictor: one full 16-group frame as a scan
 
 def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
-                    cfg: QwenTTSConfig):
+                    cfg: QwenTTSConfig, repeat_penalty: float = 1.0,
+                    penalty_range: int = 10):
     """Generate one frame's remaining 15 RVQ groups.
 
     talker_hidden: (1, 1, talker_H) last hidden from the talker step;
@@ -175,6 +176,8 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
     Replaces the reference inner loop of ~60 session calls
     (Export_Qwen_TTS_ONNX.py:2485-2597) with a while-free scan over the
     stacked (15, H, V) LM heads and (15, V, H) group embeddings.
+    repeat_penalty != 1 applies the in-frame repetition penalty the
+    reference applies on non-prefill predictor steps (:2524-2527).
     """
     pcfg = cfg.predictor
     codec_embed0 = params["talker_codec_embed"][codec_token0][:, None]  # (1,1,H)
@@ -194,6 +197,11 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
     def step(carry, g):
         h, kv, save = carry
         logits = jnp.matmul(h, params["lm_heads"][g])         # (1, Vg)
+        if repeat_penalty != 1.0:
+            from ..decoding.sampling import apply_repetition_penalty
+
+            logits = apply_repetition_penalty(logits, save[None], g,
+                                              repeat_penalty, penalty_range)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1,)
         save = save.at[g].set(tok[0])
         # group embeds live in talker space (they also feed TTS_EMBED_C);
@@ -212,6 +220,72 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
         step, (h, kv, save), jnp.arange(cfg.num_code_groups - 1))
 
     frame_ids = jnp.concatenate([codec_token0, save])         # (16,)
+    return frame_ids, codec_embed0
+
+
+def predictor_frame_beam(params, talker_hidden: jax.Array,
+                         codec_token0: jax.Array, cfg: QwenTTSConfig,
+                         beam_size: int, top_k: int,
+                         repeat_penalty: float = 1.0,
+                         penalty_range: int = 10):
+    """Beam-search variant of predictor_frame — the reference's
+    USE_BEAM_SEARCH predictor path (Export_Qwen_TTS_ONNX.py:2528-2552:
+    FIRST_BEAM expands the first group's logits into beam_size rows with the
+    KV tiled batch-wise; each later group takes top_k per beam, prunes to the
+    joint top beam_size, and reorders KV/history by parent; :2577-2580
+    gathers row 0 — the best, since the top_k outputs are sorted — at the
+    end). Optional repetition penalty over the ids already chosen in this
+    frame mirrors :2524-2527.
+
+    Same contract as predictor_frame: returns (frame_ids (16,), codec_embed0
+    (1, 1, talker_H))."""
+    pcfg = cfg.predictor
+    codec_embed0 = params["talker_codec_embed"][codec_token0][:, None]
+
+    kv = KVCache.create(pcfg.num_layers, beam_size, pcfg.num_kv_heads,
+                        pcfg.max_seq_len, pcfg.head_dim, talker_hidden.dtype)
+    prefill = jnp.concatenate([talker_hidden, codec_embed0], axis=1)
+    prefill = jnp.matmul(prefill, params["small_to_mtp"])    # (1, 2, pH)
+    # tile the single hypothesis into beam rows up front (the reference
+    # repeats the KV after the first step; prefilling batch=beam identical
+    # rows is equivalent and keeps the step shapes static)
+    prefill = jnp.broadcast_to(prefill, (beam_size,) + prefill.shape[1:])
+
+    rope_cos = params["pred_rope_cos"]
+    rope_sin = params["pred_rope_sin"]
+    h, kv = qwen3_stack_step(params["predictor"], prefill, kv, pcfg,
+                             rope_cos[:2], rope_sin[:2])
+
+    from ..decoding.beam import beam_init, beam_step
+    from ..decoding.sampling import apply_repetition_penalty
+
+    logits0 = jnp.matmul(h[:1], params["lm_heads"][0])        # (1, Vg)
+    state = beam_init(logits0, beam_size)
+    save = jnp.zeros((beam_size, cfg.num_code_groups - 1), jnp.int32)
+    save = save.at[:, 0].set(state.tokens)
+
+    def step(carry, g):
+        h, kv, save, log_probs, toks = carry
+        emb = params["group_embeds"][g - 1][toks][:, None]    # (beam, 1, tH)
+        emb = jnp.matmul(emb, params["small_to_mtp"])
+        pos = kv.length
+        rc = jax.lax.dynamic_slice(rope_cos, (pos, 0), (1, pcfg.head_dim))
+        rs = jax.lax.dynamic_slice(rope_sin, (pos, 0), (1, pcfg.head_dim))
+        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs)
+        logits = jnp.matmul(h, params["lm_heads"][g])         # (beam, Vg)
+        if repeat_penalty != 1.0:
+            logits = apply_repetition_penalty(logits, save, g,
+                                              repeat_penalty, penalty_range)
+        st = beam_step(logits, log_probs, beam_size, top_k)
+        kv = kv.select_batch(st.parent)
+        save = save[st.parent].at[:, g].set(st.tokens)
+        return (h, kv, save, st.log_probs, st.tokens), None
+
+    carry = (h, kv, save, state.log_probs, state.tokens)
+    (h, kv, save, _, _), _ = jax.lax.scan(
+        step, carry, jnp.arange(1, cfg.num_code_groups - 1))
+
+    frame_ids = jnp.concatenate([codec_token0, save[0]])      # (16,)
     return frame_ids, codec_embed0
 
 

@@ -73,6 +73,13 @@ class QwenDecodeConfig:
     max_frames: int = 600
     repeat_penalty: float = 0.9
     penalty_range: int = 10
+    # predictor beam search (reference USE_BEAM_SEARCH,
+    # Export_Qwen_TTS_ONNX.py:2528-2552); beam_size <= 1 keeps the greedy
+    # scan. Degenerate settings fall back to greedy with a warning at
+    # pipeline construction (reference :2122-2127 behavior).
+    use_beam: bool = False
+    beam_size: int = 3
+    beam_top_k: int = 3
 
 
 class QwenTTSPipeline:
@@ -97,9 +104,34 @@ class QwenTTSPipeline:
         self.codec_params = codec_params
         self.codec_cfg = codec_cfg
         self.dcfg = decode_cfg or QwenDecodeConfig()
+        if self.dcfg.use_beam and (self.dcfg.beam_size < 2
+                                   or self.dcfg.beam_top_k < 1):
+            # degenerate beam settings fall back to greedy with a warning
+            # (reference Export_Qwen_TTS_ONNX.py:2122-2127)
+            import warnings
+
+            warnings.warn("degenerate beam settings "
+                          f"(beam_size={self.dcfg.beam_size}, "
+                          f"top_k={self.dcfg.beam_top_k}); using greedy")
+            self.dcfg = QwenDecodeConfig(
+                **{**self.dcfg.__dict__, "use_beam": False})
         self.output_sample_rate = output_sample_rate
         self._decode_fn = None
         self._codec_cache: dict = {}
+
+    def _predictor(self, params, hid, tok0, cfg):
+        """Greedy scan or beam search over the 15 predictor groups,
+        per decode config."""
+        if self.dcfg.use_beam:
+            from ..models.qwen_tts import predictor_frame_beam
+
+            return predictor_frame_beam(
+                params, hid, tok0, cfg, self.dcfg.beam_size,
+                self.dcfg.beam_top_k, self.dcfg.repeat_penalty,
+                self.dcfg.penalty_range)
+        return predictor_frame(params, hid, tok0, cfg,
+                               self.dcfg.repeat_penalty,
+                               self.dcfg.penalty_range)
 
     # ------------------------------------------------------------- prefill
 
@@ -206,8 +238,8 @@ class QwenTTSPipeline:
                 save0 = jax.lax.dynamic_update_slice(save0, tok0[:, None],
                                                      (0, num))
 
-                frame_ids, ce0 = predictor_frame(params, hid[:, None], tok0,
-                                                 cfg)
+                frame_ids, ce0 = self._predictor(params, hid[:, None],
+                                                 tok0, cfg)
                 frames = frames.at[num].set(frame_ids)
 
                 gather = jnp.minimum(num, trailing_minus)
@@ -392,8 +424,8 @@ class QwenTTSPipeline:
                 fin = (tok0[0] == cfg.codec_eos_token_id)
                 save0 = jax.lax.dynamic_update_slice(save0, tok0[:, None],
                                                      (0, num))
-                frame_ids, ce0 = predictor_frame(params, hid[:, None], tok0,
-                                                 cfg)
+                frame_ids, ce0 = self._predictor(params, hid[:, None],
+                                                 tok0, cfg)
                 frames = frames.at[n_in].set(frame_ids)
                 gather = jnp.minimum(num, trailing_minus)
                 nxt = next_talker_input(params, frame_ids, ce0, trailing,
