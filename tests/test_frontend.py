@@ -68,3 +68,48 @@ def test_sentence_split_bounds():
     sents = split_sentences(toks, max_tokens=12)
     assert all(len(s) <= 12 for s in sents)
     assert sum(len(s) for s in sents) == len(toks)
+
+
+def test_voxcpm_clean_markdown_and_normalize():
+    from tts_tpu.frontend.voxcpm_text import (clean_markdown,
+                                              normalize_voxcpm_text,
+                                              replace_blank)
+
+    md = "# Title\n[link](http://x) and `code` \n- item\n```\nblock\n```"
+    out = clean_markdown(md)
+    assert "```" not in out and "#" not in out and "(http" not in out
+    assert "link" in out and "item" in out
+
+    # English: number expansion + markdown stripped
+    assert normalize_voxcpm_text("**5** cats") == "**five** cats" or \
+        "five cats" in normalize_voxcpm_text("5 cats")
+    # Chinese: digits read per character, CJK spacing dropped
+    zh = normalize_voxcpm_text("你好 世界 123")
+    assert "一二三" in zh and "你好" in zh
+    # space survives only between two ascii word chars (reference
+    # text_normalize.py:112-120)
+    assert replace_blank("你 好 ab cd") == "你好ab cd"
+
+
+def test_voxcpm_char_tokenizer_wrapper():
+    from tts_tpu.frontend.voxcpm_text import CharTokenizerWrapper
+
+    class FakeTok:
+        vocab = {"你好": 7, "你": 1, "好": 2, "▁hi": 3}
+
+        def tokenize(self, text):
+            # pretend the BPE merges 你好 into one token
+            out = []
+            if "你好" in text:
+                out.append("你好")
+                text = text.replace("你好", "")
+            if "hi" in text:
+                out.append("▁hi")
+            return out
+
+        def convert_tokens_to_ids(self, toks):
+            return [self.vocab.get(t, 0) for t in toks]
+
+    w = CharTokenizerWrapper(FakeTok())
+    assert w.tokenize("你好 hi") == ["你", "好", "▁hi"]
+    assert w("你好 hi") == [1, 2, 3]

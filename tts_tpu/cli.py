@@ -295,10 +295,14 @@ def cmd_voxcpm(args) -> None:
             scale_depth=1.4 if args.v2 else 1.0)
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(args.ckpt)
-        ids = tok(args.text, return_tensors="np")["input_ids"].astype("int32")
-        p_ids = (tok(args.prompt_text, return_tensors="np")["input_ids"]
-                 .astype("int32") if args.prompt_text else
+        from .frontend.voxcpm_text import (mask_multichar_chinese_tokens,
+                                           normalize_voxcpm_text)
+
+        ctok = mask_multichar_chinese_tokens(
+            AutoTokenizer.from_pretrained(args.ckpt))
+        ids = np.asarray([ctok(normalize_voxcpm_text(args.text))], np.int32)
+        p_ids = (np.asarray([ctok(normalize_voxcpm_text(args.prompt_text))],
+                            np.int32) if args.prompt_text else
                  np.zeros((1, 0), np.int32))
     else:
         from .models.voxcpm import LlamaStackConfig, VaeConfig

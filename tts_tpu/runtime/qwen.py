@@ -138,7 +138,8 @@ class QwenTTSPipeline:
     def build_prefill_embeds(self, text_ids: np.ndarray,
                              language_id: int,
                              speaker_id: int | None = None,
-                             ref_text_ids: np.ndarray | None = None
+                             ref_text_ids: np.ndarray | None = None,
+                             instruct_ids: np.ndarray | None = None
                              ) -> tuple[np.ndarray, np.ndarray]:
         """Assemble the talker prefill (TTS_PREPROCESS._forward_default,
         :648-668, custom_voice layout with empty ref codec): role header is
@@ -187,6 +188,12 @@ class QwenTTSPipeline:
         # interleave: first text token + codec bos starts generation
         first = text_seq[:, :1] + codec_embed([[cfg.codec_bos_id]])
         prefill = np.concatenate([codec_prefix, first], axis=1)
+        if instruct_ids is not None:
+            # custom_voice style instruction / voice_design description:
+            # tokenized "<|im_start|>system\n...<|im_end|>\n" embeds prepended
+            # before the preprocess output (reference :2610-2648)
+            prefill = np.concatenate([text_embed(instruct_ids), prefill],
+                                     axis=1)
         trailing = np.concatenate([text_seq[:, 1:], tts_pad], axis=1)
         return prefill.astype(np.float32), trailing.astype(np.float32)
 
@@ -542,8 +549,9 @@ class QwenTTSPipeline:
                      "frames_per_s": num / max(wall, 1e-9)}
 
     def synthesize_ids(self, text_ids: np.ndarray, language_id: int = 0,
-                       speaker_id: int | None = None
+                       speaker_id: int | None = None,
+                       instruct_ids: np.ndarray | None = None
                        ) -> tuple[np.ndarray, dict]:
         prefill, trailing = self.build_prefill_embeds(
-            text_ids, language_id, speaker_id)
+            text_ids, language_id, speaker_id, instruct_ids=instruct_ids)
         return self.synthesize_from_prefill(prefill, trailing)
