@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Per-family TPU benchmarks at reference-comparable sizes.
+
+Reproduces the measurement conditions behind the README/COVERAGE
+performance tables (the reference's own table lives at
+/root/reference/README.md:26-39; common test = ~6 s reference audio,
+~15 words generated). Weights are random (no checkpoints in this env) —
+wall-clock is architecture+shape-determined, so RTF/token-rate numbers are
+valid; audio content is not.
+
+Run from the repo root on the TPU: `python benchmarks/families.py [family]`.
+Prints one JSON line per family.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dt():
+    return jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+
+
+def bench_f5():
+    import bench
+
+    return bench.bench_f5()
+
+
+def bench_bigvgan():
+    from tts_tpu.runtime.vocoder import BigVGANVocoder
+
+    from tts_tpu.models.bigvgan import BigVGANConfig
+    from tts_tpu.models.bigvgan import init_params as bv_init
+
+    cfg = BigVGANConfig()
+    params = jax.jit(lambda k: bv_init(cfg, k, _dt()))(jax.random.key(0))
+    voc = BigVGANVocoder(params, cfg, dtype=_dt())
+    stats = voc.benchmark(mel_frames=512, iters=50)
+    sps = stats["samples_per_sec"]
+    base = 512 * 256 / 4.6        # reference: mel (1,100,512) in 4.6 s (MX150)
+    return {"metric": "bigvgan_v2_24k mel(1,100,512)",
+            "value": round(sps, 0), "unit": "samples/s",
+            "vs_baseline": round(sps / base, 1)}
+
+
+def bench_kani(quantize=None):
+    from tts_tpu.models.kani import KaniConfig, init_params
+    from tts_tpu.models.nanocodec import NanoCodecConfig
+    from tts_tpu.models.nanocodec import init_params as nc_init
+    from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+
+    cfg = KaniConfig()
+    ncfg = NanoCodecConfig()
+    kp = jax.jit(lambda k: init_params(cfg, k, _dt()))(jax.random.key(0))
+    cp = jax.jit(lambda k: nc_init(ncfg, k, _dt()))(jax.random.key(1))
+    pipe = KaniPipeline(kp, cfg, cp, ncfg,
+                        KaniDecodeConfig(max_new_tokens=400),
+                        quantize=quantize)
+    ids = np.arange(1, 33, dtype=np.int32)[None]
+    pipe.synthesize_ids(ids)                       # compile
+    t0 = time.perf_counter()
+    wav, stats = pipe.synthesize_ids(ids)
+    tok_s = stats["tokens"] / (time.perf_counter() - t0)
+    return {"metric": f"kani_370m decode{' int8' if quantize else ''}",
+            "value": round(tok_s, 0), "unit": "tok/s",
+            "vs_baseline": None}
+
+
+def bench_indextts(quantize=None):
+    from tts_tpu.models.bigvgan import BigVGANConfig
+    from tts_tpu.models.bigvgan import init_params as bigvgan_init
+    from tts_tpu.models.indextts import (IndexTTSConfig, init_conformer_params,
+                                         init_ecapa_params, init_gpt_params,
+                                         init_perceiver_params)
+    from tts_tpu.runtime.indextts import IndexTTSPipeline
+
+    cfg = IndexTTSConfig()
+    vcfg = BigVGANConfig(num_mels=cfg.gpt_dim, upsample_initial_channel=512,
+                         use_tanh_at_final=True, use_bias_at_final=True)
+    dt = _dt()
+    ks = jax.random.split(jax.random.key(0), 8)
+    c0 = vcfg.upsample_initial_channel
+
+    @jax.jit
+    def build(ks):
+        return {
+            "conformer": init_conformer_params(cfg, ks[0], dtype=dt),
+            "perceiver": init_perceiver_params(cfg, ks[1], dt),
+            "ecapa": init_ecapa_params(cfg, ks[2], dt),
+            "gpt": init_gpt_params(cfg, ks[3], dt),
+            "bigvgan": bigvgan_init(vcfg, ks[4], dt),
+            "cond_layer": {
+                "w": jax.random.normal(ks[5], (cfg.speaker_embed_dim, c0), dt) * 0.02,
+                "b": jnp.zeros((c0,), dt)},
+            "conds": [
+                {"w": jax.random.normal(ks[6], (cfg.speaker_embed_dim, c), dt) * 0.02,
+                 "b": jnp.zeros((c,), dt)}
+                for c in vcfg.stage_channels],
+        }
+
+    params = build(ks)
+    pipe = IndexTTSPipeline(params, cfg, vcfg, quantize=quantize)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(6 * 24000) * 3000).astype(np.int16)
+    ref = pipe.encode_reference(audio)
+    ids = np.arange(5, 37, dtype=np.int32)[None]
+    pipe.synthesize_ids(ids, ref, max_gen=200)     # compile
+    t0 = time.perf_counter()
+    wav, stats = pipe.synthesize_ids(ids, ref, max_gen=200)
+    tok_s = stats.tokens / (time.perf_counter() - t0)
+    return {"metric": f"indextts_1.5 decode{' int8' if quantize else ''}",
+            "value": round(tok_s, 0), "unit": "tok/s",
+            "vs_baseline": None}
+
+
+def bench_qwen(quantize=None):
+    from tts_tpu.models.qwen_codec import (QwenCodecDecoderConfig,
+                                           init_decoder_params)
+    from tts_tpu.models.qwen_tts import (QwenTTSConfig, init_predictor_params,
+                                         init_talker_params)
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    cfg = QwenTTSConfig()
+    ccfg = QwenCodecDecoderConfig()
+    dt = _dt()
+    params = {
+        **jax.jit(lambda k: init_talker_params(cfg, k, dt))(jax.random.key(0)),
+        **jax.jit(lambda k: init_predictor_params(cfg, k, dt))(jax.random.key(1)),
+    }
+    cparams = jax.jit(lambda k: init_decoder_params(ccfg, k, dt))(jax.random.key(2))
+    pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
+                           QwenDecodeConfig(max_frames=120),
+                           quantize=quantize)
+    ids = np.arange(5, 37, dtype=np.int32)[None]
+    pipe.synthesize_ids(ids, language_id=3)        # compile
+    t0 = time.perf_counter()
+    wav, stats = pipe.synthesize_ids(ids, language_id=3)
+    wall = time.perf_counter() - t0
+    fps = stats["frames"] / wall
+    rtf = wall / (stats["frames"] / 12.0)          # 12 Hz codec
+    return {"metric": f"qwen3_tts_0.6b decode{' int8' if quantize else ''}",
+            "value": round(fps, 1), "unit": "frames/s",
+            "rtf": round(rtf, 4), "vs_baseline": round(3.1 / rtf, 1)}
+
+
+def _bench_voxcpm(v2: bool, quantize=None):
+    from tts_tpu.models.voxcpm import (VoxCPMConfig, init_params,
+                                       init_vae_params, voxcpm_v2_config)
+    from tts_tpu.runtime.voxcpm import VoxCPMDecodeConfig, VoxCPMPipeline
+
+    cfg = voxcpm_v2_config() if v2 else VoxCPMConfig()
+    dt = _dt()
+    params = jax.jit(lambda k: init_params(cfg, k, dt))(jax.random.key(0))
+    vae = jax.jit(lambda k: init_vae_params(cfg.vae, k, dt))(jax.random.key(1))
+    pipe = VoxCPMPipeline(params, cfg, vae,
+                          VoxCPMDecodeConfig(max_latents=64),
+                          quantize=quantize)
+    prompt = np.arange(5, 21, dtype=np.int32)[None]
+    target = np.arange(21, 53, dtype=np.int32)[None]
+    pipe.synthesize_ids(prompt, target)            # compile
+    t0 = time.perf_counter()
+    wav, stats = pipe.synthesize_ids(prompt, target)
+    wall = time.perf_counter() - t0
+    audio_s = len(wav) / pipe.output_sample_rate
+    rtf = wall / max(audio_s, 1e-9)
+    name = "voxcpm_2" if v2 else "voxcpm_1.5"
+    base = 0.34 if v2 else 0.17                    # reference GPU RTFs
+    return {"metric": f"{name} end-to-end{' int8' if quantize else ''}",
+            "value": round(rtf, 4), "unit": "rtf",
+            "vs_baseline": round(base / rtf, 1)}
+
+
+def bench_voxcpm15(quantize=None):
+    return _bench_voxcpm(False, quantize)
+
+
+def bench_voxcpm2(quantize=None):
+    return _bench_voxcpm(True, quantize)
+
+
+ALL = {
+    "f5": bench_f5,
+    "bigvgan": bench_bigvgan,
+    "kani": bench_kani,
+    "indextts": bench_indextts,
+    "qwen": bench_qwen,
+    "voxcpm15": bench_voxcpm15,
+    "voxcpm2": bench_voxcpm2,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        try:
+            print(json.dumps(ALL[n]()))
+        except Exception as e:  # keep going; a family failure is data too
+            print(json.dumps({"metric": n, "error": str(e)[:200]}))

@@ -71,26 +71,62 @@ class AliasFreeResample:
     def upsample(self, x: jax.Array) -> jax.Array:
         """(B, T, C) -> (B, R*T, C) anti-aliased upsample.
 
-        zero-pad(up_pad) -> depthwise transposed conv(stride=R) -> crop,
-        exactly the reference UpSample1d semantics (resample.py:30-35); the
-        lhs-dilated conv lowers onto the MXU/VPU without materializing the
-        zero-stuffed signal.
+        zero-pad(up_pad) -> zero-stuffed transposed conv(stride=R) -> crop,
+        exactly the reference UpSample1d semantics (resample.py:30-35).
+
+        The filter is a single scalar tap sequence shared by every channel,
+        so the depthwise transposed conv is computed as R polyphase branches
+        of K/R shifted scalar FMAs, interleaved back — no grouped conv (a
+        TPU layout hazard) and no materialized zero-stuffing. Derivation:
+        with xp the padded input and phases s = R*u + r,
+          y_full[R*u + r] = sum_m xp[u - m] * w[r + R*m].
         """
-        c = x.shape[-1]
-        xp = jnp.pad(x, ((0, 0), (self.up_pad, self.up_pad), (0, 0)))
-        w = jnp.asarray(self.up_filter, x.dtype).reshape(-1, 1, 1) * jnp.ones(
-            (1, 1, c), x.dtype
-        )
-        y = conv_transpose1d(xp, w, stride=self.ratio, padding=0, groups=c)
+        r_ = self.ratio
+        k = self.kernel_size
+        kp = -(-k // r_)
+        xp = jnp.pad(x, ((0, 0), (self.up_pad + kp - 1,
+                                  self.up_pad + kp - 1), (0, 0)))
+        tp = x.shape[1] + 2 * self.up_pad
+        u_len = tp + kp - 1
+        w = self.up_filter
+        phases = []
+        for r in range(r_):
+            acc = None
+            for m in range(kp):
+                if r + r_ * m >= k:
+                    break
+                tap = float(w[r + r_ * m])
+                term = xp[:, kp - 1 - m : kp - 1 - m + u_len] * jnp.asarray(
+                    tap, x.dtype)
+                acc = term if acc is None else acc + term
+            phases.append(acc)
+        y = jnp.stack(phases, axis=2).reshape(x.shape[0], u_len * r_,
+                                              x.shape[-1])
         return y[:, self.up_crop_left : y.shape[1] - self.up_crop_right]
 
     def downsample(self, x: jax.Array) -> jax.Array:
-        """(B, T, C) -> (B, T//R, C) anti-aliased decimation."""
-        c = x.shape[-1]
-        w = jnp.asarray(self.down_filter, x.dtype).reshape(-1, 1, 1) * jnp.ones(
-            (1, 1, c), x.dtype
-        )
-        return conv1d(
-            x, w, stride=self.ratio,
-            padding=(self.down_pad_left, self.down_pad_right), groups=c,
-        )
+        """(B, T, C) -> (B, T//R, C) anti-aliased decimation.
+
+        Strided depthwise conv with a channel-shared scalar filter, computed
+        over the R-phase reshape: y[t] = sum_{r,m} Z_r[t+m] * w[r + R*m]
+        where Z_r[u] = xp[u*R + r]."""
+        r_ = self.ratio
+        k = self.kernel_size
+        kp = -(-k // r_)
+        xp = jnp.pad(x, ((0, 0), (self.down_pad_left, self.down_pad_right),
+                         (0, 0)))
+        tp = xp.shape[1]
+        t_out = (tp - k) // r_ + 1
+        u_len = t_out + kp                       # phase rows needed
+        xp = jnp.pad(xp, ((0, 0), (0, max(0, u_len * r_ - tp)), (0, 0)))
+        z = xp[:, : u_len * r_].reshape(x.shape[0], u_len, r_, x.shape[-1])
+        w = self.down_filter
+        acc = None
+        for r in range(r_):
+            for m in range(kp):
+                if r + r_ * m >= k:
+                    break
+                tap = float(w[r + r_ * m])
+                term = z[:, m : m + t_out, r] * jnp.asarray(tap, x.dtype)
+                acc = term if acc is None else acc + term
+        return acc

@@ -51,15 +51,22 @@ class BigVGANVocoder:
             mel = mel[None]
         return np.asarray(self._forward(self.params, jnp.asarray(mel)))
 
-    def benchmark(self, mel_frames: int = 512, iters: int = 10) -> dict:
+    def benchmark(self, mel_frames: int = 512, iters: int = 50) -> dict:
         """Reference benchmark shape: mel (1, 100, 512)
-        (BigVGAN/Export_BigVGAN.py:149, README.md:32)."""
+        (BigVGAN/Export_BigVGAN.py:149, README.md:32).
+
+        Sync is a device->host fetch of the last output: over a remote-device
+        tunnel `block_until_ready` can ack before execution finishes, so a
+        fetch (ordered after every queued step) is the only reliable fence.
+        Iterations chain on the previous output so no step can be elided."""
         mel = jnp.zeros((1, mel_frames, self.cfg.num_mels), jnp.float32)
-        out = jax.block_until_ready(self._forward(self.params, mel))  # compile
+        out = self._forward(self.params, mel)                    # compile
+        np.asarray(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = self._forward(self.params, mel)
-        jax.block_until_ready(out)
+            out = self._forward(self.params,
+                                mel + out.reshape(-1)[0].astype(jnp.float32) * 0.0)
+        np.asarray(out[..., :8])
         wall = (time.perf_counter() - t0) / iters
         n_samples = out.shape[-1]
         audio_s = n_samples / self.cfg.sample_rate
