@@ -161,8 +161,11 @@ def _bench_voxcpm(v2: bool, quantize=None):
     dt = _dt()
     params = jax.jit(lambda k: init_params(cfg, k, dt))(jax.random.key(0))
     vae = jax.jit(lambda k: init_vae_params(cfg.vae, k, dt))(jax.random.key(1))
+    # min_latents forces sustained generation: with random weights the stop
+    # head can fire after ~3 latents, which would measure fixed costs, not
+    # the sustained RTF the reference table reports
     pipe = VoxCPMPipeline(params, cfg, vae,
-                          VoxCPMDecodeConfig(max_latents=64),
+                          VoxCPMDecodeConfig(max_latents=48, min_latents=48),
                           quantize=quantize)
     prompt = np.arange(5, 21, dtype=np.int32)[None]
     target = np.arange(21, 53, dtype=np.int32)[None]

@@ -28,6 +28,19 @@ def conv1d(
     if isinstance(padding, int):
         padding = (padding, padding)
     x = x.astype(w.dtype)   # compute dtype follows the weights (bf16 policy)
+    if (groups == x.shape[-1] and w.shape[1] == 1 and stride == 1
+            and w.shape[2] == groups):
+        # depthwise stride-1: K dilated shifted multiply-adds. XLA's grouped
+        # conv lowering is a TPU layout hazard (context-dependent 2x+ whole-
+        # program slowdowns were measured); the FMA chain is exact and one
+        # fused VPU pass.
+        k = w.shape[0]
+        t = x.shape[1] + padding[0] + padding[1] - dilation * (k - 1)
+        xp = jnp.pad(x, ((0, 0), padding, (0, 0)))
+        out = xp[:, : t] * w[0, 0]
+        for i in range(1, k):
+            out = out + xp[:, i * dilation : i * dilation + t] * w[i, 0]
+        return out if b is None else out + b
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
