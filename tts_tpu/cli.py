@@ -262,7 +262,10 @@ def cmd_qwen(args) -> None:
         _save_bundle(args.save_npz, {"lm": params, "codec": cparams},
                      {"cfg": cfg, "ccfg": ccfg})
     pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
-                           QwenDecodeConfig(max_frames=args.max_frames),
+                           QwenDecodeConfig(max_frames=args.max_frames,
+                                            use_beam=args.beam > 1,
+                                            beam_size=max(args.beam, 2),
+                                            beam_top_k=args.beam_top_k),
                            quantize=args.quantize)
     if args.language:
         from .runtime.qwen import resolve_voice
@@ -270,8 +273,16 @@ def cmd_qwen(args) -> None:
         language_id, speaker_id = resolve_voice(args.language, args.speaker)
     else:
         language_id, speaker_id = args.language_id, args.speaker_id
+    instruct_ids = None
+    if args.instruct:
+        if not args.ckpt:
+            raise SystemExit("--instruct needs --ckpt (tokenizer)")
+        prompt = "<|im_start|>system\n" + args.instruct + "<|im_end|>\n"
+        instruct_ids = tok(prompt, return_tensors="np")["input_ids"].astype(
+            "int32")
     wav, stats = pipe.synthesize_ids(ids, language_id=language_id,
-                                     speaker_id=speaker_id)
+                                     speaker_id=speaker_id,
+                                     instruct_ids=instruct_ids)
     sr = pipe.output_sample_rate
     rep = SynthesisReport("qwen_tts", len(wav) / sr, stats["wall_s"])
     _write(args.out, wav, sr, rep)
@@ -411,6 +422,11 @@ def main(argv=None) -> int:
     qw.add_argument("--language-id", type=int, default=0)
     qw.add_argument("--speaker-id", type=int)
     qw.add_argument("--max-frames", type=int, default=600)
+    qw.add_argument("--beam", type=int, default=1,
+                    help="predictor beam size (1 = greedy)")
+    qw.add_argument("--beam-top-k", type=int, default=3)
+    qw.add_argument("--instruct", help="style instruction / voice "
+                    "description prepended as a system prompt")
     qw.add_argument("--out", default="generated.wav")
     qw.set_defaults(fn=cmd_qwen)
 
