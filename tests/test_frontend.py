@@ -113,3 +113,19 @@ def test_voxcpm_char_tokenizer_wrapper():
     w = CharTokenizerWrapper(FakeTok())
     assert w.tokenize("你好 hi") == ["你", "好", "▁hi"]
     assert w("你好 hi") == [1, 2, 3]
+
+
+def test_indextts_pinyin_and_name_protection():
+    from tts_tpu.frontend.indextts_text import normalize_text
+
+    # pinyin tones survive normalization; jqx + u/ü finals -> v and
+    # uppercased (reference correct_pinyin :722-733: xuan4 -> XVAN4)
+    out = normalize_text("这个字念 xuan4 和 ju2 还有 hao3")
+    assert "XVAN4" in out and "JV2" in out and "HAO3" in out
+
+    # interpunct names survive; digits nearby still expand
+    out = normalize_text("克里斯托弗·诺兰拍了3部电影")
+    assert "克里斯托弗·诺兰" in out and "三" in out
+
+    # english contraction expansion (reference :655)
+    assert "it is" in normalize_text("it's fine").lower()

@@ -46,15 +46,56 @@ def tokenize_by_cjk_char(line: str, do_upper_case: bool = True) -> str:
     )
 
 
+# pinyin-with-tone syllables like xuan4 / jve2 / ying1 (reference
+# PINYIN_TONE_PATTERN :643); protected from number expansion, restored with
+# the jqx u/ü -> v correction, uppercased (:722-733)
+_PINYIN_TONE = re.compile(
+    r"(?<![a-z])((?:[bpmfdtnlgkhjqxzcsryw]|[zcs]h)?"
+    r"(?:[aeiouüv]|[ae]i|u[aio]|ao|ou|i[aue]|[uüv]e|[uvü]ang?|uai|"
+    r"[aeiuv]n|[aeio]ng|ia[no]|i[ao]ng)|ng|er)([1-5])", re.IGNORECASE)
+# interpunct-joined Chinese names 克里斯托弗·诺兰 (reference NAME_PATTERN :649)
+_ZH_NAME = re.compile(r"[一-鿿]+(?:[-·—][一-鿿]+){1,2}")
+_CONTRACTION = re.compile(
+    r"(what|where|who|which|how|t?here|it|s?he|that|this)'s", re.IGNORECASE)
+
+
+def _correct_pinyin(py: str) -> str:
+    """jqx + u/ü finals -> v (reference correct_pinyin :722-733)."""
+    if py[0] not in "jqxJQX":
+        return py.upper()
+    return re.sub(r"([jqx])[uü](n|e|an)*(\d)", r"\g<1>v\g<2>\g<3>", py,
+                  flags=re.IGNORECASE).upper()
+
+
 def normalize_text(text: str) -> str:
     """Punctuation normalization via the reference's replacement map plus
     number expansion (frontend/normalize.py — the self-contained analog of
-    the reference's tn/wetext normalizers)."""
-    from .normalize import normalize_numbers
+    the reference's tn/wetext normalizers). Pinyin-tone syllables and
+    interpunct-joined Chinese names are placeholder-protected through
+    normalization exactly like the reference (:694-720)."""
+    from .normalize import normalize_numbers, normalize_text as _norm
+
+    text = text.replace("嗯", "恩").replace("呣", "母")
+    text = _CONTRACTION.sub(r"\1 is", text)
+
+    pinyins = sorted({m.group(0) for m in _PINYIN_TONE.finditer(text)})
+    for i, py in enumerate(pinyins):
+        text = text.replace(py, f"<pinyin_{chr(ord('a') + i)}>")
+    names = sorted({m.group(0) for m in _ZH_NAME.finditer(text)})
+    for i, nm in enumerate(names):
+        text = text.replace(nm, f"<n_{chr(ord('a') + i)}>")
 
     has_cjk = re.search(_CJK_RANGE, text) is not None
-    if not has_cjk:
+    if has_cjk:
+        text = _norm(text, language="zh")
+    else:
         text = normalize_numbers(text)
+
+    for i, nm in enumerate(names):
+        text = text.replace(f"<n_{chr(ord('a') + i)}>", nm)
+    for i, py in enumerate(pinyins):
+        text = text.replace(f"<pinyin_{chr(ord('a') + i)}>",
+                            _correct_pinyin(py))
     text = _REP_PATTERN.sub(lambda m: _CHAR_REP[m.group()], text)
     return re.sub(r"\s+", " ", text).strip()
 
