@@ -123,9 +123,11 @@ def test_indextts_pinyin_and_name_protection():
     out = normalize_text("这个字念 xuan4 和 ju2 还有 hao3")
     assert "XVAN4" in out and "JV2" in out and "HAO3" in out
 
-    # interpunct names survive; digits nearby still expand
+    # interpunct names survive normalization as a unit (the char map then
+    # rewrites the interpunct, as the reference does post-restore :710);
+    # digits nearby still expand
     out = normalize_text("克里斯托弗·诺兰拍了3部电影")
-    assert "克里斯托弗·诺兰" in out and "三" in out
+    assert "克里斯托弗-诺兰" in out and "三" in out
 
     # english contraction expansion (reference :655)
     assert "it is" in normalize_text("it's fine").lower()
