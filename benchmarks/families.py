@@ -190,8 +190,39 @@ def bench_voxcpm2(quantize=None):
     return _bench_voxcpm(True, quantize)
 
 
+def bench_f5_batch(bsz: int = 4):
+    """Batched serving throughput: B copies of the reference test request
+    in one program. value = per-chip RTF (wall / total generated audio) —
+    lower is more throughput; compare with the B=1 latency RTF."""
+    from tts_tpu.models.f5 import F5Config, init_params
+    from tts_tpu.models.vocos import VocosConfig
+    from tts_tpu.models.vocos import init_params as vocos_init
+    from tts_tpu.runtime.f5 import F5Pipeline
+
+    cfg = F5Config()
+    vcfg = VocosConfig()
+    dt = _dt()
+    f5p = jax.jit(lambda k: init_params(cfg, k, dt))(jax.random.key(0))
+    vp = jax.jit(lambda k: vocos_init(vcfg, k, dt))(jax.random.key(1))
+    pipe = F5Pipeline(f5p, cfg, {" ": 0}, vp, vcfg)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(6 * cfg.sample_rate) * 3000).astype(np.int16)
+    req = (audio, "Some call me nature, others call me mother nature.",
+           " ".join(["word"] * 15))
+    reqs = [req] * bsz
+    pipe.synthesize_batch(reqs)                    # compile
+    t0 = time.perf_counter()
+    outs, stats = pipe.synthesize_batch(reqs)
+    wall = time.perf_counter() - t0
+    rtf = wall / stats.audio_s
+    return {"metric": f"f5_tts_nfe32 batched serving B={bsz}",
+            "value": round(rtf, 4), "unit": "rtf/chip",
+            "vs_baseline": round(21.0 / rtf, 1)}
+
+
 ALL = {
     "f5": bench_f5,
+    "f5_batch": bench_f5_batch,
     "bigvgan": bench_bigvgan,
     "kani": bench_kani,
     "indextts": bench_indextts,

@@ -243,3 +243,40 @@ def test_f5_pipeline_layer_cache():
     b = wav_exact.astype(np.float64)
     corr = (a * b).sum() / max(np.sqrt((a * a).sum() * (b * b).sum()), 1e-9)
     assert corr > 0.5, corr
+
+
+def test_f5_batched_serving_matches_single_at_b1():
+    """synthesize_batch with one request is bit-identical to synthesize
+    (same buckets, same PRNG key, same masking); B=2 mixed-length requests
+    produce per-request finite outputs of the single-path lengths."""
+    from tts_tpu.models.vocos import VocosConfig
+    from tts_tpu.models.vocos import init_params as vocos_init
+    from tts_tpu.runtime.f5 import F5Pipeline
+
+    vocab = {c: i for i, c in enumerate("abcdefghij ")}
+    cfg = TINY
+    vcfg = VocosConfig(input_channels=cfg.n_mels, dim=32, intermediate_dim=64,
+                       num_layers=2, n_fft=cfg.n_fft, hop=cfg.hop,
+                       sample_rate=cfg.sample_rate)
+    pipe = F5Pipeline(
+        init_params(cfg, jax.random.key(0)), cfg, vocab,
+        vocos_init(vcfg, jax.random.key(1)), vcfg,
+    )
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(2000) * 3000).astype(np.int16)
+
+    single, _ = pipe.synthesize(audio, "abc def", "hij abc", seed=7)
+    batch1, _ = pipe.synthesize_batch([(audio, "abc def", "hij abc")], seed=7)
+    np.testing.assert_array_equal(single, batch1[0])
+
+    audio2 = (rng.standard_normal(3000) * 3000).astype(np.int16)
+    reqs = [(audio, "abc def", "hij abc"),
+            (audio2, "abcd", "hij abc def ab")]
+    outs, stats = pipe.synthesize_batch(reqs, seed=3)
+    assert len(outs) == 2
+    for (ra, rt, gt), o in zip(reqs, outs):
+        exp, _ = pipe.synthesize(ra, rt, gt)
+        assert len(o) == len(exp)
+        assert o.dtype == np.int16
+        assert np.isfinite(o.astype(np.float32)).all()
+    assert stats.audio_s > 0 and stats.wall_s > 0

@@ -228,13 +228,15 @@ def text_embedding(params, text_ids: jax.Array, seq_len: int, cfg: F5Config):
     pos = params["text_freqs_cis"][:seq_len][None]                  # (1, T, D)
     emb = jnp.where(mask, 0.0, emb + pos)
     drop = drop + pos
-    # cond and drop rows ride one batch-2 pass through the conv stack — the
-    # blocks are batch-parallel and the (1, T, 1) mask broadcasts over the
-    # batch, so this is exactly the two-call result at half the cost
-    z = jnp.concatenate([emb, drop], axis=0)                        # (2, T, D)
+    # cond and drop rows ride one batch-2B pass through the conv stack — the
+    # blocks are batch-parallel, so this is exactly the two-call result at
+    # half the cost
+    z = jnp.concatenate([emb, drop], axis=0)                        # (2B, T, D)
+    mask2 = jnp.concatenate([mask, mask], axis=0)
     for blk in p["blocks"]:
-        z = jnp.where(mask, 0.0, _convnext_v2_block(z, blk))
-    return z[:1], z[1:]
+        z = jnp.where(mask2, 0.0, _convnext_v2_block(z, blk))
+    nb = emb.shape[0]
+    return z[:nb], z[nb:]
 
 
 def _text_freqs_cis(text_dim: int, max_pos: int = 4096) -> np.ndarray:
@@ -348,8 +350,9 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
         scores = jnp.einsum("bshd,bthd->bhst", q, k,
                             preferred_element_type=jnp.float32)
         if kv_len is not None:
-            valid = jnp.arange(t) < kv_len
-            scores = jnp.where(valid[None, None, None, :], scores,
+            kvv = jnp.asarray(kv_len, jnp.int32).reshape(-1)   # scalar | (B,)
+            valid = jnp.arange(t)[None, :] < kvv[:, None]
+            scores = jnp.where(valid[:, None, None, :], scores,
                                jnp.float32(-1e30))
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhst,bthd->bshd", probs, v)
@@ -451,7 +454,11 @@ def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
 
     step_idx: NFE step index; when given and attach_mod_tables has run, the
     per-block AdaLN vectors come from the precomputed tables instead of 22
-    M=1 matmuls (~0.3 ms/step on TPU at T=1408)."""
+    M=1 matmuls (~0.3 ms/step on TPU at T=1408).
+
+    Batched serving: noise/cond/cond_drop may carry B>1 requests; pass
+    kv_len as a (2B,) vector (per-request length, tiled for the cond and
+    uncond halves) and the CFG pair runs as batch 2B."""
     # one batch-2 embedding call for the CFG pair (the convs are
     # batch-parallel, so this is exactly the two-call result at half the
     # dispatch cost — measured 3.5 -> 2.0 ms/step at t=1536)
@@ -475,7 +482,8 @@ def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
     x = layer_norm(x, eps=1e-6) * (1 + scale) + shift
     x = jnp.matmul(x, params["proj_out"]["w"],
                    preferred_element_type=jnp.float32) + params["proj_out"]["b"]
-    return x[:1].astype(noise.dtype), x[1:].astype(noise.dtype)
+    nb = noise.shape[0]
+    return x[:nb].astype(noise.dtype), x[nb:].astype(noise.dtype)
 
 
 # --------------------------------------------------------------------------

@@ -106,8 +106,12 @@ def _kernel_onepass(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
 def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
                    head_block: int):
     b, h, s, d = q.shape
-    bias = jnp.where(jnp.arange(s) < kv_len, 0.0,
-                     NEG_INF).astype(jnp.float32)[None, None, :]
+    # kv_len scalar -> shared bias row; (B,) vector -> per-batch-row bias
+    # (batched serving: each request in the batch has its own valid length)
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(-1)
+    bias = jnp.where(jnp.arange(s)[None, :] < kv_len[:, None], 0.0,
+                     NEG_INF).astype(jnp.float32)[:, None, :]
+    bias = jnp.broadcast_to(bias, (b, 1, s))
     grid = (b, h // head_block, s // block_q)
     kernel = functools.partial(_kernel_onepass, scale=scale)
     return pl.pallas_call(
@@ -120,7 +124,7 @@ def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
                          lambda ib, ih, iq: (ib, ih, 0, 0)),
             pl.BlockSpec((1, head_block, s, d),
                          lambda ib, ih, iq: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 1, s), lambda ib, ih, iq: (0, 0, 0)),
+            pl.BlockSpec((1, 1, s), lambda ib, ih, iq: (ib, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, head_block, block_q, d),
                                lambda ib, ih, iq: (ib, ih, iq, 0)),
@@ -150,11 +154,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          f"({block_q}, {block_kv})")
     if kv_len is None:
         kv_len = jnp.int32(s)
-    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)
 
     if block_kv == s and head_block and h % head_block == 0:
+        # kv_len may be a scalar or a (B,) per-request vector here
         return _flash_onepass(q, k, v, kv_len, scale, block_q, head_block)
     # head_block=0 forces the scratch-carry kernel even at block_kv == s
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)   # scalar-only path
 
     grid = (b, h, s // block_q, s // block_kv)
     kernel = functools.partial(_kernel, bkv=block_kv, scale=scale)
