@@ -75,6 +75,33 @@ def bench_kani(quantize=None):
             "vs_baseline": None}
 
 
+def bench_kani_batch(bsz: int = 8, quantize=None):
+    """Multi-request AR serving: aggregate tok/s decoding B streams in one
+    while_loop. AR decode at B=1 is latency-bound, so this is where TPU
+    batching multiplies throughput."""
+    from tts_tpu.models.kani import KaniConfig, init_params
+    from tts_tpu.models.nanocodec import NanoCodecConfig
+    from tts_tpu.models.nanocodec import init_params as nc_init
+    from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+
+    cfg = KaniConfig()
+    ncfg = NanoCodecConfig()
+    kp = jax.jit(lambda k: init_params(cfg, k, _dt()))(jax.random.key(0))
+    cp = jax.jit(lambda k: nc_init(ncfg, k, _dt()))(jax.random.key(1))
+    pipe = KaniPipeline(kp, cfg, cp, ncfg,
+                        KaniDecodeConfig(max_new_tokens=400),
+                        quantize=quantize)
+    reqs = [np.arange(1, 17 + 2 * b, dtype=np.int32)[None]
+            for b in range(bsz)]
+    pipe.synthesize_ids_batch(reqs)                # compile
+    t0 = time.perf_counter()
+    wavs, stats = pipe.synthesize_ids_batch(reqs)
+    tok_s = stats["tokens"] / (time.perf_counter() - t0)
+    return {"metric": f"kani_370m batched serving B={bsz}",
+            "value": round(tok_s, 0), "unit": "tok/s aggregate",
+            "vs_baseline": None}
+
+
 def bench_indextts(quantize=None):
     from tts_tpu.models.bigvgan import BigVGANConfig
     from tts_tpu.models.bigvgan import init_params as bigvgan_init
@@ -223,6 +250,7 @@ def bench_f5_batch(bsz: int = 4):
 ALL = {
     "f5": bench_f5,
     "f5_batch": bench_f5_batch,
+    "kani_batch": bench_kani_batch,
     "bigvgan": bench_bigvgan,
     "kani": bench_kani,
     "indextts": bench_indextts,

@@ -160,3 +160,27 @@ def test_kani_pipeline_beam_smoke():
     wav, stats = pipe.synthesize_ids(np.array([[3, 9]], np.int32))
     assert wav.dtype == np.int16
     assert stats["tokens"] <= 16
+
+
+def test_batched_decode_matches_single():
+    """Each stream in a left-aligned batch must reproduce its single-stream
+    greedy decode exactly: rope attention only sees relative offsets, the
+    zeroed pad embeddings reproduce a fresh sequence's leading conv zeros,
+    and key_valid_from masks the pad keys."""
+    from tts_tpu.models.nanocodec import init_params as nc_init
+    from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+
+    params = init_params(TINY, jax.random.key(3))
+    cparams = nc_init(TINY_CODEC, jax.random.key(4))
+    pipe = KaniPipeline(params, TINY, cparams, TINY_CODEC,
+                        KaniDecodeConfig(max_new_tokens=20))
+    ids1 = np.array([[3, 9, 27, 5]], np.int32)
+    ids2 = np.array([[7, 11, 2, 30, 14, 8]], np.int32)
+
+    wav1, s1 = pipe.synthesize_ids(ids1)
+    wav2, s2 = pipe.synthesize_ids(ids2)
+    wavs, sb = pipe.synthesize_ids_batch([ids1, ids2])
+
+    np.testing.assert_array_equal(wav1, wavs[0])
+    np.testing.assert_array_equal(wav2, wavs[1])
+    assert sb["tokens"] == s1["tokens"] + s2["tokens"]

@@ -161,12 +161,18 @@ def _ffn(p, x, cfg: KaniConfig):
 
 
 def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
-              valid_len=None) -> tuple[jax.Array, KaniState]:
+              valid_len=None, key_valid_from=None
+              ) -> tuple[jax.Array, KaniState]:
     """One LM step over S new tokens. hidden: (B, S, H) embedded inputs.
     Returns (logits (B, vocab), new state with kv.length advanced).
     valid_len: true length inside a padded bucket (batched prefill) — the
     logits come from position valid_len-1 and the conv carries from the
-    last valid inputs; the caller rewinds kv.length to valid_len."""
+    last valid inputs; the caller rewinds kv.length to valid_len.
+    key_valid_from: (B,) first valid kv position per batch row — the
+    left-aligned multi-request serving layout (prompts right-justified in
+    the bucket; rope attention only sees relative offsets, so the shared
+    shift is free, and the caller zeroes the pad embeddings so the conv
+    mixers see the same leading zeros a fresh sequence starts with)."""
     b, s, _ = hidden.shape
     pos = state.kv.length
     rope_cos = jax.lax.dynamic_slice(
@@ -174,6 +180,10 @@ def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
     rope_sin = jax.lax.dynamic_slice(
         params["rope_sin"], (pos, 0), (s, cfg.head_dim))
     mask = attention_mask(s, cfg.max_seq_len, pos, pos + s, causal=True)
+    if key_valid_from is not None:
+        kv_idx = jnp.arange(cfg.max_seq_len)
+        mask = mask[None] & (kv_idx[None, None, :]
+                             >= key_valid_from[:, None, None])
 
     x = hidden
     attn_i = conv_i = 0

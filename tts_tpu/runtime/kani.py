@@ -180,6 +180,57 @@ class KaniPipeline:
         run = beam_run if (self.dcfg.use_beam and not degenerate) else greedy_run
         return jax.jit(run)
 
+    def _build_decode_batch(self, bsz: int):
+        """Multi-request greedy decode: B prompts right-justified in one
+        bucket (kani_step key_valid_from masks each row's left pad), one
+        while_loop until every stream stops. AR decode at B=1 is latency-
+        bound, so batching multiplies aggregate tok/s — the serving path
+        the single-stream reference lacks."""
+        cfg, dcfg = self.cfg, self.dcfg
+        use_penalty = dcfg.repeat_penalty != 1.0
+
+        def run(params, ids_buf, pad_start):
+            valid = (jnp.arange(ids_buf.shape[1])[None, :]
+                     >= pad_start[:, None])
+            emb = embed_tokens(params, ids_buf) * valid[..., None]
+            state = init_state(cfg, batch=bsz,
+                               kv_dtype=params["embed"].dtype)
+            logits, state = kani_step(params, emb, state, cfg,
+                                      key_valid_from=pad_start)
+            first = greedy(logits)                              # (B,)
+            save = jnp.zeros((bsz, dcfg.max_new_tokens), jnp.int32)
+            save = save.at[:, 0].set(first)
+            fin0 = first == cfg.stop_token
+            # done_at[b] = index of the stop token (tokens kept before it)
+            done0 = jnp.where(fin0, 0, dcfg.max_new_tokens)
+
+            def cond(c):
+                _, _, num, _, fin, _ = c
+                return (~fin.all()) & (num < dcfg.max_new_tokens)
+
+            def body(c):
+                state, save, num, last, fin, done = c
+                h = embed_tokens(params, last[:, None])
+                logits, state = kani_step(params, h, state, cfg,
+                                          key_valid_from=pad_start)
+                if use_penalty:
+                    logits = apply_repetition_penalty(
+                        logits, save, num, dcfg.repeat_penalty,
+                        dcfg.penalty_range)
+                tok = greedy(logits)
+                tok = jnp.where(fin, cfg.stop_token, tok)
+                save = jax.lax.dynamic_update_slice(save, tok[:, None],
+                                                    (0, num))
+                newly = (tok == cfg.stop_token) & (~fin)
+                done = jnp.where(newly, num, done)
+                return state, save, num + 1, tok, fin | newly, done
+
+            init = (state, save, jnp.ones((), jnp.int32), first, fin0, done0)
+            _, save, num, _, fin, done = jax.lax.while_loop(cond, body, init)
+            return save, jnp.minimum(done, num)
+
+        return jax.jit(run)
+
     # ---------------------------------------------------------------- codec
 
     def _codec_fn(self, frames: int):
@@ -240,6 +291,57 @@ class KaniPipeline:
         wall = time.perf_counter() - t0
         return wav, {"tokens": n, "wall_s": wall,
                      "tokens_per_s": n / max(wall, 1e-9)}
+
+    def synthesize_ids_batch(self, ids_list: list[np.ndarray]
+                             ) -> tuple[list[np.ndarray], dict]:
+        """Batched serving: decode B prompts concurrently (one program,
+        per-row stop tracking), then vocode each stream. Returns
+        (list of int16 waveforms, aggregate stats)."""
+        bsz = len(ids_list)
+        cap = min(MAX_PROMPT, self.cfg.max_seq_len // 2)
+        longest = max(i.shape[1] for i in ids_list)
+        bucket = max(16, min(cap, -(-longest // 64) * 64))
+        ids_buf = np.zeros((bsz, bucket), np.int32)
+        pad_start = np.zeros((bsz,), np.int32)
+        for b, ids in enumerate(ids_list):
+            p = ids.shape[1]
+            ids_buf[b, bucket - p:] = ids[0]
+            pad_start[b] = bucket - p
+
+        key = ("batch", bsz)
+        if not hasattr(self, "_batch_fns"):
+            self._batch_fns = {}
+        if key not in self._batch_fns:
+            self._batch_fns[key] = self._build_decode_batch(bsz)
+
+        t0 = time.perf_counter()
+        save, done = self._batch_fns[key](self.params, jnp.asarray(ids_buf),
+                                          np.asarray(pad_start))
+        save = np.asarray(save)
+        done = np.asarray(done)
+        g = self.codec_cfg.num_groups
+        frames = [max((int(done[b]) - 2) // g, 0) for b in range(bsz)]
+        # one batched codec decode at the max frame bucket (rows padded with
+        # the group-0 base token); per-row crops afterwards
+        wavs: list[np.ndarray | None] = [None] * bsz
+        live = [b for b in range(bsz) if frames[b] > 0]
+        if live:
+            fbucket = max(8, -(-max(frames[b] for b in live) // 8) * 8)
+            flat = np.full((len(live), fbucket * g),
+                           self.audio_tokens_start, np.int32)
+            for i, b in enumerate(live):
+                flat[i, : frames[b] * g] = save[b, 2 : 2 + frames[b] * g]
+            wav = np.asarray(self._codec_fn(fbucket)(self.codec_params,
+                                                     jnp.asarray(flat)))
+            for i, b in enumerate(live):
+                wavs[b] = wav[i, : frames[b] * self.codec_cfg.total_upsample]
+        for b in range(bsz):
+            if wavs[b] is None:
+                wavs[b] = np.zeros(0, np.int16)
+        wall = time.perf_counter() - t0
+        total = int(done.sum())
+        return wavs, {"tokens": total, "wall_s": wall,
+                      "tokens_per_s": total / max(wall, 1e-9)}
 
     def synthesize(self, text: str, speaker: str = "jenny"
                    ) -> tuple[np.ndarray, dict]:
