@@ -96,3 +96,20 @@ def test_alias_free_resample_matches_torch():
     assert np.abs(up - ref_up).max() < 1e-5
     assert down.shape == ref_down.shape == (1, 64, 4)
     assert np.abs(down - ref_down).max() < 1e-5
+
+
+def test_alias_free_upsample_non_divisible_kernel():
+    """kernel_size not a multiple of ratio: polyphase output must match the
+    transposed-conv definition's length ((Tp-1)*R + K minus crops)."""
+    import jax.numpy as jnp
+
+    from tts_tpu.audio.filters import AliasFreeResample
+
+    rs = AliasFreeResample(2, kernel_size=9)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 37, 3)),
+                    jnp.float32)
+    y = rs.upsample(x)
+    tp = 37 + 2 * rs.up_pad
+    full = (tp - 1) * 2 + 9
+    assert y.shape[1] == full - rs.up_crop_left - rs.up_crop_right
+    assert np.isfinite(np.asarray(y)).all()

@@ -131,3 +131,12 @@ def test_indextts_pinyin_and_name_protection():
 
     # english contraction expansion (reference :655)
     assert "it is" in normalize_text("it's fine").lower()
+
+
+def test_indextts_pinyin_substring_safe():
+    """Per-match substitution: a syllable containing a shorter protected
+    syllable as a substring (an1 in pan1) must survive intact."""
+    from tts_tpu.frontend.indextts_text import normalize_text
+
+    out = normalize_text("请读 an1 然后读 pan1")
+    assert "AN1" in out and "PAN1" in out and "pAN1" not in out

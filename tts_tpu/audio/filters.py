@@ -102,6 +102,11 @@ class AliasFreeResample:
             phases.append(acc)
         y = jnp.stack(phases, axis=2).reshape(x.shape[0], u_len * r_,
                                               x.shape[-1])
+        # polyphase rows cover u_len*R >= the true transposed-conv length
+        # (tp-1)*R + K; trim the overhang before the end-relative crop
+        # (only reachable when kernel_size is not a multiple of ratio)
+        full = (tp - 1) * r_ + k
+        y = y[:, :full]
         return y[:, self.up_crop_left : y.shape[1] - self.up_crop_right]
 
     def downsample(self, x: jax.Array) -> jax.Array:

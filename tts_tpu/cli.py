@@ -74,6 +74,13 @@ def cmd_f5(args) -> None:
         # torch/safetensors parsing and the fold math
         arrays, cfgs, extra = _load_bundle(args.npz)
         params, vparams = arrays["f5"], arrays["vocos"]
+        if "ada_table" not in params:
+            # pre-half-split-rope bundles carry interleaved rope tables and
+            # unpermuted q/k columns — loading them into the current
+            # attention math would be silently wrong
+            raise SystemExit(
+                f"{args.npz} was saved by an older layout (no ada_table / "
+                "half-split rope fold); re-export it with --ckpt --save-npz")
         cfg, vcfg = cfgs["cfg"], cfgs["vcfg"]
         vocab = extra["vocab"]
     elif args.ckpt:

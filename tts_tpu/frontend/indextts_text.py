@@ -78,12 +78,29 @@ def normalize_text(text: str) -> str:
     text = text.replace("嗯", "恩").replace("呣", "母")
     text = _CONTRACTION.sub(r"\1 is", text)
 
-    pinyins = sorted({m.group(0) for m in _PINYIN_TONE.finditer(text)})
-    for i, py in enumerate(pinyins):
-        text = text.replace(py, f"<pinyin_{chr(ord('a') + i)}>")
-    names = sorted({m.group(0) for m in _ZH_NAME.finditer(text)})
-    for i, nm in enumerate(names):
-        text = text.replace(nm, f"<n_{chr(ord('a') + i)}>")
+    # protect via per-MATCH regex substitution (str.replace would corrupt a
+    # syllable containing a shorter protected syllable as a substring, e.g.
+    # an1 inside pan1); letters keep digits out of the placeholders so the
+    # zh number expansion cannot mangle them — past 26 distinct matches the
+    # remainder goes through unprotected
+    pinyins: list[str] = []
+
+    def _save_py(m):
+        if len(pinyins) >= 26:
+            return m.group(0)
+        pinyins.append(m.group(0))
+        return f"<pinyin_{chr(ord('a') + len(pinyins) - 1)}>"
+
+    text = _PINYIN_TONE.sub(_save_py, text)
+    names: list[str] = []
+
+    def _save_name(m):
+        if len(names) >= 26:
+            return m.group(0)
+        names.append(m.group(0))
+        return f"<n_{chr(ord('a') + len(names) - 1)}>"
+
+    text = _ZH_NAME.sub(_save_name, text)
 
     has_cjk = re.search(_CJK_RANGE, text) is not None
     if has_cjk:

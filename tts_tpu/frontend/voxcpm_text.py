@@ -129,6 +129,9 @@ class CharTokenizerWrapper:
         return out
 
     def __call__(self, text: str, **kw):
+        # tokenize + convert (no special tokens), exactly the reference
+        # wrapper's behavior (Export_VoxCPM_ONNX.py:1016-1023) — VoxCPM
+        # prompts are assembled from raw text ids, BOS-free
         return self.tokenizer.convert_tokens_to_ids(self.tokenize(text, **kw))
 
 

@@ -39,6 +39,7 @@ import numpy as np
 from ..audio.mel import MelSpectrogram
 from ..nn.norm import layer_norm
 from ..nn.rope import rope_table_interleaved
+from ..ops.conv import conv1d
 from ..quant.weight_only import dense
 
 __all__ = [
@@ -182,26 +183,14 @@ def _grn(x: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
     return gamma * (x * nx) + beta + x
 
 
-def _depthwise_taps(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
-    """Depthwise conv1d ('same') as K shifted multiply-adds. x (B, T, C);
-    w (K, 1, C). XLA's grouped-conv lowering is a TPU layout hazard (see
-    _grouped_conv_mm); K fused FMAs over the feature-last layout are exact
-    and a single VPU pass."""
-    K = w.shape[0]
-    t = x.shape[1]
-    pad_l = (K - 1) // 2
-    xp = jnp.pad(x, ((0, 0), (pad_l, K - 1 - pad_l), (0, 0)))
-    out = xp[:, :t] * w[0, 0]
-    for i in range(1, K):
-        out = out + xp[:, i:i + t] * w[i, 0]
-    return out + b
-
-
 def _convnext_v2_block(x: jax.Array, p) -> jax.Array:
     """dwconv(7) -> LN -> pw1 -> GELU -> GRN -> pw2, residual
-    (modules.py:233-262)."""
+    (modules.py:233-262). conv1d auto-dispatches the depthwise stride-1
+    conv to its shifted-FMA fast path (grouped-conv lowering is a TPU
+    layout hazard)."""
     r = x
-    x = _depthwise_taps(x, p["dwconv"]["w"], p["dwconv"]["b"])
+    x = conv1d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=3,
+               groups=x.shape[-1])
     x = layer_norm(x, p["norm"]["w"], p["norm"]["b"], eps=1e-6)
     x = jnp.matmul(x, p["pw1"]["w"]) + p["pw1"]["b"]
     x = jax.nn.gelu(x, approximate=False)
@@ -324,14 +313,9 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
         # loss; XLA already fuses the rope elementwise chain well.)
         if t <= 4096:
             hb = 2 if heads % 2 == 0 else 1
-            # largest divisor-of-t q-block (multiple of 8) whose fp32 score
-            # tile (hb, bq, t) fits ~8 MB of VMEM — measured best across
-            # t=1024/1408/1536/2048
             bq = 128
             # largest divisor-of-t q-block (multiple of 8) whose fp32 score
-            # tile (hb, bq, t) fits ~4 MB — the 8 MB setting starved the
-            # compiler's overlap window in the full-program context
-            # (A/B: 16.1 -> 13.x ms/step at t=1408)
+            # tile (hb, bq, t) fits ~4 MB of VMEM
             for cand in range(min(t, 1024), 127, -8):
                 if t % cand == 0 and hb * cand * t * 4 <= (1 << 22):
                     bq = cand

@@ -79,10 +79,13 @@ def _kernel_onepass(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
       * kv_len masking is a precomputed (1, 1, S) additive bias row (0 valid /
         -1e30 masked) instead of an in-kernel iota+compare+select;
       * no row-max pass: scores are clamped at +100 in the log2 domain and
-        exponentiated as exp2(s - 100). The softmax quotient is shift-
-        invariant, so this is exact for rows whose max is within ~2^-126 of
-        the clamp; fully-underflowed rows (all valid logits < ~-60) degrade
-        to zeros instead of NaN via the +1e-37 denominator guard.
+        exponentiated as exp2(s - 30). The softmax quotient is shift-
+        invariant, so this is exact wherever exp2 stays in range: p spans
+        up to 2^70 (fine in fp32 and in bf16's 8-bit exponent) and flushes
+        to zero only when a scaled logit is below 30-126 in log2 — i.e. a
+        natural-log logit below ~-66. Rows whose EVERY valid logit is that
+        small degrade to zeros instead of NaN via the +1e-37 denominator
+        guard.
     q/k/v blocks carry a head-block axis so several heads share one grid
     program (amortizes per-program overhead; the dots batch on the MXU)."""
     q = q_ref[0]                                      # (hb, bq, d)
@@ -94,7 +97,7 @@ def _kernel_onepass(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32,
     )                                                 # (hb, bq, skv)
     s = jnp.minimum(s * jnp.float32(scale * _LOG2E), 100.0) + bias_ref[...]
-    p = jnp.exp2(s - 100.0)
+    p = jnp.exp2(s - 30.0)
     l = jnp.sum(p, axis=-1, keepdims=True) + 1e-37
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -159,6 +162,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # kv_len may be a scalar or a (B,) per-request vector here
         return _flash_onepass(q, k, v, kv_len, scale, block_q, head_block)
     # head_block=0 forces the scratch-carry kernel even at block_kv == s
+    if jnp.asarray(kv_len).ndim > 0 and jnp.asarray(kv_len).size != 1:
+        raise NotImplementedError(
+            "per-request (B,) kv_len vectors are only supported on the "
+            "single-pass full-kv kernel (block_kv == seq); the two-pass "
+            "scratch kernel masks with a shared scalar")
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)   # scalar-only path
 
     grid = (b, h, s // block_q, s // block_kv)

@@ -336,7 +336,14 @@ class F5Pipeline:
         jitted program. Shapes bucket on the batch maximum; per-request
         lengths mask attention/IO. Returns (list of int16 waveforms, stats
         with audio_s summed over the batch — RTF here is per-chip
-        throughput, not per-stream latency)."""
+        throughput, not per-stream latency).
+
+        The FORA layer cache does not apply here (exact math only)."""
+        if self.layer_cache_interval > 1:
+            import warnings
+
+            warnings.warn("synthesize_batch always runs the exact DiT; "
+                          "layer_cache_interval is ignored", stacklevel=2)
         cfg = self.cfg
         audios, idss, refs, durs = [], [], [], []
         for ref_audio, ref_text, gen_text in requests:
