@@ -149,6 +149,55 @@ def bench_indextts(quantize=None):
             "vs_baseline": None}
 
 
+def bench_indextts_batch(bsz: int = 8):
+    """Multi-request IndexTTS AR serving: aggregate tok/s for B streams."""
+    from tts_tpu.models.bigvgan import BigVGANConfig
+    from tts_tpu.models.bigvgan import init_params as bigvgan_init
+    from tts_tpu.models.indextts import (IndexTTSConfig, init_conformer_params,
+                                         init_ecapa_params, init_gpt_params,
+                                         init_perceiver_params)
+    from tts_tpu.runtime.indextts import IndexTTSPipeline
+
+    cfg = IndexTTSConfig()
+    vcfg = BigVGANConfig(num_mels=cfg.gpt_dim, upsample_initial_channel=512,
+                         use_tanh_at_final=True, use_bias_at_final=True)
+    dt = _dt()
+    ks = jax.random.split(jax.random.key(0), 8)
+    c0 = vcfg.upsample_initial_channel
+
+    @jax.jit
+    def build(ks):
+        return {
+            "conformer": init_conformer_params(cfg, ks[0], dtype=dt),
+            "perceiver": init_perceiver_params(cfg, ks[1], dt),
+            "ecapa": init_ecapa_params(cfg, ks[2], dt),
+            "gpt": init_gpt_params(cfg, ks[3], dt),
+            "bigvgan": bigvgan_init(vcfg, ks[4], dt),
+            "cond_layer": {
+                "w": jax.random.normal(ks[5], (cfg.speaker_embed_dim, c0), dt) * 0.02,
+                "b": jnp.zeros((c0,), dt)},
+            "conds": [
+                {"w": jax.random.normal(ks[6], (cfg.speaker_embed_dim, c), dt) * 0.02,
+                 "b": jnp.zeros((c,), dt)}
+                for c in vcfg.stage_channels],
+        }
+
+    params = build(ks)
+    pipe = IndexTTSPipeline(params, cfg, vcfg)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(6 * 24000) * 3000).astype(np.int16)
+    ref = pipe.encode_reference(audio)
+    reqs = [(np.arange(5, 29 + 2 * b, dtype=np.int32)[None], ref)
+            for b in range(bsz)]
+    pipe.synthesize_ids_batch(reqs, max_gen=200)       # compile
+    t0 = time.perf_counter()
+    wavs, stats = pipe.synthesize_ids_batch(reqs, max_gen=200)
+    tok_s = stats["tokens"] / (time.perf_counter() - t0)
+    return {"metric": f"indextts_1.5 batched serving B={bsz}",
+            "value": round(tok_s, 0), "unit": "tok/s aggregate",
+            "vs_baseline": None}
+
+
 def bench_qwen(quantize=None):
     from tts_tpu.models.qwen_codec import (QwenCodecDecoderConfig,
                                            init_decoder_params)
@@ -251,6 +300,7 @@ ALL = {
     "f5": bench_f5,
     "f5_batch": bench_f5_batch,
     "kani_batch": bench_kani_batch,
+    "indextts_batch": bench_indextts_batch,
     "bigvgan": bench_bigvgan,
     "kani": bench_kani,
     "indextts": bench_indextts,

@@ -165,3 +165,53 @@ def test_indextts_pipeline_smoke():
     wav8, stats8 = pipe8.synthesize_ids(ids, ref, max_gen=12)
     assert wav8.dtype == np.int16
     assert stats8.tokens <= 12
+
+
+def test_batched_decode_matches_single():
+    """Each stream in a batch must reproduce its single-stream decode: the
+    learned absolute positions line up because every row shares the text
+    bucket and padding holes are masked per row."""
+    from tts_tpu.models.bigvgan import BigVGANConfig
+    from tts_tpu.models.bigvgan import init_params as bigvgan_init
+    from tts_tpu.runtime.indextts import IndexTTSPipeline
+
+    vcfg = BigVGANConfig(
+        num_mels=TINY.gpt_dim, upsample_initial_channel=16,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        use_tanh_at_final=True, use_bias_at_final=True,
+    )
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 8)
+    c0 = vcfg.upsample_initial_channel
+    params = {
+        "conformer": init_conformer_params(TINY, ks[0]),
+        "perceiver": init_perceiver_params(TINY, ks[1]),
+        "ecapa": init_ecapa_params(TINY, ks[2]),
+        "gpt": init_gpt_params(TINY, ks[3]),
+        "bigvgan": bigvgan_init(vcfg, ks[4]),
+        "cond_layer": {
+            "w": jax.random.normal(ks[5], (TINY.speaker_embed_dim, c0)) * 0.02,
+            "b": jnp.zeros((c0,)),
+        },
+        "conds": [
+            {"w": jax.random.normal(ks[6], (TINY.speaker_embed_dim, c)) * 0.02,
+             "b": jnp.zeros((c,))}
+            for c in vcfg.stage_channels
+        ],
+    }
+    pipe = IndexTTSPipeline(params, TINY, vcfg, sample_rate=8000,
+                            n_fft=256, hop=64)
+    rng = np.random.default_rng(0)
+    ref1 = pipe.encode_reference((rng.standard_normal(4000) * 3000).astype(np.int16))
+    ref2 = pipe.encode_reference((rng.standard_normal(5000) * 3000).astype(np.int16))
+    ids1 = np.array([[5, 9, 13]], np.int32)
+    ids2 = np.array([[2, 7, 4, 11, 3]], np.int32)
+
+    wav1, s1 = pipe.synthesize_ids(ids1, ref1, max_gen=12)
+    wav2, s2 = pipe.synthesize_ids(ids2, ref2, max_gen=12)
+    wavs, sb = pipe.synthesize_ids_batch([(ids1, ref1), (ids2, ref2)],
+                                         max_gen=12)
+    np.testing.assert_array_equal(wav1, wavs[0])
+    np.testing.assert_array_equal(wav2, wavs[1])
+    assert sb["tokens"] == s1.tokens + s2.tokens

@@ -292,16 +292,20 @@ def gpt_embed_mel(params, mel_ids: jax.Array, gen_len) -> jax.Array:
 def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
              cfg: IndexTTSConfig, kv_valid: jax.Array | None = None):
     """graph E: one GPT-2 pass over S new positions.
-    hidden (1, S, D); penalty_vec (1, vocab) multiplies the logits
-    (Export_IndexTTS.py:283-288). kv_valid (max_seq,) bool optionally masks
-    out bucket-padding holes (GPT-2 here has no positional encoding of its
-    own — text/mel positions come from external learned tables — so padded
-    gaps only need mask exclusion). Returns (logits, last_hidden, kv)."""
+    hidden (B, S, D); penalty_vec (B, vocab) multiplies the logits
+    (Export_IndexTTS.py:283-288). kv_valid bool optionally masks out
+    bucket-padding holes — (max_seq,) shared or (B, max_seq) per batch row
+    (batched serving); GPT-2 here has no positional encoding of its own —
+    text/mel positions come from external learned tables — so padded gaps
+    only need mask exclusion. Returns (logits, last_hidden, kv)."""
     b, s, d = hidden.shape
     pos = kv.length
     mask = attention_mask(s, kv.max_len, pos, pos + s, causal=True)
     if kv_valid is not None:
-        mask = mask & kv_valid[None, :]
+        if kv_valid.ndim == 2:
+            mask = mask[None] & kv_valid[:, None, :]
+        else:
+            mask = mask & kv_valid[None, :]
     x = hidden
     for i, p in enumerate(params["layers"]):
         h = layer_norm(x, p["ln1"]["w"], p["ln1"]["b"], eps=1e-5)

@@ -229,6 +229,97 @@ class IndexTTSPipeline:
             self._dec_cache[key] = run
         return self._dec_cache[key]
 
+    def _decode_batch_fn(self, bsz: int, text_bucket: int, max_gen: int):
+        key = ("batch", bsz, text_bucket, max_gen)
+        if key not in self._dec_cache:
+            cfg = self.cfg
+            n_lat = cfg.num_latents
+            penalty = self.dcfg.repeat_penalty
+            penalty_range = self.dcfg.penalty_range
+
+            @jax.jit
+            def run(params, conds_latent, text_ids, text_len):
+                """Batched serving: B requests share the text bucket; all
+                absolute positions (learned text/mel tables) line up because
+                padding holes are masked per row via (B, kv_max) kv_valid.
+                conds_latent (B, n_lat, D); text_ids (B, Tb);
+                text_len (B,)."""
+                gpt = params["gpt"]
+                rows = jnp.arange(bsz)
+                ids = jnp.concatenate(
+                    [jnp.zeros((bsz, 1), jnp.int32), text_ids,
+                     jnp.full((bsz, 1), 1, jnp.int32)], axis=1)
+                tb2 = ids.shape[1]
+                text_emb = gpt["text_embed"][ids] + gpt["text_pos"][None, :tb2]
+                end_emb = (gpt["text_embed"][1][None]
+                           + gpt["text_pos"][text_len + 1])[:, None]
+                pos_idx = jnp.arange(tb2)[None, :, None]
+                text_emb = jnp.where(pos_idx == (text_len + 1)[:, None, None],
+                                     end_emb, text_emb)
+
+                mel_start = jnp.broadcast_to(
+                    (gpt["mel_embed"][cfg.start_mel_token]
+                     + gpt["mel_pos"][0])[None, None],
+                    (bsz, 1, cfg.gpt_dim))
+                prefill = jnp.concatenate(
+                    [jnp.asarray(conds_latent), text_emb, mel_start], axis=1)
+                p_len = n_lat + tb2 + 1
+
+                kv_max = min(cfg.max_seq_len,
+                             -(-(p_len + max_gen) // 256) * 256)
+                cdt = gpt["text_embed"].dtype
+                kv_idx = jnp.arange(kv_max)[None, :]
+                kv_valid = ~((kv_idx >= n_lat + (text_len + 2)[:, None])
+                             & (kv_idx < p_len - 1))        # (B, kv_max)
+
+                kv = KVCache.create(cfg.gpt_layers, bsz, cfg.gpt_heads,
+                                    kv_max, cfg.gpt_head_dim, cdt)
+                vec0 = jnp.ones((bsz, cfg.num_mel_codes), jnp.float32)
+                logits, last_h, kv = gpt_step(gpt, prefill, kv, vec0, cfg,
+                                              kv_valid)
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+
+                hiddens = jnp.zeros((bsz, max_gen, cfg.gpt_dim), cdt)
+                hiddens = hiddens.at[:, 0].set(last_h)
+                save = jnp.zeros((bsz, max_gen), jnp.int32).at[:, 0].set(tok)
+                fin0 = tok == cfg.stop_token
+                done0 = jnp.where(fin0, 1, max_gen)
+
+                def cond(c):
+                    _, _, _, _, num, _, _, fin, _ = c
+                    return (~fin.all()) & (num < max_gen)
+
+                def body(c):
+                    kv, vec, save, hiddens, num, tok, rst, fin, done = c
+                    vec = vec.at[rows, tok].set(penalty)
+                    old = save[rows, rst]                    # (B,)
+                    do_reset = (num > penalty_range) & (old != tok) & (~fin)
+                    vec = jnp.where(do_reset[:, None],
+                                    vec.at[rows, old].set(1.0), vec)
+                    rst = rst + do_reset.astype(jnp.int32)
+
+                    h = (gpt["mel_embed"][tok]
+                         + gpt["mel_pos"][num][None])[:, None]
+                    logits, last_h, kv = gpt_step(gpt, h, kv, vec, cfg,
+                                                  kv_valid)
+                    ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    ntok = jnp.where(fin, cfg.stop_token, ntok)
+                    save = save.at[:, num].set(ntok)
+                    hiddens = hiddens.at[:, num].set(last_h)
+                    newly = (ntok == cfg.stop_token) & (~fin)
+                    done = jnp.where(newly, num + 1, done)
+                    return (kv, vec, save, hiddens, num + 1, ntok, rst,
+                            fin | newly, done)
+
+                init = (kv, vec0, save, hiddens, jnp.ones((), jnp.int32),
+                        tok, jnp.zeros((bsz,), jnp.int32), fin0, done0)
+                (_, _, save, hiddens, num, _, _, fin, done) = \
+                    jax.lax.while_loop(cond, body, init)
+                return hiddens, jnp.minimum(done, num), save
+
+            self._dec_cache[key] = run
+        return self._dec_cache[key]
+
     # ------------------------------------------------------------- vocode
 
     def _vocode_fn(self, frames: int):
@@ -244,6 +335,23 @@ class IndexTTSPipeline:
 
             self._voc_cache[frames] = run
         return self._voc_cache[frames]
+
+    def _vocode_batch_fn(self, frames: int):
+        key = ("batch", frames)
+        if key not in self._voc_cache:
+            vcfg = self.vcfg
+
+            @jax.jit
+            def run(params, hiddens, cond_embed, conds):
+                """hiddens (B, F, D); cond_embed (B, 1, C0); conds[i]
+                (B, 1, C_i)."""
+                latent = gpt_final_norm(params["gpt"], hiddens)
+                wav = bigvgan_apply(params["bigvgan"], latent, vcfg,
+                                    conds=conds, cond_embed=cond_embed)
+                return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+            self._voc_cache[key] = run
+        return self._voc_cache[key]
 
     # ------------------------------------------------------------- public
 
@@ -276,6 +384,59 @@ class IndexTTSPipeline:
         total_up = int(np.prod(self.vcfg.upsample_rates))
         wav = np.asarray(wav)[0, : n_frames * total_up]
         return wav, IndexTTSStats(num, time.perf_counter() - t0)
+
+    def synthesize_ids_batch(self, requests: list[tuple[np.ndarray, tuple]],
+                             max_gen: int | None = None
+                             ) -> tuple[list[np.ndarray], dict]:
+        """Batched serving: B (text_ids, ref) requests decode concurrently
+        in one while_loop (per-row kv-hole masks and stop tracking), then
+        vocode per stream. Returns (list of int16 waveforms, aggregate
+        stats)."""
+        cfg = self.cfg
+        bsz = len(requests)
+        max_gen = max_gen or cfg.max_mel_tokens
+        tb = max(16, -(-max(t.shape[1] for t, _ in requests) // 16) * 16)
+        ids = np.zeros((bsz, tb), np.int32)
+        tlens = np.zeros((bsz,), np.int32)
+        conds_latent = []
+        for b, (t, ref) in enumerate(requests):
+            ids[b, : t.shape[1]] = t[0]
+            tlens[b] = t.shape[1]
+            conds_latent.append(np.asarray(ref[0])[0])
+
+        t0 = time.perf_counter()
+        hiddens, done, _ = self._decode_batch_fn(bsz, tb, max_gen)(
+            self.params, jnp.asarray(np.stack(conds_latent)),
+            jnp.asarray(ids), jnp.asarray(tlens))
+        hiddens = np.asarray(hiddens)
+        done = np.asarray(done)
+        total_up = int(np.prod(self.vcfg.upsample_rates))
+        frames = [max(int(done[b]) - 2, 0) for b in range(bsz)]
+        wavs: list[np.ndarray | None] = [None] * bsz
+        live = [b for b in range(bsz) if frames[b] > 0]
+        if live:
+            # one batched speaker-conditioned vocoder call at the max frame
+            # bucket; rows zero-padded, per-row crops afterwards
+            fb = max(8, -(-max(frames[b] for b in live) // 8) * 8)
+            h = np.zeros((len(live), fb, self.cfg.gpt_dim), hiddens.dtype)
+            for i, b in enumerate(live):
+                h[i, : frames[b]] = hiddens[b, : frames[b]]
+            cond_embed = jnp.concatenate(
+                [requests[b][1][1] for b in live], axis=0)
+            conds = [jnp.concatenate([requests[b][1][2][i] for b in live],
+                                     axis=0)
+                     for i in range(len(requests[live[0]][1][2]))]
+            wav = np.asarray(self._vocode_batch_fn(fb)(
+                self.params, jnp.asarray(h), cond_embed, conds))
+            for i, b in enumerate(live):
+                wavs[b] = wav[i, : frames[b] * total_up]
+        for b in range(bsz):
+            if wavs[b] is None:
+                wavs[b] = np.zeros(0, np.int16)
+        wall = time.perf_counter() - t0
+        total = int(done.sum())
+        return wavs, {"tokens": total, "wall_s": wall,
+                      "tokens_per_s": total / max(wall, 1e-9)}
 
     def synthesize(self, text: str, ref, tokenizer=None,
                    max_gen: int | None = None,
