@@ -228,6 +228,39 @@ def bench_qwen(quantize=None):
             "rtf": round(rtf, 4), "vs_baseline": round(3.1 / rtf, 1)}
 
 
+def bench_qwen_batch(bsz: int = 8):
+    """Multi-request Qwen serving: aggregate frames/s for B streams through
+    the fused talker+predictor loop."""
+    from tts_tpu.models.qwen_codec import (QwenCodecDecoderConfig,
+                                           init_decoder_params)
+    from tts_tpu.models.qwen_tts import (QwenTTSConfig, init_predictor_params,
+                                         init_talker_params)
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    cfg = QwenTTSConfig()
+    ccfg = QwenCodecDecoderConfig()
+    dt = _dt()
+    params = {
+        **jax.jit(lambda k: init_talker_params(cfg, k, dt))(jax.random.key(0)),
+        **jax.jit(lambda k: init_predictor_params(cfg, k, dt))(jax.random.key(1)),
+    }
+    cparams = jax.jit(lambda k: init_decoder_params(ccfg, k, dt))(jax.random.key(2))
+    pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
+                           QwenDecodeConfig(max_frames=120))
+    reqs = []
+    for b in range(bsz):
+        ids = np.arange(5, 29 + 2 * b, dtype=np.int32)[None]
+        reqs.append(pipe.build_prefill_embeds(ids, language_id=3))
+    pipe.synthesize_from_prefill_batch(reqs)       # compile
+    t0 = time.perf_counter()
+    wavs, stats = pipe.synthesize_from_prefill_batch(reqs)
+    wall = time.perf_counter() - t0
+    fps = stats["frames"] / wall
+    return {"metric": f"qwen3_tts_0.6b batched serving B={bsz}",
+            "value": round(fps, 1), "unit": "frames/s aggregate",
+            "vs_baseline": None}
+
+
 def _bench_voxcpm(v2: bool, quantize=None):
     from tts_tpu.models.voxcpm import (VoxCPMConfig, init_params,
                                        init_vae_params, voxcpm_v2_config)
@@ -301,6 +334,7 @@ ALL = {
     "f5_batch": bench_f5_batch,
     "kani_batch": bench_kani_batch,
     "indextts_batch": bench_indextts_batch,
+    "qwen_batch": bench_qwen_batch,
     "bigvgan": bench_bigvgan,
     "kani": bench_kani,
     "indextts": bench_indextts,

@@ -174,3 +174,28 @@ def test_qwen_pipeline_smoke():
     wav_b, stats_b = pipe_b.synthesize_ids(ids, language_id=3)
     assert wav_b.dtype == np.int16
     assert stats_b["frames"] <= 6
+
+
+def test_qwen_batched_decode_matches_single():
+    """Each stream in the batch must reproduce its single-request decode:
+    right-justified prefills only shift rope by a constant (relative
+    attention), per-row kv_valid masks the pad keys."""
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    cparams = init_decoder_params(TINY_CODEC, jax.random.key(2))
+    pipe = QwenTTSPipeline(params, TINY, cparams, TINY_CODEC,
+                           QwenDecodeConfig(max_frames=6))
+    reqs = []
+    singles = []
+    for ids, lang in ((np.array([[5, 9, 13, 2]], np.int32), 3),
+                      (np.array([[7, 1, 4]], np.int32), 2)):
+        prefill, trailing = pipe.build_prefill_embeds(ids, lang)
+        reqs.append((prefill, trailing))
+        singles.append(pipe.synthesize_from_prefill(prefill, trailing))
+
+    wavs, stats = pipe.synthesize_from_prefill_batch(reqs)
+    for (wav_s, st_s), wav_b in zip(singles, wavs):
+        np.testing.assert_array_equal(wav_s, wav_b)
+    assert stats["frames"] == sum(st["frames"] for _, st in singles)

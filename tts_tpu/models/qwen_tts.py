@@ -108,7 +108,10 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
     pos = kv.length
     mask = attention_mask(s, kv.max_len, pos, pos + s, causal=causal)
     if kv_valid is not None:
-        mask = mask & kv_valid[None, :]
+        if kv_valid.ndim == 2:                   # (B, T): batched serving
+            mask = mask[None] & kv_valid[:, None, :]
+        else:
+            mask = mask & kv_valid[None, :]
 
     x = hidden
     for i, p in enumerate(params["layers"]):
@@ -169,9 +172,11 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
                     penalty_range: int = 10):
     """Generate one frame's remaining 15 RVQ groups.
 
-    talker_hidden: (1, 1, talker_H) last hidden from the talker step;
-    codec_token0: (1,) int32 group-0 token from the talker.
-    Returns (frame_ids (16,), codec_embed0 (1, 1, talker_H)).
+    talker_hidden: (B, 1, talker_H) last hidden from the talker step;
+    codec_token0: (B,) int32 group-0 token from the talker.
+    Returns (frame_ids, codec_embed0) — shapes (16,) / (1, 1, talker_H)
+    for B=1 (the single-request contract) and (B, 16) / (B, 1, talker_H)
+    for batched serving.
 
     Replaces the reference inner loop of ~60 session calls
     (Export_Qwen_TTS_ONNX.py:2485-2597) with a while-free scan over the
@@ -180,13 +185,14 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
     reference applies on non-prefill predictor steps (:2524-2527).
     """
     pcfg = cfg.predictor
-    codec_embed0 = params["talker_codec_embed"][codec_token0][:, None]  # (1,1,H)
+    bsz = talker_hidden.shape[0]
+    codec_embed0 = params["talker_codec_embed"][codec_token0][:, None]  # (B,1,H)
 
-    kv = KVCache.create(pcfg.num_layers, 1, pcfg.num_kv_heads,
+    kv = KVCache.create(pcfg.num_layers, bsz, pcfg.num_kv_heads,
                         pcfg.max_seq_len, pcfg.head_dim,
                         talker_hidden.dtype)
     prefill = jnp.concatenate([talker_hidden, codec_embed0], axis=1)
-    prefill = jnp.matmul(prefill, params["small_to_mtp"])    # (1, 2, pH)
+    prefill = jnp.matmul(prefill, params["small_to_mtp"])    # (B, 2, pH)
 
     rope_cos = params["pred_rope_cos"]
     rope_sin = params["pred_rope_sin"]
@@ -196,18 +202,18 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
 
     def step(carry, g):
         h, kv, save = carry
-        logits = jnp.matmul(h, params["lm_heads"][g])         # (1, Vg)
+        logits = jnp.matmul(h, params["lm_heads"][g])         # (B, Vg)
         if repeat_penalty != 1.0:
             from ..decoding.sampling import apply_repetition_penalty
 
-            logits = apply_repetition_penalty(logits, save[None], g,
+            logits = apply_repetition_penalty(logits, save, g,
                                               repeat_penalty, penalty_range)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1,)
-        save = save.at[g].set(tok[0])
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+        save = save.at[:, g].set(tok)
         # group embeds live in talker space (they also feed TTS_EMBED_C);
         # the predictor projects every input through small_to_mtp
         # (reference :1196 applies it at forward entry)
-        emb = params["group_embeds"][g][tok][:, None]         # (1, 1, tH)
+        emb = params["group_embeds"][g][tok][:, None]         # (B, 1, tH)
         emb = jnp.matmul(emb, params["small_to_mtp"])
         pos = kv.length
         rc = jax.lax.dynamic_slice(rope_cos, (pos, 0), (1, pcfg.head_dim))
@@ -215,12 +221,14 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
         h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs)
         return (h, kv, save), None
 
-    save = jnp.zeros((cfg.num_code_groups - 1,), jnp.int32)
+    save = jnp.zeros((bsz, cfg.num_code_groups - 1), jnp.int32)
     (h, kv, save), _ = jax.lax.scan(
         step, (h, kv, save), jnp.arange(cfg.num_code_groups - 1))
 
-    frame_ids = jnp.concatenate([codec_token0, save])         # (16,)
-    return frame_ids, codec_embed0
+    frame_ids = jnp.concatenate([codec_token0[:, None], save], axis=1)
+    if bsz == 1:
+        return frame_ids[0], codec_embed0                     # (16,)
+    return frame_ids, codec_embed0                            # (B, 16)
 
 
 def predictor_frame_beam(params, talker_hidden: jax.Array,
@@ -298,6 +306,24 @@ def next_talker_input(params, frame_ids: jax.Array, codec_embed0: jax.Array,
 
     def add_group(emb, g):
         e = params["group_embeds"][g][frame_ids[g + 1]][None, None]
+        return emb + e, None
+
+    emb, _ = jax.lax.scan(add_group, emb, jnp.arange(cfg.num_code_groups - 1))
+    return emb
+
+
+def next_talker_input_batch(params, frame_ids: jax.Array,
+                            codec_embed0: jax.Array, trailing_text: jax.Array,
+                            gather_id: jax.Array,
+                            cfg: QwenTTSConfig) -> jax.Array:
+    """Batched TTS_EMBED_C: frame_ids (B, 16); codec_embed0 (B, 1, tH);
+    trailing_text (B, Tt, tH); gather_id (B,). Returns (B, 1, tH)."""
+    picked = jnp.take_along_axis(
+        trailing_text, gather_id[:, None, None], axis=1)        # (B, 1, tH)
+    emb = codec_embed0 + picked
+
+    def add_group(emb, g):
+        e = params["group_embeds"][g][frame_ids[:, g + 1]][:, None]
         return emb + e, None
 
     emb, _ = jax.lax.scan(add_group, emb, jnp.arange(cfg.num_code_groups - 1))

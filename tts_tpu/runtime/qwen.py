@@ -269,6 +269,83 @@ class QwenTTSPipeline:
 
         return jax.jit(run)
 
+    def _build_decode_batch(self, bsz: int, trailing_len: int):
+        """Batched serving: B prefills right-justified in one bucket (rope
+        attention sees only relative offsets; per-row kv_valid masks the
+        left pad), per-row stop tracking, batched predictor frames."""
+        cfg, dcfg = self.cfg, self.dcfg
+        t = cfg.talker
+        from ..models.qwen_tts import next_talker_input_batch
+
+        def run(params, prefill_buf, pad_start, trailing):
+            dt = params["talker_codec_embed"].dtype
+            prefill_buf = prefill_buf.astype(dt)
+            trailing = trailing.astype(dt)
+            s_buf = prefill_buf.shape[1]
+            valid = (jnp.arange(s_buf)[None, :] >= pad_start[:, None])
+            prefill_buf = prefill_buf * valid[..., None]
+            kv = KVCache.create(t.num_layers, bsz, t.num_kv_heads,
+                                t.max_seq_len, t.head_dim, dt)
+            kv_idx = jnp.arange(t.max_seq_len)[None, :]
+            kv_valid = kv_idx >= pad_start[:, None]          # (B, maxT)
+
+            hid_all, kv = qwen3_stack_step(
+                params["talker"], prefill_buf, kv, t,
+                params["rope_cos"][:s_buf], params["rope_sin"][:s_buf],
+                kv_valid=kv_valid, return_all=True)
+            hid = hid_all[:, -1]                              # (B, H)
+
+            frames = jnp.zeros((bsz, dcfg.max_frames, cfg.num_code_groups),
+                               jnp.int32)
+            save0 = jnp.zeros((bsz, dcfg.max_frames), jnp.int32)
+            trailing_minus = trailing.shape[1] - 1
+
+            def cond(c):
+                _, _, _, _, num, fin, _ = c
+                return (~fin.all()) & (num < dcfg.max_frames)
+
+            def body(c):
+                kv, hid, frames, save0, num, fin, done = c
+                logits = talker_logits(params, hid, cfg)      # (B, V)
+                if dcfg.repeat_penalty != 1.0:
+                    logits = apply_repetition_penalty(
+                        logits, save0, num, dcfg.repeat_penalty,
+                        dcfg.penalty_range)
+                tok0 = jnp.argmax(logits, -1).astype(jnp.int32)  # (B,)
+                newly = (tok0 == cfg.codec_eos_token_id) & (~fin)
+                done = jnp.where(newly, num, done)
+                fin = fin | newly
+                tok0 = jnp.where(fin, cfg.codec_pad_id, tok0)
+                save0 = jax.lax.dynamic_update_slice(save0, tok0[:, None],
+                                                     (0, num))
+
+                frame_ids, ce0 = predictor_frame(
+                    params, hid[:, None], tok0, cfg,
+                    dcfg.repeat_penalty, dcfg.penalty_range)  # (B, 16)
+                frames = jax.lax.dynamic_update_slice(
+                    frames, frame_ids[:, None, :], (0, num, 0))
+
+                gather = jnp.minimum(jnp.full((bsz,), num), trailing_minus)
+                nxt = next_talker_input_batch(params, frame_ids, ce0,
+                                              trailing, gather, cfg)
+                pos = kv.length
+                rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
+                                           (1, t.head_dim))
+                rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
+                                           (1, t.head_dim))
+                hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t,
+                                           rc, rs, kv_valid=kv_valid)
+                return kv, hid, frames, save0, num + 1, fin, done
+
+            done0 = jnp.full((bsz,), dcfg.max_frames, jnp.int32)
+            init = (kv, hid, frames, save0, jnp.zeros((), jnp.int32),
+                    jnp.zeros((bsz,), bool), done0)
+            _, _, frames, _, num, fin, done = jax.lax.while_loop(
+                cond, body, init)
+            return frames, jnp.minimum(done, num)
+
+        return jax.jit(run)
+
     def _codec_fn(self, frames: int):
         if frames not in self._codec_cache:
             ccfg = self.codec_cfg
@@ -547,6 +624,60 @@ class QwenTTSPipeline:
         wall = time.perf_counter() - t0
         return wav, {"frames": num, "wall_s": wall,
                      "frames_per_s": num / max(wall, 1e-9)}
+
+    def synthesize_from_prefill_batch(
+            self, requests: list[tuple[np.ndarray, np.ndarray]]
+            ) -> tuple[list[np.ndarray], dict]:
+        """Batched serving: B (prefill, trailing) requests decode
+        concurrently (right-justified prefills + per-row masks), then the
+        codec decodes all live streams at the max frame bucket. Returns
+        (list of int16 waveforms, aggregate stats)."""
+        cfg = self.cfg
+        bsz = len(requests)
+        pmax = max(64, -(-max(p.shape[1] for p, _ in requests) // 64) * 64)
+        tmax = max(tr.shape[1] for _, tr in requests)
+        tb = max(64, -(-tmax // 64) * 64)
+        buf = np.zeros((bsz, pmax, cfg.talker.hidden_size), np.float32)
+        pad_start = np.zeros((bsz,), np.int32)
+        tr_buf = np.zeros((bsz, tb, cfg.talker.hidden_size), np.float32)
+        for b, (p, tr) in enumerate(requests):
+            buf[b, pmax - p.shape[1]:] = p[0]
+            pad_start[b] = pmax - p.shape[1]
+            tr_buf[b, : tr.shape[1]] = tr[0]
+            tr_buf[b, tr.shape[1]:] = tr[0, -1:]
+
+        key = ("batch", bsz, pmax, tb)
+        if not hasattr(self, "_batch_fns"):
+            self._batch_fns = {}
+        if key not in self._batch_fns:
+            self._batch_fns[key] = self._build_decode_batch(bsz, tb)
+
+        t0 = time.perf_counter()
+        frames, done = self._batch_fns[key](
+            self.params, jnp.asarray(buf), np.asarray(pad_start),
+            jnp.asarray(tr_buf))
+        frames = np.asarray(frames)
+        done = np.asarray(done)
+        nfr = [int(done[b]) for b in range(bsz)]
+        wavs: list[np.ndarray | None] = [None] * bsz
+        live = [b for b in range(bsz) if nfr[b] > 0]
+        if live:
+            fb = max(8, -(-max(nfr[b] for b in live) // 8) * 8)
+            codes = np.zeros((len(live), fb, cfg.num_code_groups), np.int32)
+            for i, b in enumerate(live):
+                codes[i, : nfr[b]] = frames[b, : nfr[b]]
+            wav = np.asarray(self._codec_fn(fb)(self.codec_params,
+                                                jnp.asarray(codes)))
+            up = self.codec_cfg.total_upsample
+            for i, b in enumerate(live):
+                wavs[b] = wav[i, : nfr[b] * up]
+        for b in range(bsz):
+            if wavs[b] is None:
+                wavs[b] = np.zeros(0, np.int16)
+        wall = time.perf_counter() - t0
+        total = sum(nfr)
+        return wavs, {"frames": total, "wall_s": wall,
+                      "frames_per_s": total / max(wall, 1e-9)}
 
     def synthesize_ids(self, text_ids: np.ndarray, language_id: int = 0,
                        speaker_id: int | None = None,
