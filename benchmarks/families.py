@@ -291,6 +291,32 @@ def _bench_voxcpm(v2: bool, quantize=None):
             "vs_baseline": round(base / rtf, 1)}
 
 
+def bench_voxcpm_batch(bsz: int = 8):
+    """Multi-request VoxCPM-1.5 serving: per-chip RTF over B concurrent
+    streams (dual-LM + CFM steps batched)."""
+    from tts_tpu.models.voxcpm import (VoxCPMConfig, init_params,
+                                       init_vae_params)
+    from tts_tpu.runtime.voxcpm import VoxCPMDecodeConfig, VoxCPMPipeline
+
+    cfg = VoxCPMConfig()
+    dt = _dt()
+    params = jax.jit(lambda k: init_params(cfg, k, dt))(jax.random.key(0))
+    vae = jax.jit(lambda k: init_vae_params(cfg.vae, k, dt))(jax.random.key(1))
+    pipe = VoxCPMPipeline(params, cfg, vae,
+                          VoxCPMDecodeConfig(max_latents=48, min_latents=48))
+    reqs = [(np.arange(5, 21, dtype=np.int32)[None],
+             np.arange(21, 53 + 2 * b, dtype=np.int32)[None])
+            for b in range(bsz)]
+    pipe.synthesize_ids_batch(reqs)                # compile
+    t0 = time.perf_counter()
+    wavs, stats = pipe.synthesize_ids_batch(reqs)
+    wall = time.perf_counter() - t0
+    rtf = wall / stats["audio_s"]
+    return {"metric": f"voxcpm_1.5 batched serving B={bsz}",
+            "value": round(rtf, 4), "unit": "rtf/chip",
+            "vs_baseline": round(0.17 / rtf, 1)}
+
+
 def bench_voxcpm15(quantize=None):
     return _bench_voxcpm(False, quantize)
 
@@ -335,6 +361,7 @@ ALL = {
     "kani_batch": bench_kani_batch,
     "indextts_batch": bench_indextts_batch,
     "qwen_batch": bench_qwen_batch,
+    "voxcpm_batch": bench_voxcpm_batch,
     "bigvgan": bench_bigvgan,
     "kani": bench_kani,
     "indextts": bench_indextts,

@@ -142,3 +142,31 @@ def test_voxcpm_pipeline_smoke():
     wav8, stats8 = pipe8.synthesize_ids(p_ids, t_ids, audio, seed=1)
     assert wav8.dtype == np.int16
     assert stats8["latents"] <= 5
+
+
+def test_batched_decode_matches_single():
+    """B=1 batched serving must reproduce the single path exactly (same
+    PRNG chain, right-justification only shifts rope by a constant); B=2
+    produces per-request counts/finite audio."""
+    from tts_tpu.models.voxcpm import init_params, init_vae_params
+    from tts_tpu.runtime.voxcpm import VoxCPMDecodeConfig, VoxCPMPipeline
+
+    params = init_params(TINY, jax.random.key(0))
+    vae = init_vae_params(TINY.vae, jax.random.key(1))
+    pipe = VoxCPMPipeline(params, TINY, vae,
+                          VoxCPMDecodeConfig(max_latents=6, min_latents=2))
+    p1 = np.array([[5, 9]], np.int32)
+    t1 = np.array([[11, 3, 7]], np.int32)
+
+    single, st = pipe.synthesize_ids(p1, t1, seed=5)
+    batch1, sb = pipe.synthesize_ids_batch([(p1, t1)], seed=5)
+    np.testing.assert_array_equal(single, batch1[0])
+
+    p2 = np.array([[2]], np.int32)
+    t2 = np.array([[8, 1, 4, 9]], np.int32)
+    wavs, stats = pipe.synthesize_ids_batch([(p1, t1), (p2, t2)], seed=3)
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.dtype == np.int16
+        assert np.isfinite(w.astype(np.float32)).all()
+    assert stats["latents"] >= 2

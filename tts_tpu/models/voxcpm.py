@@ -171,12 +171,16 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
                      kv_valid=None):
     """Causal cached step over S new positions; returns (full hidden
     sequence (B, S, H) pre-final-norm, kv). Input/post norms folded into
-    qkv/gate_up at load."""
+    qkv/gate_up at load. kv_valid: (max_T,) shared or (B, max_T) per
+    batch row (batched serving)."""
     b, s, _ = hidden.shape
     pos = kv.length
     mask = attention_mask(s, kv.max_len, pos, pos + s, causal=True)
     if kv_valid is not None:
-        mask = mask & kv_valid[None, :]
+        if kv_valid.ndim == 2:
+            mask = mask[None] & kv_valid[:, None, :]
+        else:
+            mask = mask & kv_valid[None, :]
     x = hidden
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, eps=cfg.rms_eps)
@@ -351,6 +355,72 @@ def feat_encoder_cond(params, audio_feat: jax.Array, cfg: VoxCPMConfig):
     return feat_embed, feat_cond
 
 
+def feat_encoder_cond_batch(params, audio_feat: jax.Array,
+                            cfg: VoxCPMConfig):
+    """Batched-serving feat encoder: audio_feat (B, patch, latent) — one
+    latent per stream — -> (feat_embed (B, 1, base_H),
+    feat_cond (2B, patch, est_H) laid out [pos rows | neg rows])."""
+    fe = cfg.feat_encoder
+    bsz = audio_feat.shape[0]
+    h = jnp.matmul(audio_feat, params["fe_in_proj"]["w"]) \
+        + params["fe_in_proj"]["b"]                          # (B, P, H)
+    sp = jnp.broadcast_to(params["fe_special"], (bsz, 1, fe.hidden_size))
+    h = jnp.concatenate([sp, h], axis=1)
+    q_len = cfg.patch_size + 1
+    h = llama_stack_nocache(params["fe"], h, fe,
+                            params["fe_rope_cos"][:q_len],
+                            params["fe_rope_sin"][:q_len])
+    feat = rms_norm(h[:, 0], eps=fe.rms_eps)                 # (B, H)
+    feat_embed = jnp.matmul(feat, params["enc_to_lm"]["w"])
+    if "b" in params["enc_to_lm"]:
+        feat_embed = feat_embed + params["enc_to_lm"]["b"]
+    feat_embed = feat_embed[:, None]                         # (B, 1, base_H)
+
+    cond = jnp.matmul(audio_feat, params["cond_proj"]["w"]) \
+        + params["cond_proj"]["b"]                           # (B, P, est_H)
+    feat_cond = jnp.concatenate([cond, cond], axis=0)        # (2B, P, est_H)
+    return feat_embed, feat_cond
+
+
+def cfm_feat_decoder_batch(params, noise: jax.Array, dit_hidden: jax.Array,
+                           feat_cond: jax.Array,
+                           cfg: VoxCPMConfig) -> jax.Array:
+    """Batched cfm_feat_decoder: noise (B, patch, est_in); dit_hidden
+    (B, 1, est_H); feat_cond (2B, patch, est_H) [pos | neg rows]. The CFG
+    pair batches as 2B estimator rows; st_star rescales per row."""
+    est = cfg.estimator
+    bsz = noise.shape[0]
+    q_len = 2 * cfg.patch_size + 1
+    rope_cos = params["est_rope_cos"][:q_len]
+    rope_sin = params["est_rope_sin"][:q_len]
+
+    def step(x, i):
+        t = jnp.broadcast_to(params["cfm_t_table"][i][None, None],
+                             dit_hidden.shape)
+        dt = params["cfm_dt"][i]
+        rows = jnp.concatenate([dit_hidden + t, t], axis=0)  # (2B, 1, H)
+        xin = jnp.matmul(x, params["est_in_proj"]["w"]) \
+            + params["est_in_proj"]["b"]
+        xin = jnp.concatenate([xin, xin], axis=0)            # (2B, P, H)
+        h = jnp.concatenate([rows, feat_cond, xin], axis=1)
+        h = llama_stack_nocache(params["est"], h, est, rope_cos, rope_sin)
+        h = h[:, cfg.patch_size + 1:]
+        h = rms_norm(h, eps=est.rms_eps)
+        out = jnp.matmul(h, params["est_out_proj"]["w"])
+        if "b" in params["est_out_proj"]:
+            out = out + params["est_out_proj"]["b"]
+        pos, neg = out[:bsz], out[bsz:]
+        pf = pos.reshape(bsz, 1, -1)
+        nf = neg.reshape(bsz, 1, -1)
+        st_star = jnp.sum(pf * nf, -1, keepdims=True) / (
+            jnp.sum(nf * nf, -1, keepdims=True) + 1e-12)      # (B, 1, 1)
+        dphi = (1.0 - cfg.cfg_value) * neg * st_star + cfg.cfg_value * pos
+        return x - dt * dphi, None
+
+    x, _ = jax.lax.scan(step, noise, jnp.arange(cfg.cfm_steps - 1))
+    return x
+
+
 # --------------------------------------------------------------------------
 # FSQ bottleneck (upstream voxcpm fsq_layer: project down, bound with tanh,
 # round to a fixed grid, project back up)
@@ -367,21 +437,23 @@ def fsq_layer(params, x: jax.Array, cfg: VoxCPMConfig) -> jax.Array:
 
 def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
                      concat_text_len, base_kv: KVCache, res_kv: KVCache,
-                     cfg: VoxCPMConfig, valid_len=None):
-    """One dual-LM pass over S positions. hidden (1, S, base_H).
+                     cfg: VoxCPMConfig, valid_len=None, kv_valid=None):
+    """One dual-LM pass over S positions. hidden (B, S, base_H).
     concat_text_len marks audio positions: a scalar boundary (positions
-    >= it are audio — the v1.5 layout) OR a (S,) bool mask (the v2 modes
-    interleave text and audio segments). Audio positions are
-    FSQ-bottlenecked + feat_embed added before the residual LM; feat_embed
-    must be (1, S, H) aligned with hidden.
+    >= it are audio — the v1.5 layout), a (S,) bool mask (the v2 modes
+    interleave text and audio segments), or a (B, S) bool mask (batched
+    serving). Audio positions are FSQ-bottlenecked + feat_embed added
+    before the residual LM; feat_embed must align with hidden.
 
     valid_len (scalar): true length inside a padded bucket (batched
     prefill) — the dit/stop outputs come from position valid_len-1 and the
-    caller rewinds the KV lengths.
+    caller rewinds the KV lengths. kv_valid: per-row (B, max_T) key mask
+    for the left-aligned serving layout.
 
-    Returns (dit_hidden (1, 1, est_H), stop_flag (), lm state)."""
+    Returns (dit_hidden (B, 1, est_H), stop_flag (() for B=1, (B,)
+    otherwise), lm state)."""
     b = cfg.base
-    s = hidden.shape[1]
+    bsz, s, _ = hidden.shape
     pos = base_kv.length
     rope_cos = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
                                      (s, b.head_dim))
@@ -389,11 +461,13 @@ def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
                                      (s, b.head_dim))
 
     x, base_kv = llama_stack_step(params["base"], hidden, base_kv, b,
-                                  rope_cos, rope_sin)
+                                  rope_cos, rope_sin, kv_valid=kv_valid)
     x = rms_norm(x, params["base_norm"], eps=b.rms_eps)
 
     ctl = jnp.asarray(concat_text_len)
-    if ctl.ndim == 1:                                       # per-position mask
+    if ctl.ndim == 2:                                       # (B, S) mask
+        is_audio = ctl[:, :, None]
+    elif ctl.ndim == 1:                                     # per-position mask
         is_audio = ctl[None, :, None]
     else:
         is_audio = jnp.arange(s)[None, :, None] >= ctl
@@ -402,7 +476,8 @@ def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
     res_in = jnp.where(is_audio, fsq_out + feat_embed, x)
 
     r, res_kv = llama_stack_step(params["residual"], res_in, res_kv,
-                                 cfg.residual, rope_cos, rope_sin)
+                                 cfg.residual, rope_cos, rope_sin,
+                                 kv_valid=kv_valid)
 
     def at_last(t):
         if valid_len is None:
@@ -425,7 +500,9 @@ def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
     stop = jax.nn.silu(stop_im) if cfg.stop_act == "silu" else \
         jnp.tanh(stop_im)
     stop = jnp.matmul(stop, params["stop_head"]["w"]) + params["stop_head"]["b"]
-    stop_flag = jnp.argmax(stop[0, -1]).astype(jnp.int32)
+    stop_flag = jnp.argmax(stop[:, -1], axis=-1).astype(jnp.int32)   # (B,)
+    if bsz == 1:
+        stop_flag = stop_flag[0]
     return dit_hidden, stop_flag, base_kv, res_kv
 
 

@@ -24,7 +24,9 @@ from ..kv.cache import KVCache
 from ..models.voxcpm import (
     VoxCPMConfig,
     cfm_feat_decoder,
+    cfm_feat_decoder_batch,
     feat_encoder_cond,
+    feat_encoder_cond_batch,
     vae_decode,
     vae_encode,
     voxcpm_main_step,
@@ -181,6 +183,159 @@ class VoxCPMPipeline:
             return latents, num
 
         return jax.jit(run)
+
+    def _build_decode_batch(self, bsz: int, s_buf: int):
+        """Batched serving: B segmented prompts right-justified in one
+        bucket (per-row kv_valid masks the left pad; rope is relative so
+        the shared shift is free), per-row stop/cap tracking, batched CFM +
+        feat-encoder + dual-LM steps."""
+        cfg, dcfg = self.cfg, self.dcfg
+        b = cfg.base
+
+        def run(params, text_buf, is_audio, pad_start, feat_embed_buf,
+                feat_cond0, caps, key):
+            dt = params["embed"].dtype
+            feat_embed_buf = feat_embed_buf.astype(dt)
+            feat_cond0 = feat_cond0.astype(dt)
+            base_kv = KVCache.create(b.num_layers, bsz, b.num_kv_heads,
+                                     b.max_seq_len, b.head_dim, dt)
+            res_kv = KVCache.create(cfg.residual.num_layers, bsz,
+                                    cfg.residual.num_kv_heads, b.max_seq_len,
+                                    cfg.residual.head_dim, dt)
+            valid = jnp.arange(s_buf)[None, :] >= pad_start[:, None]
+            kv_valid = (jnp.arange(b.max_seq_len)[None, :]
+                        >= pad_start[:, None])
+
+            h = jnp.where(is_audio[..., None], feat_embed_buf,
+                          params["embed"][text_buf])
+            h = h * valid[..., None]
+            dit, stop, base_kv, res_kv = voxcpm_main_step(
+                params, h, feat_embed_buf, is_audio, base_kv, res_kv, cfg,
+                kv_valid=kv_valid)
+
+            latents = jnp.zeros((bsz, dcfg.max_latents, cfg.patch_size,
+                                 cfg.vae.latent_dim))
+
+            def gcond(c):
+                _, _, _, _, _, _, num, fin, _ = c
+                return (~fin.all()) & (num < dcfg.max_latents)
+
+            def gbody(c):
+                base_kv, res_kv, dit, feat_cond, latents, key, num, fin, done = c
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(
+                    sub, (bsz, cfg.patch_size, cfg.vae.latent_dim))
+                latent = cfm_feat_decoder_batch(params, noise, dit,
+                                                feat_cond, cfg)
+                latents = jax.lax.dynamic_update_slice(
+                    latents, latent.astype(latents.dtype)[:, None],
+                    (0, num, 0, 0))
+                feat_embed, feat_cond = feat_encoder_cond_batch(
+                    params, latent.astype(dt), cfg)
+                feat_cond = feat_cond.astype(dt)
+                h2 = feat_embed.astype(dt)
+                dit, stop, base_kv, res_kv = voxcpm_main_step(
+                    params, h2, h2, jnp.int32(0), base_kv, res_kv, cfg,
+                    kv_valid=kv_valid)
+                newly = (((stop == 1) & (num + 1 >= dcfg.min_latents))
+                         | (num + 1 >= caps)) & (~fin)
+                done = jnp.where(newly, num + 1, done)
+                return (base_kv, res_kv, dit, feat_cond, latents, key,
+                        num + 1, fin | newly, done)
+
+            done0 = jnp.full((bsz,), dcfg.max_latents, jnp.int32)
+            init = (base_kv, res_kv, dit, feat_cond0, latents, key,
+                    jnp.zeros((), jnp.int32), jnp.zeros((bsz,), bool), done0)
+            _, _, _, _, latents, _, num, _, done = jax.lax.while_loop(
+                gcond, gbody, init)
+            return latents, jnp.minimum(done, num)
+
+        return jax.jit(run)
+
+    def _vae_dec_batch_fn(self, bsz: int, n: int):
+        key = ("batch", bsz, n)
+        if key not in self._vae_dec_cache:
+            cfg = self.cfg
+            sr_idx = int(np.searchsorted(np.asarray(cfg.vae.sr_bins),
+                                         cfg.output_sample_rate)) \
+                if cfg.vae.sr_bins else 0
+
+            @jax.jit
+            def run(vae_params, latents):
+                flat = latents.reshape(latents.shape[0], -1,
+                                       cfg.vae.latent_dim)
+                wav = vae_decode(vae_params["dec"], flat, cfg.vae,
+                                 sr_idx=sr_idx)
+                return (wav * 32767.0).astype(jnp.int16)
+
+            self._vae_dec_cache[key] = run
+        return self._vae_dec_cache[key]
+
+    def synthesize_ids_batch(
+            self, requests: list[tuple[np.ndarray, np.ndarray]],
+            seed: int | None = None) -> tuple[list[np.ndarray], dict]:
+        """Batched serving: B (prompt_ids, target_ids) requests generate
+        concurrently through the dual-LM + CFM loop, then one batched VAE
+        decode. (Text-only prompts; voice-cloning prompt audio stays on the
+        single path.) Returns (list of int16 waveforms, aggregate stats)."""
+        cfg, dcfg = self.cfg, self.dcfg
+        bsz = len(requests)
+        rows = []
+        for prompt_ids, target_ids in requests:
+            ids = np.concatenate([prompt_ids[0], target_ids[0],
+                                  [cfg.audio_start_id]]).astype(np.int32)
+            cap = min(target_ids.shape[1] * dcfg.decode_limit_factor + 10,
+                      dcfg.max_latents)
+            rows.append((ids, cap))
+        s_buf = max(16, -(-max(len(i) for i, _ in rows) // 16) * 16)
+        text_buf = np.zeros((bsz, s_buf), np.int32)
+        pad_start = np.zeros((bsz,), np.int32)
+        caps = np.zeros((bsz,), np.int32)
+        for bi, (ids, cap) in enumerate(rows):
+            text_buf[bi, s_buf - len(ids):] = ids
+            pad_start[bi] = s_buf - len(ids)
+            caps[bi] = cap
+        is_audio = np.zeros((bsz, s_buf), bool)
+        fe_buf = np.zeros((bsz, s_buf, cfg.base.hidden_size), np.float32)
+        feat_cond0 = np.zeros((2 * bsz, cfg.patch_size,
+                               cfg.estimator.hidden_size), np.float32)
+
+        fkey = ("batch", bsz, s_buf)
+        if not hasattr(self, "_batch_fns"):
+            self._batch_fns = {}
+        if fkey not in self._batch_fns:
+            self._batch_fns[fkey] = self._build_decode_batch(bsz, s_buf)
+
+        t0 = time.perf_counter()
+        latents, done = self._batch_fns[fkey](
+            self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
+            np.asarray(pad_start), jnp.asarray(fe_buf),
+            jnp.asarray(feat_cond0), np.asarray(caps),
+            self._get_key(self.dcfg.seed if seed is None else seed))
+        latents = np.asarray(latents)
+        done = np.asarray(done)
+        counts = [int(done[bi]) for bi in range(bsz)]
+        wavs: list[np.ndarray | None] = [None] * bsz
+        live = [bi for bi in range(bsz) if counts[bi] > 0]
+        if live:
+            nb = max(2, -(-max(counts[bi] for bi in live) // 2) * 2)
+            lb = np.zeros((len(live), nb, cfg.patch_size,
+                           cfg.vae.latent_dim), np.float32)
+            for i, bi in enumerate(live):
+                lb[i, : counts[bi]] = latents[bi, : counts[bi]]
+            wav = np.asarray(self._vae_dec_batch_fn(len(live), nb)(
+                self.vae_params, jnp.asarray(lb)))
+            spl = cfg.samples_per_latent
+            for i, bi in enumerate(live):
+                wavs[bi] = wav[i, : counts[bi] * spl]
+        for bi in range(bsz):
+            if wavs[bi] is None:
+                wavs[bi] = np.zeros(0, np.int16)
+        wall = time.perf_counter() - t0
+        total_audio = sum(len(w) for w in wavs) / cfg.output_sample_rate
+        return wavs, {"latents": sum(counts), "wall_s": wall,
+                      "audio_s": total_audio,
+                      "rtf": wall / max(total_audio, 1e-9)}
 
     def _vae_dec_fn(self, n: int):
         if n not in self._vae_dec_cache:
