@@ -199,3 +199,20 @@ def test_qwen_batched_decode_matches_single():
     for (wav_s, st_s), wav_b in zip(singles, wavs):
         np.testing.assert_array_equal(wav_s, wav_b)
     assert stats["frames"] == sum(st["frames"] for _, st in singles)
+
+
+def test_qwen_batched_single_request():
+    """Regression: predictor_frame squeezes to (16,) at B=1 — the batch
+    path must re-rank and work for a one-request batch."""
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    cparams = init_decoder_params(TINY_CODEC, jax.random.key(2))
+    pipe = QwenTTSPipeline(params, TINY, cparams, TINY_CODEC,
+                           QwenDecodeConfig(max_frames=4))
+    prefill, trailing = pipe.build_prefill_embeds(
+        np.array([[5, 9]], np.int32), 3)
+    single, st = pipe.synthesize_from_prefill(prefill, trailing)
+    batch, sb = pipe.synthesize_from_prefill_batch([(prefill, trailing)])
+    np.testing.assert_array_equal(single, batch[0])

@@ -86,6 +86,8 @@ def normalize_text(text: str) -> str:
     pinyins: list[str] = []
 
     def _save_py(m):
+        if m.group(0) in pinyins:                 # reuse the existing slot
+            return f"<pinyin_{chr(ord('a') + pinyins.index(m.group(0)))}>"
         if len(pinyins) >= 26:
             return m.group(0)
         pinyins.append(m.group(0))
@@ -95,6 +97,8 @@ def normalize_text(text: str) -> str:
     names: list[str] = []
 
     def _save_name(m):
+        if m.group(0) in names:
+            return f"<n_{chr(ord('a') + names.index(m.group(0)))}>"
         if len(names) >= 26:
             return m.group(0)
         names.append(m.group(0))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kv.cache import KVCache
-from ..nn.attention import attention_mask
+from ..nn.attention import combine_kv_valid, attention_mask
 from ..nn.norm import layer_norm
 from ..ops.conv import conv1d
 from ..quant.weight_only import dense
@@ -300,12 +300,8 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
     only need mask exclusion. Returns (logits, last_hidden, kv)."""
     b, s, d = hidden.shape
     pos = kv.length
-    mask = attention_mask(s, kv.max_len, pos, pos + s, causal=True)
-    if kv_valid is not None:
-        if kv_valid.ndim == 2:
-            mask = mask[None] & kv_valid[:, None, :]
-        else:
-            mask = mask & kv_valid[None, :]
+    mask = combine_kv_valid(
+        attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
     x = hidden
     for i, p in enumerate(params["layers"]):
         h = layer_norm(x, p["ln1"]["w"], p["ln1"]["b"], eps=1e-5)

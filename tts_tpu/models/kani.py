@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kv.cache import KVCache
-from ..nn.attention import attention_mask, gqa_attention
+from ..nn.attention import combine_kv_valid, attention_mask, gqa_attention
 from ..nn.norm import rms_norm
 from ..nn.rope import apply_rope
 from ..ops.conv import conv1d
@@ -181,9 +181,9 @@ def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
         params["rope_sin"], (pos, 0), (s, cfg.head_dim))
     mask = attention_mask(s, cfg.max_seq_len, pos, pos + s, causal=True)
     if key_valid_from is not None:
-        kv_idx = jnp.arange(cfg.max_seq_len)
-        mask = mask[None] & (kv_idx[None, None, :]
-                             >= key_valid_from[:, None, None])
+        mask = combine_kv_valid(
+            mask, jnp.arange(cfg.max_seq_len)[None, :]
+            >= key_valid_from[:, None])
 
     x = hidden
     attn_i = conv_i = 0

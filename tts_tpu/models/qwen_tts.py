@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kv.cache import KVCache
-from ..nn.attention import attention_mask, gqa_attention
+from ..nn.attention import combine_kv_valid, attention_mask, gqa_attention
 from ..nn.norm import rms_norm
 from ..nn.rope import apply_rope, rope_table
 from ..quant.weight_only import dense
@@ -106,12 +106,8 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
     applied inline. Returns (final_hidden (B, H) pre-head-normed, kv)."""
     b, s, _ = hidden.shape
     pos = kv.length
-    mask = attention_mask(s, kv.max_len, pos, pos + s, causal=causal)
-    if kv_valid is not None:
-        if kv_valid.ndim == 2:                   # (B, T): batched serving
-            mask = mask[None] & kv_valid[:, None, :]
-        else:
-            mask = mask & kv_valid[None, :]
+    mask = combine_kv_valid(
+        attention_mask(s, kv.max_len, pos, pos + s, causal=causal), kv_valid)
 
     x = hidden
     for i, p in enumerate(params["layers"]):

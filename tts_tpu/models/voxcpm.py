@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kv.cache import KVCache
-from ..nn.attention import attention_mask, gqa_attention
+from ..nn.attention import combine_kv_valid, attention_mask, gqa_attention
 from ..nn.norm import rms_norm
 from ..nn.rope import apply_rope, rope_table
 from ..audio.snake import snake
@@ -175,12 +175,8 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
     batch row (batched serving)."""
     b, s, _ = hidden.shape
     pos = kv.length
-    mask = attention_mask(s, kv.max_len, pos, pos + s, causal=True)
-    if kv_valid is not None:
-        if kv_valid.ndim == 2:
-            mask = mask[None] & kv_valid[:, None, :]
-        else:
-            mask = mask & kv_valid[None, :]
+    mask = combine_kv_valid(
+        attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
     x = hidden
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, eps=cfg.rms_eps)

@@ -40,6 +40,17 @@ def attention_mask(
     return valid
 
 
+def combine_kv_valid(mask: jax.Array, kv_valid: jax.Array | None) -> jax.Array:
+    """AND an (S, T) attention mask with a key-validity mask: (T,) shared
+    across the batch, or (B, T) per batch row (batched serving) — the
+    result broadcasts through gqa_attention's (S, T) / (B, S, T) contract."""
+    if kv_valid is None:
+        return mask
+    if kv_valid.ndim == 2:
+        return mask[None] & kv_valid[:, None, :]
+    return mask & kv_valid[None, :]
+
+
 def gqa_attention(
     q: jax.Array,              # (B, S, H, D)
     k: jax.Array,              # (B, KVH, T, D)

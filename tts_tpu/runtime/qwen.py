@@ -269,10 +269,12 @@ class QwenTTSPipeline:
 
         return jax.jit(run)
 
-    def _build_decode_batch(self, bsz: int, trailing_len: int):
+    def _build_decode_batch(self, bsz: int):
         """Batched serving: B prefills right-justified in one bucket (rope
         attention sees only relative offsets; per-row kv_valid masks the
-        left pad), per-row stop tracking, batched predictor frames."""
+        left pad), per-row stop tracking, batched predictor frames (greedy:
+        the beam path occupies the batch dim, so use_beam falls back with a
+        warning in synthesize_from_prefill_batch)."""
         cfg, dcfg = self.cfg, self.dcfg
         t = cfg.talker
         from ..models.qwen_tts import next_talker_input_batch
@@ -321,7 +323,9 @@ class QwenTTSPipeline:
 
                 frame_ids, ce0 = predictor_frame(
                     params, hid[:, None], tok0, cfg,
-                    dcfg.repeat_penalty, dcfg.penalty_range)  # (B, 16)
+                    dcfg.repeat_penalty, dcfg.penalty_range)
+                # predictor_frame squeezes to (16,) at B=1; re-rank
+                frame_ids = frame_ids.reshape(bsz, cfg.num_code_groups)
                 frames = jax.lax.dynamic_update_slice(
                     frames, frame_ids[:, None, :], (0, num, 0))
 
@@ -633,6 +637,12 @@ class QwenTTSPipeline:
         codec decodes all live streams at the max frame bucket. Returns
         (list of int16 waveforms, aggregate stats)."""
         cfg = self.cfg
+        if self.dcfg.use_beam:
+            import warnings
+
+            warnings.warn("batched decode runs the greedy predictor (beam "
+                          "search occupies the batch dim); use_beam is "
+                          "ignored here", stacklevel=2)
         bsz = len(requests)
         pmax = max(64, -(-max(p.shape[1] for p, _ in requests) // 64) * 64)
         tmax = max(tr.shape[1] for _, tr in requests)
@@ -650,7 +660,7 @@ class QwenTTSPipeline:
         if not hasattr(self, "_batch_fns"):
             self._batch_fns = {}
         if key not in self._batch_fns:
-            self._batch_fns[key] = self._build_decode_batch(bsz, tb)
+            self._batch_fns[key] = self._build_decode_batch(bsz)
 
         t0 = time.perf_counter()
         frames, done = self._batch_fns[key](

@@ -326,13 +326,27 @@ class VoxCPMPipeline:
             wav = np.asarray(self._vae_dec_batch_fn(len(live), nb)(
                 self.vae_params, jnp.asarray(lb)))
             spl = cfg.samples_per_latent
+            native = cfg.output_sample_rate
             for i, bi in enumerate(live):
-                wavs[bi] = wav[i, : counts[bi] * spl]
+                w = wav[i, : counts[bi] * spl]
+                if self.output_sample_rate != native:
+                    from ..audio.wav import resample_linear
+
+                    w = resample_linear(w, native, self.output_sample_rate)
+                wavs[bi] = w
         for bi in range(bsz):
             if wavs[bi] is None:
                 wavs[bi] = np.zeros(0, np.int16)
+        # rows that hit their cap without a stop token re-run through the
+        # single path, which owns the retry-on-badcase policy (reference
+        # core.py:140-142 behavior)
+        if self.dcfg.retry_badcase > 0:
+            for bi in range(bsz):
+                if counts[bi] >= int(caps[bi]):
+                    wavs[bi], _ = self.synthesize_ids(
+                        requests[bi][0], requests[bi][1], seed=seed)
         wall = time.perf_counter() - t0
-        total_audio = sum(len(w) for w in wavs) / cfg.output_sample_rate
+        total_audio = sum(len(w) for w in wavs) / self.output_sample_rate
         return wavs, {"latents": sum(counts), "wall_s": wall,
                       "audio_s": total_audio,
                       "rtf": wall / max(total_audio, 1e-9)}
