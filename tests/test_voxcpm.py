@@ -170,3 +170,25 @@ def test_batched_decode_matches_single():
         assert w.dtype == np.int16
         assert np.isfinite(w.astype(np.float32)).all()
     assert stats["latents"] >= 2
+
+
+def test_batched_decode_with_prompt_audio_matches_single():
+    """Voice-cloning rows in a batch (B=1) must reproduce the single path's
+    [text | audio_start | prompt feats] layout exactly."""
+    from tts_tpu.models.voxcpm import init_params, init_vae_params
+    from tts_tpu.runtime.voxcpm import VoxCPMDecodeConfig, VoxCPMPipeline
+
+    params = init_params(TINY, jax.random.key(0))
+    vae = init_vae_params(TINY.vae, jax.random.key(1))
+    pipe = VoxCPMPipeline(params, TINY, vae,
+                          VoxCPMDecodeConfig(max_latents=5, min_latents=2))
+    p1 = np.array([[5, 9]], np.int32)
+    t1 = np.array([[11, 3, 7]], np.int32)
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(TINY.patch_size * TINY.chunk_size * 3)
+             * 3000).astype(np.int16)
+
+    single, _ = pipe.synthesize_ids(p1, t1, prompt_audio=audio, seed=4)
+    batch1, _ = pipe.synthesize_ids_batch([(p1, t1)],
+                                          prompt_audios=[audio], seed=4)
+    np.testing.assert_array_equal(single, batch1[0])

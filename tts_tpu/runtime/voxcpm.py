@@ -273,32 +273,52 @@ class VoxCPMPipeline:
 
     def synthesize_ids_batch(
             self, requests: list[tuple[np.ndarray, np.ndarray]],
+            prompt_audios: list[np.ndarray | None] | None = None,
             seed: int | None = None) -> tuple[list[np.ndarray], dict]:
         """Batched serving: B (prompt_ids, target_ids) requests generate
         concurrently through the dual-LM + CFM loop, then one batched VAE
-        decode. (Text-only prompts; voice-cloning prompt audio stays on the
-        single path.) Returns (list of int16 waveforms, aggregate stats)."""
+        decode. prompt_audios optionally carries per-request voice-cloning
+        audio (the v1.5 [text | audio_start | prompt feats] layout).
+        Returns (list of int16 waveforms, aggregate stats)."""
         cfg, dcfg = self.cfg, self.dcfg
         bsz = len(requests)
+        if prompt_audios is None:
+            prompt_audios = [None] * bsz
+        feats = []                    # per-row (feat_embed np, feat_cond np)
+        for pa in prompt_audios:
+            if pa is None or len(pa) == 0:
+                feats.append((None, None))
+            else:
+                _, fe, fc = self.encode_prompt(pa)
+                feats.append((np.asarray(fe, np.float32),
+                              np.asarray(fc, np.float32)))
         rows = []
-        for prompt_ids, target_ids in requests:
+        for (prompt_ids, target_ids), (fe, _) in zip(requests, feats):
             ids = np.concatenate([prompt_ids[0], target_ids[0],
                                   [cfg.audio_start_id]]).astype(np.int32)
             cap = min(target_ids.shape[1] * dcfg.decode_limit_factor + 10,
                       dcfg.max_latents)
-            rows.append((ids, cap))
-        s_buf = max(16, -(-max(len(i) for i, _ in rows) // 16) * 16)
+            n_feat = 0 if fe is None else fe.shape[1]
+            rows.append((ids, cap, n_feat))
+        s_buf = max(16, -(-max(len(i) + nf for i, _, nf in rows) // 16) * 16)
         text_buf = np.zeros((bsz, s_buf), np.int32)
         pad_start = np.zeros((bsz,), np.int32)
         caps = np.zeros((bsz,), np.int32)
-        for bi, (ids, cap) in enumerate(rows):
-            text_buf[bi, s_buf - len(ids):] = ids
-            pad_start[bi] = s_buf - len(ids)
-            caps[bi] = cap
         is_audio = np.zeros((bsz, s_buf), bool)
         fe_buf = np.zeros((bsz, s_buf, cfg.base.hidden_size), np.float32)
         feat_cond0 = np.zeros((2 * bsz, cfg.patch_size,
                                cfg.estimator.hidden_size), np.float32)
+        for bi, ((ids, cap, n_feat), (fe, fc)) in enumerate(zip(rows, feats)):
+            total = len(ids) + n_feat
+            start = s_buf - total
+            text_buf[bi, start : start + len(ids)] = ids
+            if n_feat:
+                fe_buf[bi, start + len(ids):] = fe[0]
+                is_audio[bi, start + len(ids):] = True
+                feat_cond0[bi] = fc[0]            # pos row
+                feat_cond0[bsz + bi] = fc[1]      # neg row
+            pad_start[bi] = start
+            caps[bi] = cap
 
         fkey = ("batch", bsz, s_buf)
         if not hasattr(self, "_batch_fns"):
