@@ -145,3 +145,32 @@ def test_voxcpm_streaming_runs():
     up = VOX_TINY.patch_size * VOX_TINY.chunk_size
     assert len(stream_wav) % up == 0
     assert len(stream_wav) // up == stats["latents"]
+
+
+def test_voxcpm_v2_batch_matches_single():
+    """Each v2-mode row in a one-request batch must reproduce its single
+    synthesize_v2 output exactly; a mixed-mode batch returns per-row
+    finite audio."""
+    pipe = _vox_pipe(max_latents=5)
+    rng = np.random.default_rng(1)
+    ref = (rng.standard_normal(200) * 3000).astype(np.int16)
+    prm = (rng.standard_normal(180) * 3000).astype(np.int16)
+    tgt = np.array([[11, 13, 17]], np.int32)
+    pid = np.array([[3, 7]], np.int32)
+
+    reqs = [
+        dict(mode="voice_design", target_ids=tgt),
+        dict(mode="reference_only", target_ids=tgt, ref_audio=ref),
+        dict(mode="continuation", target_ids=tgt, prompt_audio=prm,
+             prompt_ids=pid),
+    ]
+    for req in reqs:
+        single, _ = pipe.synthesize_v2(seed=2, **req)
+        batch1, _ = pipe.synthesize_v2_batch([req], seed=2)
+        np.testing.assert_array_equal(single, batch1[0])
+
+    wavs, stats = pipe.synthesize_v2_batch(reqs, seed=3)
+    assert len(wavs) == 3
+    for w in wavs:
+        assert w.dtype == np.int16
+        assert np.isfinite(w.astype(np.float32)).all()

@@ -292,15 +292,91 @@ class VoxCPMPipeline:
                 _, fe, fc = self.encode_prompt(pa)
                 feats.append((np.asarray(fe, np.float32),
                               np.asarray(fc, np.float32)))
-        rows = []
-        for (prompt_ids, target_ids), (fe, _) in zip(requests, feats):
-            ids = np.concatenate([prompt_ids[0], target_ids[0],
-                                  [cfg.audio_start_id]]).astype(np.int32)
+        plans = []
+        for (prompt_ids, target_ids), (fe, fc) in zip(requests, feats):
+            segments: list = [("text", np.concatenate(
+                [prompt_ids[0], target_ids[0],
+                 [cfg.audio_start_id]]).astype(np.int32))]
+            if fe is not None:
+                segments.append(("audio", fe))
             cap = min(target_ids.shape[1] * dcfg.decode_limit_factor + 10,
                       dcfg.max_latents)
-            n_feat = 0 if fe is None else fe.shape[1]
-            rows.append((ids, cap, n_feat))
-        s_buf = max(16, -(-max(len(i) + nf for i, _, nf in rows) // 16) * 16)
+            plans.append((segments, fc, cap))
+        wavs, stats, counts, caps = self._run_segments_batch(plans, seed)
+        # rows that hit their cap without a stop token re-run through the
+        # single path, which owns the retry-on-badcase policy (reference
+        # core.py:140-142 behavior)
+        if self.dcfg.retry_badcase > 0:
+            for bi in range(bsz):
+                if counts[bi] >= caps[bi]:
+                    wavs[bi], _ = self.synthesize_ids(
+                        requests[bi][0], requests[bi][1],
+                        prompt_audio=prompt_audios[bi], seed=seed)
+        return wavs, stats
+
+    def synthesize_v2_batch(self, requests: list[dict],
+                            seed: int | None = None
+                            ) -> tuple[list[np.ndarray], dict]:
+        """Batched VoxCPM-2: each request is a dict with the synthesize_v2
+        keyword set (mode, target_ids, ref_audio, prompt_audio, prompt_ids,
+        ref_start_id, ref_end_id); rows may mix modes. Same per-row segment
+        plans as the single path, decoded concurrently."""
+        cfg, dcfg = self.cfg, self.dcfg
+        plans = []
+        for req in requests:
+            mode = req["mode"]
+            target = req["target_ids"][0].astype(np.int32)
+            rs = np.array([req.get("ref_start_id", 103)], np.int32)
+            re_ = np.array([req.get("ref_end_id", 104)], np.int32)
+            fc = None
+            if mode == "voice_design":
+                segments = [("text", target)]
+            elif mode == "reference_only":
+                _, ref_fe, _ = self.encode_prompt(req["ref_audio"])
+                segments = [("text", rs), ("audio", np.asarray(ref_fe)),
+                            ("text", re_), ("text", target)]
+            elif mode == "continuation":
+                _, p_fe, p_fc = self.encode_prompt(req["prompt_audio"])
+                fc = np.asarray(p_fc, np.float32)
+                segments = [("text", np.concatenate(
+                    [req["prompt_ids"][0].astype(np.int32), target])),
+                    ("audio", np.asarray(p_fe))]
+            elif mode == "combined":
+                _, ref_fe, _ = self.encode_prompt(req["ref_audio"])
+                _, p_fe, p_fc = self.encode_prompt(req["prompt_audio"])
+                fc = np.asarray(p_fc, np.float32)
+                segments = [("text", rs), ("audio", np.asarray(ref_fe)),
+                            ("text", re_),
+                            ("text", np.concatenate(
+                                [req["prompt_ids"][0].astype(np.int32),
+                                 target])),
+                            ("audio", np.asarray(p_fe))]
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            cap = min(len(target) * dcfg.decode_limit_factor + 10,
+                      dcfg.max_latents)
+            plans.append((segments, fc, cap))
+        wavs, stats, counts, caps = self._run_segments_batch(plans, seed)
+        if self.dcfg.retry_badcase > 0:
+            for bi in range(len(requests)):
+                if counts[bi] >= caps[bi]:
+                    wavs[bi], _ = self.synthesize_v2(seed=seed,
+                                                     **requests[bi])
+        return wavs, stats
+
+    def _run_segments_batch(self, plans, seed):
+        """plans: per row (segments, feat_cond (2, P, H) np | None, cap).
+        Rows right-justify into one bucket; the per-position kind mask and
+        per-row kv_valid reproduce each row's single-stream layout. Returns
+        (wavs, stats, counts, caps)."""
+        cfg, dcfg = self.cfg, self.dcfg
+        bsz = len(plans)
+        flat_rows = []
+        for segments, fc, cap in plans:
+            total = sum(len(d) if kind == "text" else d.shape[1]
+                        for kind, d in segments)
+            flat_rows.append(total)
+        s_buf = max(16, -(-max(flat_rows) // 16) * 16)
         text_buf = np.zeros((bsz, s_buf), np.int32)
         pad_start = np.zeros((bsz,), np.int32)
         caps = np.zeros((bsz,), np.int32)
@@ -308,17 +384,23 @@ class VoxCPMPipeline:
         fe_buf = np.zeros((bsz, s_buf, cfg.base.hidden_size), np.float32)
         feat_cond0 = np.zeros((2 * bsz, cfg.patch_size,
                                cfg.estimator.hidden_size), np.float32)
-        for bi, ((ids, cap, n_feat), (fe, fc)) in enumerate(zip(rows, feats)):
-            total = len(ids) + n_feat
-            start = s_buf - total
-            text_buf[bi, start : start + len(ids)] = ids
-            if n_feat:
-                fe_buf[bi, start + len(ids):] = fe[0]
-                is_audio[bi, start + len(ids):] = True
+        for bi, ((segments, fc, cap), total) in enumerate(zip(plans,
+                                                              flat_rows)):
+            pos = s_buf - total
+            pad_start[bi] = pos
+            caps[bi] = cap
+            for kind, data in segments:
+                if kind == "text":
+                    text_buf[bi, pos : pos + len(data)] = data
+                    pos += len(data)
+                else:
+                    n = data.shape[1]
+                    fe_buf[bi, pos : pos + n] = data[0]
+                    is_audio[bi, pos : pos + n] = True
+                    pos += n
+            if fc is not None:
                 feat_cond0[bi] = fc[0]            # pos row
                 feat_cond0[bsz + bi] = fc[1]      # neg row
-            pad_start[bi] = start
-            caps[bi] = cap
 
         fkey = ("batch", bsz, s_buf)
         if not hasattr(self, "_batch_fns"):
@@ -357,19 +439,12 @@ class VoxCPMPipeline:
         for bi in range(bsz):
             if wavs[bi] is None:
                 wavs[bi] = np.zeros(0, np.int16)
-        # rows that hit their cap without a stop token re-run through the
-        # single path, which owns the retry-on-badcase policy (reference
-        # core.py:140-142 behavior)
-        if self.dcfg.retry_badcase > 0:
-            for bi in range(bsz):
-                if counts[bi] >= int(caps[bi]):
-                    wavs[bi], _ = self.synthesize_ids(
-                        requests[bi][0], requests[bi][1], seed=seed)
         wall = time.perf_counter() - t0
         total_audio = sum(len(w) for w in wavs) / self.output_sample_rate
-        return wavs, {"latents": sum(counts), "wall_s": wall,
-                      "audio_s": total_audio,
-                      "rtf": wall / max(total_audio, 1e-9)}
+        stats = {"latents": sum(counts), "wall_s": wall,
+                 "audio_s": total_audio,
+                 "rtf": wall / max(total_audio, 1e-9)}
+        return wavs, stats, counts, [int(c) for c in caps]
 
     def _vae_dec_fn(self, n: int):
         if n not in self._vae_dec_cache:
