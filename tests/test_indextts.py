@@ -215,3 +215,53 @@ def test_batched_decode_matches_single():
     np.testing.assert_array_equal(wav1, wavs[0])
     np.testing.assert_array_equal(wav2, wavs[1])
     assert sb["tokens"] == s1.tokens + s2.tokens
+
+
+def test_pipeline_feat_upsample_vocode():
+    """feat_upsample wiring through _vocode_fn and the batch variant:
+    output is 4x longer per frame (reference models.py:213-218) and the
+    runtime's length bookkeeping uses total_upsample."""
+    from tts_tpu.models.bigvgan import BigVGANConfig
+    from tts_tpu.models.bigvgan import init_params as bigvgan_init
+    from tts_tpu.runtime.indextts import IndexTTSPipeline
+
+    vcfg = BigVGANConfig(
+        num_mels=TINY.gpt_dim, upsample_initial_channel=16,
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+        use_tanh_at_final=True, use_bias_at_final=True,
+        resblock="2", feat_upsample=True,
+    )
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 8)
+    c0 = vcfg.upsample_initial_channel
+    params = {
+        "conformer": init_conformer_params(TINY, ks[0]),
+        "perceiver": init_perceiver_params(TINY, ks[1]),
+        "ecapa": init_ecapa_params(TINY, ks[2]),
+        "gpt": init_gpt_params(TINY, ks[3]),
+        "bigvgan": bigvgan_init(vcfg, ks[4]),
+        "cond_layer": {
+            "w": jax.random.normal(ks[5], (TINY.speaker_embed_dim, c0)) * 0.02,
+            "b": jnp.zeros((c0,)),
+        },
+        "conds": [
+            {"w": jax.random.normal(ks[6], (TINY.speaker_embed_dim, c)) * 0.02,
+             "b": jnp.zeros((c,))}
+            for c in vcfg.stage_channels
+        ],
+    }
+    pipe = IndexTTSPipeline(params, TINY, vcfg, sample_rate=8000,
+                            n_fft=256, hop=64)
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(4000) * 3000).astype(np.int16)
+    ref = pipe.encode_reference(audio)
+    ids = np.array([[5, 9, 13]], np.int32)
+    wav, stats = pipe.synthesize_ids(ids, ref, max_gen=12)
+    n_frames = max(stats.tokens - 2, 0)
+    assert vcfg.total_upsample == 4 * 8
+    assert wav.shape == (n_frames * 32,)
+
+    wavs, _ = pipe.synthesize_ids_batch([(ids, ref), (ids, ref)], max_gen=12)
+    assert all(w.shape == (n_frames * 32,) for w in wavs)
+    np.testing.assert_array_equal(wavs[0], wavs[1])

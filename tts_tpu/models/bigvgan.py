@@ -31,7 +31,8 @@ from ..audio.filters import AliasFreeResample
 from ..audio.snake import snake, snake_beta
 from ..ops.conv import conv1d, conv_transpose1d
 
-__all__ = ["BigVGANConfig", "bigvgan_apply", "init_params"]
+__all__ = ["BigVGANConfig", "bigvgan_apply", "init_params",
+           "linear_upsample_4x"]
 
 
 @dataclass(frozen=True)
@@ -52,6 +53,10 @@ class BigVGANConfig:
     use_bias_at_final: bool = False        # v2 models: no bias, no tanh
     use_tanh_at_final: bool = False
     sample_rate: int = 24000
+    resblock: str = "1"                    # '1' = AMPBlock1, '2' = AMPBlock2
+    # IndexTTS variant: 4x linear interpolation of the input latents before
+    # conv_pre (reference IndexTTS/modeling_modified/models.py:213-218)
+    feat_upsample: bool = False
 
     @property
     def num_kernels(self) -> int:
@@ -66,7 +71,8 @@ class BigVGANConfig:
 
     @property
     def total_upsample(self) -> int:
-        return int(np.prod(self.upsample_rates))
+        """Samples per input frame, including the feat_upsample 4x."""
+        return int(np.prod(self.upsample_rates)) * (4 if self.feat_upsample else 1)
 
 
 def _act(x, p, cfg: BigVGANConfig, resample: AliasFreeResample):
@@ -97,6 +103,35 @@ def _amp_block(x, p, kernel_size: int, dilations, cfg, resample):
     return x
 
 
+def _amp_block2(x, p, kernel_size: int, dilations, cfg, resample):
+    """AMPBlock2: per dilation d: x += conv_k_d(act(x)) — one conv per
+    dilation branch (reference BigVGAN/modeling_modified/bigvgan.py:149-219,
+    IndexTTS/modeling_modified/models.py:83-128)."""
+    for j, d in enumerate(dilations):
+        xt = _act(x, p["acts"][j], cfg, resample)
+        xt = conv1d(xt, p["convs"][j]["w"], p["convs"][j]["b"],
+                    padding=(kernel_size * d - d) // 2, dilation=d)
+        x = x + xt
+    return x
+
+
+def linear_upsample_4x(x: jax.Array) -> jax.Array:
+    """4x linear interpolation along axis 1 of (B, T, C), exactly matching
+    torch.nn.functional.interpolate(scale_factor=4, mode='linear',
+    align_corners=False): output index 4t+r samples input coordinate
+    t + (r+0.5)/4 - 0.5, boundary-clamped. The per-offset blend weights are
+    static, so this is four fused axpys + an interleave — no gather."""
+    xp = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)   # x[t-1], edge-clamped
+    xn = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)   # x[t+1], edge-clamped
+    y = jnp.stack([
+        0.375 * xp + 0.625 * x,
+        0.125 * xp + 0.875 * x,
+        0.875 * x + 0.125 * xn,
+        0.625 * x + 0.375 * xn,
+    ], axis=2)                                            # (B, T, 4, C)
+    return y.reshape(x.shape[0], 4 * x.shape[1], x.shape[2])
+
+
 def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
                   conds=None, cond_embed: jax.Array | None = None) -> jax.Array:
     """mel: (B, T, num_mels) -> waveform (B, T * prod(upsample_rates)).
@@ -109,6 +144,9 @@ def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
     adds after conv_pre; `conds[i]` (B, 1, C_i) adds after each upsample.
     """
     resample = AliasFreeResample(2)
+    block_fn = _amp_block if cfg.resblock == "1" else _amp_block2
+    if cfg.feat_upsample:
+        mel = linear_upsample_4x(mel)
     x = conv1d(mel, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
     if cond_embed is not None:
         x = x + cond_embed
@@ -124,8 +162,8 @@ def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
         for j, (k, dil) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
         ):
-            r = _amp_block(x, params["resblocks"][i * cfg.num_kernels + j],
-                           k, dil, cfg, resample)
+            r = block_fn(x, params["resblocks"][i * cfg.num_kernels + j],
+                         k, dil, cfg, resample)
             acc = r if acc is None else acc + r
         x = acc * inv_k
 
@@ -164,14 +202,22 @@ def init_params(cfg: BigVGANConfig, key: jax.Array, dtype=jnp.float32):
         ch_out = cfg.stage_channels[i]
         params["ups"].append(conv_p(ks, ch_in, ch_out))
         for k, dil in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
-            params["resblocks"].append(
-                {
-                    "convs1": [conv_p(k, ch_out, ch_out) for _ in dil],
-                    "convs2": [conv_p(k, ch_out, ch_out) for _ in dil],
-                    "acts1": [act_p(ch_out) for _ in dil],
-                    "acts2": [act_p(ch_out) for _ in dil],
-                }
-            )
+            if cfg.resblock == "2":
+                params["resblocks"].append(
+                    {
+                        "convs": [conv_p(k, ch_out, ch_out) for _ in dil],
+                        "acts": [act_p(ch_out) for _ in dil],
+                    }
+                )
+            else:
+                params["resblocks"].append(
+                    {
+                        "convs1": [conv_p(k, ch_out, ch_out) for _ in dil],
+                        "convs2": [conv_p(k, ch_out, ch_out) for _ in dil],
+                        "acts1": [act_p(ch_out) for _ in dil],
+                        "acts2": [act_p(ch_out) for _ in dil],
+                    }
+                )
         ch_in = ch_out
     params["act_post"] = act_p(ch_in)
     params["conv_post"] = conv_p(7, ch_in, 1, bias=cfg.use_bias_at_final)

@@ -381,7 +381,7 @@ class IndexTTSPipeline:
         h = np.pad(h, ((0, fb - n_frames), (0, 0)))
         wav = self._vocode_fn(fb)(self.params, jnp.asarray(h), cond_embed,
                                   conds)
-        total_up = int(np.prod(self.vcfg.upsample_rates))
+        total_up = self.vcfg.total_upsample
         wav = np.asarray(wav)[0, : n_frames * total_up]
         return wav, IndexTTSStats(num, time.perf_counter() - t0)
 
@@ -410,7 +410,7 @@ class IndexTTSPipeline:
             jnp.asarray(ids), jnp.asarray(tlens))
         hiddens = np.asarray(hiddens)
         done = np.asarray(done)
-        total_up = int(np.prod(self.vcfg.upsample_rates))
+        total_up = self.vcfg.total_upsample
         frames = [max(int(done[b]) - 2, 0) for b in range(bsz)]
         wavs: list[np.ndarray | None] = [None] * bsz
         live = [b for b in range(bsz) if frames[b] > 0]

@@ -267,6 +267,40 @@ def indextts_ecapa_from_state_dict(sd: Mapping[str, np.ndarray],
     }
 
 
+def _bigvgan_config_from_yaml(path: str, cfg: IndexTTSConfig) -> BigVGANConfig:
+    """Build the IndexTTS vocoder config from the checkpoint's config.yaml
+    `bigvgan:` section — the same dict the reference BigVGAN reads as `h`
+    (models.py:139-196, incl. `feat_upsample` at :145 and `resblock` at
+    :152). Falls back to IndexTTS-1.5 defaults when the file is absent
+    (this env ships no checkpoints)."""
+    h = {}
+    if os.path.exists(path):
+        import yaml
+
+        with open(path) as f:
+            full = yaml.safe_load(f) or {}
+        h = full.get("bigvgan", {}) or {}
+    return BigVGANConfig(
+        num_mels=cfg.gpt_dim,
+        upsample_initial_channel=h.get("upsample_initial_channel", 1536),
+        upsample_rates=tuple(h.get("upsample_rates", (4, 4, 2, 2, 2, 2))),
+        upsample_kernel_sizes=tuple(
+            h.get("upsample_kernel_sizes", (8, 8, 4, 4, 4, 4))),
+        resblock_kernel_sizes=tuple(
+            h.get("resblock_kernel_sizes", (3, 7, 11))),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in h.get(
+                "resblock_dilation_sizes", ((1, 3, 5), (1, 3, 5), (1, 3, 5)))),
+        activation=h.get("activation", "snakebeta"),
+        snake_logscale=bool(h.get("snake_logscale", True)),
+        use_bias_at_final=True,
+        use_tanh_at_final=True,
+        sample_rate=h.get("sampling_rate", 24000),
+        resblock=str(h.get("resblock", "1")),
+        feat_upsample=bool(h.get("feat_upsample", False)),
+    )
+
+
 def load_indextts(model_dir: str, cfg: IndexTTSConfig | None = None,
                   dtype=jnp.float32):
     """Load an IndexTTS-1.5 model dir (gpt.pth + bigvgan.pth) into the
@@ -284,8 +318,8 @@ def load_indextts(model_dir: str, cfg: IndexTTSConfig | None = None,
         os.path.join(model_dir, "bigvgan.pth"), map_location="cpu",
         weights_only=True).items() if hasattr(v, "numpy")}
 
-    vcfg = BigVGANConfig(
-        num_mels=cfg.gpt_dim, use_tanh_at_final=True, use_bias_at_final=True)
+    vcfg = _bigvgan_config_from_yaml(
+        os.path.join(model_dir, "config.yaml"), cfg)
     gen_sd = {k: v for k, v in bv_sd.items()
               if not k.startswith(("speaker_encoder.", "cond_layer.", "conds."))}
     params = {

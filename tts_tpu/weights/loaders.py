@@ -120,6 +120,21 @@ def bigvgan_params_from_state_dict(
         for j in range(cfg.num_kernels):
             n = i * cfg.num_kernels + j
             ndil = len(cfg.resblock_dilation_sizes[j])
+            if cfg.resblock == "2":
+                # AMPBlock2 layout: convs.{m} + one activation per conv
+                # (reference bigvgan.py:149-219)
+                params["resblocks"].append({
+                    "convs": [
+                        _conv_p(sd, f"resblocks.{n}.convs.{m}", dtype=dtype)
+                        for m in range(ndil)
+                    ],
+                    "acts": [
+                        _snake_p(sd, f"resblocks.{n}.activations.{m}.act",
+                                 cfg, dtype)
+                        for m in range(ndil)
+                    ],
+                })
+                continue
             block = {
                 "convs1": [
                     _conv_p(sd, f"resblocks.{n}.convs1.{m}", dtype=dtype)
@@ -159,6 +174,8 @@ def bigvgan_config_from_json(path: str) -> BigVGANConfig:
         use_bias_at_final=h.get("use_bias_at_final", True),
         use_tanh_at_final=h.get("use_tanh_at_final", True),
         sample_rate=h.get("sampling_rate", 24000),
+        resblock=str(h.get("resblock", "1")),
+        feat_upsample=bool(h.get("feat_upsample", False)),
     )
 
 
