@@ -63,7 +63,8 @@ def test_indextts_normalize_applies_numbers_and_punct():
 
 
 def test_sentence_split_bounds():
-    tok = IndexTTSTokenizer()
+    with pytest.warns(RuntimeWarning):
+        tok = IndexTTSTokenizer(allow_degraded=True)
     toks = tok.tokenize("one. two. three three three three!")
     sents = split_sentences(toks, max_tokens=12)
     assert all(len(s) <= 12 for s in sents)
@@ -140,3 +141,71 @@ def test_indextts_pinyin_substring_safe():
 
     out = normalize_text("请读 an1 然后读 pan1")
     assert "AN1" in out and "PAN1" in out and "pAN1" not in out
+
+
+# ----------------------------------------------------- degradation policy
+
+def _has_pypinyin() -> bool:
+    try:
+        import pypinyin  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_f5_chinese_raises_without_pypinyin():
+    """Strict by default: Chinese text without pypinyin must NOT silently
+    produce wrong token ids (VERDICT r1 item 7)."""
+    if _has_pypinyin():
+        pytest.skip("pypinyin installed — degraded path unreachable")
+    with pytest.raises(RuntimeError, match="pypinyin"):
+        convert_char_to_pinyin(["你好"])
+
+
+def test_f5_chinese_degraded_optin_warns():
+    if _has_pypinyin():
+        pytest.skip("pypinyin installed — degraded path unreachable")
+    import tts_tpu.frontend.f5_text as m
+
+    m._warned_pinyin_fallback = False
+    with pytest.warns(RuntimeWarning, match="pypinyin"):
+        chars = convert_char_to_pinyin(["你好"], allow_degraded=True)[0]
+    assert chars == [" ", "你", " ", "好"]
+
+
+@pytest.mark.skipif(not _has_pypinyin(), reason="pypinyin not installed")
+def test_f5_pinyin_golden_token_ids():
+    """Golden TONE3 ids — activates automatically once pypinyin exists,
+    pinning parity with the upstream frontend (Export_F5.py:229-265)."""
+    chars = convert_char_to_pinyin(["你好。"])[0]
+    assert chars == [" ", "ni3", " ", "hao3", "。"]
+    chars = convert_char_to_pinyin(["我是一名学生"])[0]
+    assert chars[1::2] == ["wo3", "shi4", "yi4", "ming2", "xue2", "sheng5"]
+
+
+def test_indextts_tokenizer_raises_without_model():
+    with pytest.raises(RuntimeError, match="char-level fallback"):
+        IndexTTSTokenizer()
+
+
+def test_indextts_tokenizer_missing_sp_package_raises(tmp_path):
+    try:
+        import sentencepiece  # noqa: F401
+        pytest.skip("sentencepiece installed — degraded path unreachable")
+    except ImportError:
+        pass
+    fake = tmp_path / "bpe.model"
+    fake.write_bytes(b"")
+    with pytest.raises(RuntimeError, match="sentencepiece"):
+        IndexTTSTokenizer(str(fake))
+
+
+def test_indextts_explicit_vocab_is_not_degraded():
+    """A caller-supplied vocab is intentional — no raise, no warning."""
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        tok = IndexTTSTokenizer(vocab={"A": 3, "▁": 4})
+    ids = tok.convert_tokens_to_ids(["A", "▁", "zz"])
+    assert ids == [3, 4, 1]

@@ -7,7 +7,6 @@ from tts_tpu.decoding import (
     apply_repetition_penalty,
     beam_init,
     beam_step,
-    decode_loop,
     greedy,
 )
 from tts_tpu.kv import KVCache
@@ -63,20 +62,6 @@ def test_repetition_penalty_matches_reference_semantics():
     # 2 decoded, range 2 -> ids [2, 3] halved
     out = apply_repetition_penalty(logits, save, jnp.int32(2), 0.5, 2)
     np.testing.assert_allclose(np.asarray(out)[0], [1.0, 2.0, 1.5, 2.0, -1.0])
-
-
-def test_greedy_and_decode_loop_stop_token():
-    """A toy step that emits last_token+1 must stop exactly at the stop id."""
-
-    def step(state):
-        tok = state.last_token + 1
-        return state.carry, tok
-
-    final = decode_loop(step, carry := None, jnp.asarray([0], jnp.int32),
-                        max_len=16, stop_ids=(5,), batch=1)
-    assert int(final.num_decoded) == 5
-    assert np.asarray(final.save_ids)[0, :5].tolist() == [1, 2, 3, 4, 5]
-    assert bool(final.finished)
 
 
 def test_beam_search_matches_numpy_reference():

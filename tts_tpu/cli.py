@@ -211,7 +211,8 @@ def cmd_indextts(args) -> None:
     ref = pipe.encode_reference(audio)
     from .frontend.indextts_text import IndexTTSTokenizer
 
-    tok = IndexTTSTokenizer(tok_path)
+    # demo mode without a checkpoint tokenizer: char-level fallback, warns
+    tok = IndexTTSTokenizer(tok_path, allow_degraded=tok_path is None)
     wav, stats = pipe.synthesize(args.text, ref, tokenizer=tok,
                                  max_gen=args.max_tokens)
     total_tokens = sum(s.tokens for s in stats)

@@ -5,13 +5,15 @@ Behavioral contract from the reference
 list_str_to_idx, F5-TTS-ONNX-Inference.py:227-231 duration heuristic). Host
 Python — runs before the jitted pipeline, pinned by golden token-id tests.
 
-pypinyin is optional in this environment; when absent, Chinese characters
-pass through as raw chars (they exist in the F5 vocab as-is, so synthesis
-still works — only tone-marked pinyin coverage is lost).
+pypinyin is optional in this environment. When it is absent, Chinese text
+CANNOT be converted to the TONE3 pinyin tokens the F5 vocab expects, so the
+degraded raw-char path is opt-in (`allow_degraded=True`) and warns; the
+default raises so real checkpoints never silently get wrong token ids.
 """
 from __future__ import annotations
 
 import re
+import warnings
 
 import numpy as np
 
@@ -29,16 +31,35 @@ def _is_chinese(c: str) -> bool:
     return "㄀" <= c <= "鿿"
 
 
-def _lazy_pinyin(seg: str) -> list[str]:
+_warned_pinyin_fallback = False
+
+
+def _lazy_pinyin(seg: str, allow_degraded: bool = False) -> list[str]:
     try:
         from pypinyin import Style, lazy_pinyin
 
         return lazy_pinyin(seg, style=Style.TONE3, tone_sandhi=True)
     except ImportError:
+        if not allow_degraded:
+            raise RuntimeError(
+                "pypinyin is not installed: Chinese text cannot be converted"
+                " to the TONE3 pinyin tokens the F5 vocab expects (reference"
+                " Export_F5.py:249), so token ids would silently differ."
+                " Install pypinyin, or pass allow_degraded=True to fall back"
+                " to raw characters (audible quality loss on zh text)."
+            ) from None
+        global _warned_pinyin_fallback
+        if not _warned_pinyin_fallback:
+            warnings.warn(
+                "pypinyin unavailable — degrading Chinese text to raw chars;"
+                " F5 token ids will NOT match the upstream frontend",
+                RuntimeWarning, stacklevel=3)
+            _warned_pinyin_fallback = True
         return list(seg)
 
 
-def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True) -> list[list[str]]:
+def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True,
+                           allow_degraded: bool = False) -> list[list[str]]:
     """Same segmentation policy as the reference (Export_F5.py:229-265):
     jieba-cut, pure-ASCII segments char-split with word-boundary spaces,
     pure-CJK segments converted to TONE3 pinyin with a space before each
@@ -60,7 +81,7 @@ def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True) -> list
                     chars.append(" ")
                 chars.extend(seg)
             elif polyphone and seg_bytes == 3 * len(seg):   # pure CJK
-                seg_py = _lazy_pinyin(seg)
+                seg_py = _lazy_pinyin(seg, allow_degraded)
                 for i, c in enumerate(seg):
                     if _is_chinese(c):
                         chars.append(" ")
@@ -71,7 +92,7 @@ def convert_char_to_pinyin(text_list: list[str], polyphone: bool = True) -> list
                         chars.extend(c)
                     elif _is_chinese(c):
                         chars.append(" ")
-                        chars.extend(_lazy_pinyin(c))
+                        chars.extend(_lazy_pinyin(c, allow_degraded))
                     else:
                         chars.append(c)
         final.append(chars)

@@ -8,13 +8,15 @@ is normalized through a replacement map (:596+), token sequences are split
 into sentences at punctuation tokens with a max-length bound and short
 sentences merged (:924-1010).
 
-sentencepiece is optional in this environment; `IndexTTSTokenizer` degrades
-to a char-level vocabulary when the package or model file is absent (ids
-differ but the pipeline mechanics are identical).
+sentencepiece is optional in this environment. Without the BPE model the
+char-level fallback produces DIFFERENT token ids than the upstream
+tokenizer, so it is opt-in (`allow_degraded=True`) and warns; the default
+raises so real checkpoints never silently get garbage ids.
 """
 from __future__ import annotations
 
 import re
+import warnings
 
 import numpy as np
 
@@ -122,10 +124,18 @@ def normalize_text(text: str) -> str:
 
 
 class IndexTTSTokenizer:
-    """sentencepiece BPE with CJK pre-tokenization; char-level fallback."""
+    """sentencepiece BPE with CJK pre-tokenization.
+
+    Degradation policy: without a loadable BPE model (no path, or
+    sentencepiece missing) and without an explicit `vocab`, token ids
+    cannot match the upstream tokenizer (reference
+    Export_IndexTTS.py:809-1010) — that path raises unless
+    `allow_degraded=True`, which warns and uses a char-level vocabulary
+    (pipeline mechanics identical, ids different)."""
 
     def __init__(self, bpe_model_path: str | None = None,
-                 vocab: dict[str, int] | None = None):
+                 vocab: dict[str, int] | None = None,
+                 allow_degraded: bool = False):
         self.sp = None
         self.vocab = vocab
         if bpe_model_path is not None:
@@ -135,9 +145,27 @@ class IndexTTSTokenizer:
                 self.sp = spm.SentencePieceProcessor()
                 self.sp.Load(bpe_model_path)
             except ImportError:
-                pass
+                if not allow_degraded:
+                    raise RuntimeError(
+                        "sentencepiece is not installed but a BPE model path"
+                        f" was given ({bpe_model_path!r}); token ids would"
+                        " silently differ from the upstream tokenizer."
+                        " Install sentencepiece, or pass allow_degraded=True"
+                        " for a char-level fallback."
+                    ) from None
         if self.sp is None and self.vocab is None:
-            # char-level fallback vocabulary
+            if not allow_degraded:
+                raise RuntimeError(
+                    "IndexTTSTokenizer has no BPE model and no explicit"
+                    " vocab: the char-level fallback produces token ids that"
+                    " do NOT match the upstream sentencepiece tokenizer"
+                    " (reference Export_IndexTTS.py:809-1010). Pass"
+                    " bpe_model_path=/path/to/bpe.model (with sentencepiece"
+                    " installed), a vocab=, or allow_degraded=True.")
+            warnings.warn(
+                "IndexTTSTokenizer degrading to a char-level vocabulary —"
+                " token ids will NOT match the upstream tokenizer",
+                RuntimeWarning, stacklevel=2)
             chars = ("▁ ABCDEFGHIJKLMNOPQRSTUVWXYZ"
                      "abcdefghijklmnopqrstuvwxyz0123456789.,!?'-…")
             self.vocab = {c: i + 2 for i, c in enumerate(chars)}

@@ -55,7 +55,11 @@ class F5Pipeline:
     def __init__(self, f5_params, f5_cfg: F5Config, vocab: dict[str, int],
                  vocos_params, vocos_cfg: VocosConfig | None = None,
                  seed: int = 9527, quantize: int | None = None,
-                 mesh=None, layer_cache_interval: int = 1):
+                 mesh=None, layer_cache_interval: int = 1,
+                 allow_degraded_text: bool = False):
+        # opt-in for the raw-char fallback when pypinyin is absent; the
+        # frontend raises otherwise (frontend/f5_text.py degradation policy)
+        self.allow_degraded_text = allow_degraded_text
         if mesh is not None:
             # tensor-parallel serving: matmul weights shard on their output
             # axis over the mesh's "tp" axis, XLA inserts the collectives
@@ -290,7 +294,8 @@ class F5Pipeline:
         )
         duration = min(duration, cfg.max_signal_len)
 
-        chars = convert_char_to_pinyin([ref_text + gen_text])[0]
+        chars = convert_char_to_pinyin(
+            [ref_text + gen_text], allow_degraded=self.allow_degraded_text)[0]
         ids = text_to_ids(chars, self.vocab)                       # (1, T)
 
         audio_bucket = _bucket(audio.shape[-1], 32768, 32768)
@@ -354,7 +359,9 @@ class F5Pipeline:
             audios.append(a)
             refs.append(r)
             durs.append(min(d, cfg.max_signal_len))
-            chars = convert_char_to_pinyin([ref_text + gen_text])[0]
+            chars = convert_char_to_pinyin(
+                [ref_text + gen_text],
+                allow_degraded=self.allow_degraded_text)[0]
             idss.append(text_to_ids(chars, self.vocab)[0])
 
         bsz = len(requests)
