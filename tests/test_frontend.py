@@ -84,9 +84,9 @@ def test_voxcpm_clean_markdown_and_normalize():
     # English: number expansion + markdown stripped
     assert normalize_voxcpm_text("**5** cats") == "**five** cats" or \
         "five cats" in normalize_voxcpm_text("5 cats")
-    # Chinese: digits read per character, CJK spacing dropped
+    # Chinese: value-reading numerals, CJK spacing dropped
     zh = normalize_voxcpm_text("你好 世界 123")
-    assert "一二三" in zh and "你好" in zh
+    assert "一百二十三" in zh and "你好" in zh
     # space survives only between two ascii word chars (reference
     # text_normalize.py:112-120)
     assert replace_blank("你 好 ab cd") == "你好ab cd"
