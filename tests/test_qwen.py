@@ -216,3 +216,58 @@ def test_qwen_batched_single_request():
     single, st = pipe.synthesize_from_prefill(prefill, trailing)
     batch, sb = pipe.synthesize_from_prefill_batch([(prefill, trailing)])
     np.testing.assert_array_equal(single, batch[0])
+
+
+def test_qwen_batched_beam_matches_single_beam():
+    """VERDICT r1 item 6: batched serving with use_beam runs per-request
+    beams as (B*beam) predictor rows — bit-equal to the single-stream beam
+    decode at B=1 and per-row at B>1."""
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    cparams = init_decoder_params(TINY_CODEC, jax.random.key(2))
+    pipe = QwenTTSPipeline(params, TINY, cparams, TINY_CODEC,
+                           QwenDecodeConfig(max_frames=5, use_beam=True,
+                                            beam_size=2, beam_top_k=2))
+    reqs, singles = [], []
+    for ids, lang in ((np.array([[5, 9, 13, 2]], np.int32), 3),
+                      (np.array([[7, 1, 4]], np.int32), 2)):
+        prefill, trailing = pipe.build_prefill_embeds(ids, lang)
+        reqs.append((prefill, trailing))
+        singles.append(pipe.synthesize_from_prefill(prefill, trailing))
+
+    # B=1: bit-wise identical to the single-stream beam decode
+    b1, _ = pipe.synthesize_from_prefill_batch(reqs[:1])
+    np.testing.assert_array_equal(singles[0][0], b1[0])
+
+    # B=2: each row reproduces its own single-stream beam decode
+    wavs, stats = pipe.synthesize_from_prefill_batch(reqs)
+    for (wav_s, st_s), wav_b in zip(singles, wavs):
+        np.testing.assert_array_equal(wav_s, wav_b)
+    assert stats["frames"] == sum(st["frames"] for _, st in singles)
+
+
+def test_predictor_frame_beam_batch_row_equivalence():
+    """predictor_frame_beam_batch row b == predictor_frame_beam on request
+    b (same beams, same winner)."""
+    from tts_tpu.models.qwen_tts import (predictor_frame_beam,
+                                         predictor_frame_beam_batch)
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    hid = jax.random.normal(jax.random.key(7), (3, 1, TINY.talker.hidden_size))
+    tok0 = jnp.asarray([3, 11, 40], jnp.int32)
+    ids_b, ce_b = jax.jit(
+        lambda h, t: predictor_frame_beam_batch(params, h, t, TINY, 3, 2,
+                                                1.2, 4))(hid, tok0)
+    assert ids_b.shape == (3, TINY.num_code_groups)
+    for b in range(3):
+        ids_s, ce_s = jax.jit(
+            lambda h, t: predictor_frame_beam(params, h, t, TINY, 3, 2,
+                                              1.2, 4)
+        )(hid[b:b + 1], tok0[b:b + 1])
+        np.testing.assert_array_equal(np.asarray(ids_b[b]),
+                                      np.asarray(ids_s))
+        np.testing.assert_allclose(np.asarray(ce_b[b]),
+                                   np.asarray(ce_s[0]), atol=0)

@@ -293,6 +293,82 @@ def predictor_frame_beam(params, talker_hidden: jax.Array,
     return frame_ids, codec_embed0
 
 
+def predictor_frame_beam_batch(params, talker_hidden: jax.Array,
+                               codec_token0: jax.Array, cfg: QwenTTSConfig,
+                               beam_size: int, top_k: int,
+                               repeat_penalty: float = 1.0,
+                               penalty_range: int = 10):
+    """Per-request beam search for batched serving: B independent beams run
+    as (B*beam) predictor rows — one stack step per group for the whole
+    fleet, per-row joint top-k pruning and KV reorder. Row b reproduces
+    predictor_frame_beam on request b exactly (the beam expansion, scoring,
+    and parent gather are vmapped per request; each KV/matmul row depends
+    only on its own inputs), matching the reference beam semantics
+    (Export_Qwen_TTS_ONNX.py:2528-2552) per row.
+
+    talker_hidden (B, 1, tH); codec_token0 (B,).
+    Returns (frame_ids (B, 16), codec_embed0 (B, 1, tH))."""
+    from ..decoding.beam import beam_init, beam_step
+    from ..decoding.sampling import apply_repetition_penalty
+
+    pcfg = cfg.predictor
+    bsz = talker_hidden.shape[0]
+    rows = bsz * beam_size
+    codec_embed0 = params["talker_codec_embed"][codec_token0][:, None]
+
+    kv = KVCache.create(pcfg.num_layers, rows, pcfg.num_kv_heads,
+                        pcfg.max_seq_len, pcfg.head_dim,
+                        talker_hidden.dtype)
+    prefill = jnp.concatenate([talker_hidden, codec_embed0], axis=1)
+    prefill = jnp.matmul(prefill, params["small_to_mtp"])     # (B, 2, pH)
+    prefill = jnp.broadcast_to(
+        prefill[:, None], (bsz, beam_size) + prefill.shape[1:]
+    ).reshape(rows, *prefill.shape[1:])
+
+    rope_cos = params["pred_rope_cos"]
+    rope_sin = params["pred_rope_sin"]
+    h, kv = qwen3_stack_step(params["predictor"], prefill, kv, pcfg,
+                             rope_cos[:2], rope_sin[:2])
+
+    # first group: expand each request's row-0 logits into its beam
+    logits0 = jnp.matmul(h.reshape(bsz, beam_size, -1)[:, 0],
+                         params["lm_heads"][0])               # (B, Vg)
+    st = jax.vmap(lambda lg: beam_init(lg[None], beam_size))(logits0)
+    row_off = (jnp.arange(bsz) * beam_size)[:, None]          # (B, 1)
+    save = jnp.zeros((rows, cfg.num_code_groups - 1), jnp.int32)
+    toks = st.tokens.reshape(rows)
+    save = save.at[:, 0].set(toks)
+    log_probs = st.log_probs                                  # (B, beam, 1)
+
+    def step(carry, g):
+        h, kv, save, log_probs, toks = carry
+        emb = params["group_embeds"][g - 1][toks][:, None]    # (rows, 1, tH)
+        emb = jnp.matmul(emb, params["small_to_mtp"])
+        pos = kv.length
+        rc = jax.lax.dynamic_slice(rope_cos, (pos, 0), (1, pcfg.head_dim))
+        rs = jax.lax.dynamic_slice(rope_sin, (pos, 0), (1, pcfg.head_dim))
+        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs)
+        logits = jnp.matmul(h, params["lm_heads"][g])         # (rows, Vg)
+        if repeat_penalty != 1.0:
+            logits = apply_repetition_penalty(logits, save, g,
+                                              repeat_penalty, penalty_range)
+        st = jax.vmap(
+            lambda lg, lp: beam_step(lg, lp, beam_size, top_k)
+        )(logits.reshape(bsz, beam_size, -1), log_probs)
+        flat_parent = (st.parent + row_off).reshape(rows)
+        kv = kv.select_batch(flat_parent)
+        save = save[flat_parent].at[:, g].set(st.tokens.reshape(rows))
+        return (h, kv, save, st.log_probs, st.tokens.reshape(rows)), None
+
+    carry = (h, kv, save, log_probs, toks)
+    (h, kv, save, _, _), _ = jax.lax.scan(
+        step, carry, jnp.arange(1, cfg.num_code_groups - 1))
+
+    best = save.reshape(bsz, beam_size, -1)[:, 0]             # (B, 15)
+    frame_ids = jnp.concatenate([codec_token0[:, None], best], axis=1)
+    return frame_ids, codec_embed0
+
+
 def next_talker_input(params, frame_ids: jax.Array, codec_embed0: jax.Array,
                       trailing_text: jax.Array, gather_id: jax.Array,
                       cfg: QwenTTSConfig) -> jax.Array:

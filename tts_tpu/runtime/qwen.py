@@ -133,6 +133,23 @@ class QwenTTSPipeline:
                                self.dcfg.repeat_penalty,
                                self.dcfg.penalty_range)
 
+    def _predictor_batch(self, params, hid, tok0, cfg, bsz: int):
+        """Batched predictor: greedy scan, or per-request beams as (B*beam)
+        rows (models/qwen_tts.predictor_frame_beam_batch). Returns
+        frame_ids (B, 16), codec_embed0 (B, 1, tH)."""
+        if self.dcfg.use_beam:
+            from ..models.qwen_tts import predictor_frame_beam_batch
+
+            return predictor_frame_beam_batch(
+                params, hid, tok0, cfg, self.dcfg.beam_size,
+                self.dcfg.beam_top_k, self.dcfg.repeat_penalty,
+                self.dcfg.penalty_range)
+        frame_ids, ce0 = predictor_frame(params, hid, tok0, cfg,
+                                         self.dcfg.repeat_penalty,
+                                         self.dcfg.penalty_range)
+        # predictor_frame squeezes to (16,) at B=1; keep (B, 16)
+        return frame_ids.reshape(bsz, cfg.num_code_groups), ce0
+
     # ------------------------------------------------------------- prefill
 
     def build_prefill_embeds(self, text_ids: np.ndarray,
@@ -272,9 +289,8 @@ class QwenTTSPipeline:
     def _build_decode_batch(self, bsz: int):
         """Batched serving: B prefills right-justified in one bucket (rope
         attention sees only relative offsets; per-row kv_valid masks the
-        left pad), per-row stop tracking, batched predictor frames (greedy:
-        the beam path occupies the batch dim, so use_beam falls back with a
-        warning in synthesize_from_prefill_batch)."""
+        left pad), per-row stop tracking, batched predictor frames (greedy
+        scan, or per-request beams as (B*beam) rows when use_beam)."""
         cfg, dcfg = self.cfg, self.dcfg
         t = cfg.talker
         from ..models.qwen_tts import next_talker_input_batch
@@ -321,11 +337,8 @@ class QwenTTSPipeline:
                 save0 = jax.lax.dynamic_update_slice(save0, tok0[:, None],
                                                      (0, num))
 
-                frame_ids, ce0 = predictor_frame(
-                    params, hid[:, None], tok0, cfg,
-                    dcfg.repeat_penalty, dcfg.penalty_range)
-                # predictor_frame squeezes to (16,) at B=1; re-rank
-                frame_ids = frame_ids.reshape(bsz, cfg.num_code_groups)
+                frame_ids, ce0 = self._predictor_batch(
+                    params, hid[:, None], tok0, cfg, bsz)
                 frames = jax.lax.dynamic_update_slice(
                     frames, frame_ids[:, None, :], (0, num, 0))
 
@@ -637,12 +650,6 @@ class QwenTTSPipeline:
         codec decodes all live streams at the max frame bucket. Returns
         (list of int16 waveforms, aggregate stats)."""
         cfg = self.cfg
-        if self.dcfg.use_beam:
-            import warnings
-
-            warnings.warn("batched decode runs the greedy predictor (beam "
-                          "search occupies the batch dim); use_beam is "
-                          "ignored here", stacklevel=2)
         bsz = len(requests)
         pmax = max(64, -(-max(p.shape[1] for p, _ in requests) // 64) * 64)
         tmax = max(tr.shape[1] for _, tr in requests)
