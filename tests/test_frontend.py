@@ -209,3 +209,20 @@ def test_indextts_explicit_vocab_is_not_degraded():
         tok = IndexTTSTokenizer(vocab={"A": 3, "▁": 4})
     ids = tok.convert_tokens_to_ids(["A", "▁", "zz"])
     assert ids == [3, 4, 1]
+
+
+def test_f5_duration_pause_policy_deviation():
+    """Explicit policy: the reference's re.findall("。，、；：？！") matches
+    only the full 7-char literal (never, in practice); we deliberately use
+    a character class so each pause mark weighs 3 bytes (upstream F5's
+    intent). This test pins both facts."""
+    import re
+
+    # the reference's literal pattern never fires on normal text
+    assert re.findall("。，、；：？！", "你好。世界，再见！") == []
+    # ours weighs each mark: without punctuation the formulas agree
+    ref_len, d_plain = f5_duration(24000, "abcd", "abcd")
+    _, d_punct = f5_duration(24000, "abcd", "abcd。，")
+    assert d_punct > d_plain
+    # byte parity when no pause punctuation present (reference-identical)
+    assert d_plain == ref_len + int(ref_len / 4 * 4)

@@ -20,10 +20,16 @@ import numpy as np
 __all__ = ["convert_char_to_pinyin", "text_to_ids", "f5_duration"]
 
 _CUSTOM_TRANS = str.maketrans({";": ",", "“": '"', "”": '"', "‘": "'", "’": "'"})
-# character class: each pause mark adds 3 to the byte-length estimate. (The
-# reference passes the bare string to re.findall — matching only the full
-# 7-char sequence — but upstream F5's own heuristic uses a class; we follow
-# the intent.)
+# character class: each pause mark adds 3 to the byte-length estimate.
+#
+# DELIBERATE PARITY DEVIATION (tested in test_frontend.py): the reference
+# passes the bare 7-char string "。，、；：？！" to re.findall
+# (F5-TTS-ONNX-Inference.py:227-231), which matches only the literal
+# 7-character sequence — i.e. effectively never — so its pause weighting is
+# dead code. Upstream F5's own heuristic uses a character class; we follow
+# the intent: each individual pause mark weighs 3 bytes. For text without
+# pause punctuation the two formulas agree exactly; with it, our
+# max_duration is larger (more natural pacing for Chinese text).
 _ZH_PAUSE_PUNC = r"[。，、；：？！]"
 
 
