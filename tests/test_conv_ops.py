@@ -113,3 +113,36 @@ def test_alias_free_upsample_non_divisible_kernel():
     full = (tp - 1) * 2 + 9
     assert y.shape[1] == full - rs.up_crop_left - rs.up_crop_right
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_conv_pos_embed_fused_matches_im2col_chain():
+    """Pallas fused conv-pos-embed (ops/grouped_conv.py) vs the im2col
+    reference chain in models/f5.input_embedding — same padding, weight
+    layout, cast/bias order, and mish rounding (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.models.f5 import _grouped_conv_mm
+    from tts_tpu.ops.grouped_conv import conv_pos_embed_fused
+
+    rng = np.random.default_rng(3)
+    B, T, C, K, g = 2, 64, 128, 31, 4
+    cin = C // g
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((K, cin, C)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((K, cin, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+
+    def mish(c):
+        return c * jnp.tanh(jax.nn.softplus(c))
+
+    ref = _grouped_conv_mm(x, w1, b1)
+    ref = mish(ref)
+    ref = _grouped_conv_mm(ref, w2, b2)
+    ref = mish(ref) + x
+
+    out = conv_pos_embed_fused(x, w1, b1, w2, b2, groups=g, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

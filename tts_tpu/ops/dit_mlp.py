@@ -1,0 +1,80 @@
+"""Pallas fused DiT MLP block: AdaLN-modulated LN -> ff1 -> gelu -> ff2 ->
+gated residual, one kernel.
+
+The unfused chain costs four full HBM round-trips over the (B, T, dim)
+activations per DiT block (LN+modulate pass, gelu on the (B, T, 4?dim)
+hidden, the gated-residual pass) on top of the two matmuls. Both MLP
+weight matrices (1024x2048 + 2048x1024 bf16 = 8.4 MB) fit VMEM together,
+so one program per (batch, row-block) computes the whole chain with the
+activations never leaving VMEM.
+
+Numerics replicate the XLA chain op-for-op (nn/norm.layer_norm fp32
+mean/var, modulate in the activation dtype, tanh-approx gelu, bf16 matmul
+= fp32 accumulate + round): parity-tested in tests/test_dit_kernels.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mlp_block_fused"]
+
+
+def _kernel(x_ref, mods_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[0]                                       # (bs, D)
+    shift, scale, gate = mods_ref[0], mods_ref[1], mods_ref[2]  # (D,)
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    ln = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+    n = ln * (1 + scale[None, :]) + shift[None, :]
+
+    h = jax.lax.dot_general(
+        n, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b1_ref[0]
+    h = jax.nn.gelu(h, approximate=True)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b2_ref[0]
+    o_ref[0] = x + gate[None, :] * y
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def mlp_block_fused(x: jax.Array, mods: jax.Array, w1: jax.Array,
+                    b1: jax.Array, w2: jax.Array, b2: jax.Array,
+                    block_rows: int = 352, interpret: bool = False
+                    ) -> jax.Array:
+    """x (B, T, D); mods (3, D) = [shift_mlp, scale_mlp, gate_mlp] rows;
+    w1 (D, F), b1 (F,), w2 (F, D), b2 (D,).
+    Returns x + gate * ff2(gelu(ff1(ln(x) * (1+scale) + shift)))."""
+    b, t, d = x.shape
+    f = w1.shape[1]
+    bs = block_rows
+    while t % bs:
+        bs //= 2
+    grid = (b, t // bs)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bs, d), lambda ib, it: (ib, it, 0)),
+            pl.BlockSpec((3, d), lambda ib, it: (0, 0)),
+            pl.BlockSpec((d, f), lambda ib, it: (0, 0)),
+            pl.BlockSpec((1, f), lambda ib, it: (0, 0)),
+            pl.BlockSpec((f, d), lambda ib, it: (0, 0)),
+            pl.BlockSpec((1, d), lambda ib, it: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, d), lambda ib, it: (ib, it, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, mods.astype(x.dtype), w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
