@@ -238,6 +238,13 @@ def _text_freqs_cis(text_dim: int, max_pos: int = 4096) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Input embedding + DiT blocks
 
+# Pallas-kernel toggles (module-level so A/B perf tests can flip them;
+# production default True — gates additionally require TPU backend, float
+# weights, and VMEM fit at the call sites)
+USE_FUSED_CONV = True
+USE_FUSED_MLP = True
+
+
 def _grouped_conv_mm(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """'same'-padded grouped conv1d as a batched im2col matmul.
 
@@ -280,8 +287,8 @@ def input_embedding(params, x: jax.Array, cond: jax.Array) -> jax.Array:
     # VMEM bound: the kernel's column scratch is (K*cin_pg, T) — stay on
     # the im2col path when it would not fit (fp32 params at long T)
     col_bytes = k * cin_pg * h.shape[1] * h.dtype.itemsize
-    if (jax.default_backend() == "tpu" and h.shape[1] % 8 == 0
-            and col_bytes <= 7 * 2 ** 20):
+    if (USE_FUSED_CONV and jax.default_backend() == "tpu"
+            and h.shape[1] % 8 == 0 and col_bytes <= 7 * 2 ** 20):
         from ..ops.grouped_conv import conv_pos_embed_fused
 
         return conv_pos_embed_fused(
@@ -375,7 +382,8 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
     norm = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
     x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos, rope_sin,
                                       cfg.heads, cfg.head_dim, kv_len)
-    if (jax.default_backend() == "tpu" and x.shape[1] % 8 == 0
+    if (USE_FUSED_MLP and jax.default_backend() == "tpu"
+            and x.shape[1] % 8 == 0
             and not hasattr(p["ff1"]["w"], "scale")):
         # fused LN+modulate -> ff1 -> gelu -> ff2 -> gated residual: one
         # Pallas program per row-block, both MLP weights VMEM-resident

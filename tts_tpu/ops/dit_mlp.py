@@ -49,7 +49,7 @@ def _kernel(x_ref, mods_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def mlp_block_fused(x: jax.Array, mods: jax.Array, w1: jax.Array,
                     b1: jax.Array, w2: jax.Array, b2: jax.Array,
-                    block_rows: int = 352, interpret: bool = False
+                    block_rows: int = 176, interpret: bool = False
                     ) -> jax.Array:
     """x (B, T, D); mods (3, D) = [shift_mlp, scale_mlp, gate_mlp] rows;
     w1 (D, F), b1 (F,), w2 (F, D), b2 (D,).
