@@ -53,3 +53,26 @@ def test_mlp_block_fused_block_rows_fallback():
                          w2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_rope_qkv_flat_matches_per_head():
+    """The flat-rope TPU path (two rolls + lane mask over the fused qkv)
+    must reproduce the per-head _apply_rope_hs exactly."""
+    from tts_tpu.models.f5 import (_apply_rope_hs, _rope_qkv_flat,
+                                   f5_rope_tables)
+
+    rng = np.random.default_rng(2)
+    B, T, H, D = 2, 16, 4, 8
+    qkv = jnp.asarray(rng.standard_normal((B, T, 3 * H * D)), jnp.float32)
+    cos, sin = f5_rope_tables(T, D)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    q, k, v = _rope_qkv_flat(qkv, cos, sin, H, D)
+
+    qr, kr, vr = jnp.split(qkv, 3, axis=-1)
+    qr = _apply_rope_hs(qr.reshape(B, T, H, D), cos, sin).transpose(0, 2, 1, 3)
+    kr = _apply_rope_hs(kr.reshape(B, T, H, D), cos, sin).transpose(0, 2, 1, 3)
+    vr = vr.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(qr))
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(kr))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))

@@ -301,6 +301,36 @@ def input_embedding(params, x: jax.Array, cond: jax.Array) -> jax.Array:
     return c + h
 
 
+def _rope_qkv_flat(qkv: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
+                   heads: int, head_dim: int):
+    """Flat rope over the whole (B, T, 3*H*D) qkv tensor: the half-split
+    rotate is two global rolls by D/2 + a per-lane sign/branch mask
+    (within-head correctness: both branches stay inside their own head
+    block; the circular wrap lands on discarded branches). cos/sin tile
+    across the q and k heads and are 1/0 over the v columns, so one fused
+    multiply-add ropes q and k and passes v through exactly. Replaces 3
+    per-head rope chains and 3 (B,T,H,D)->(B,H,T,D) transposes with 2
+    rolls + 1 transpose; element math identical to _apply_rope_hs (fp32
+    ops, same final cast). Returns q, k, v in (B, H, T, D)."""
+    b, t, _ = qkv.shape
+    hd, half = head_dim, head_dim // 2
+    cosf = rope_cos.astype(jnp.float32)
+    sinf = rope_sin.astype(jnp.float32)
+    cos3 = jnp.concatenate(
+        [jnp.tile(cosf, (1, 2 * heads)),
+         jnp.ones((t, heads * hd), jnp.float32)], axis=-1)
+    sin3 = jnp.concatenate(
+        [jnp.tile(sinf, (1, 2 * heads)),
+         jnp.zeros((t, heads * hd), jnp.float32)], axis=-1)
+    first_half = (np.arange(3 * heads * hd) % hd) < half
+    rot = jnp.where(first_half, -jnp.roll(qkv, -half, axis=-1),
+                    jnp.roll(qkv, half, axis=-1))
+    roped = (qkv.astype(jnp.float32) * cos3
+             + rot.astype(jnp.float32) * sin3).astype(qkv.dtype)
+    qkvh = roped.reshape(b, t, 3 * heads, hd).transpose(0, 2, 1, 3)
+    return (qkvh[:, :heads], qkvh[:, heads:2 * heads], qkvh[:, 2 * heads:])
+
+
 def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                    heads: int, head_dim: int,
                    kv_len: jax.Array | None = None) -> jax.Array:
@@ -317,15 +347,19 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     materialized (B, H, S, S) fp32 scores dominating the DiT step."""
     b, t, _ = x.shape
     qkv = dense(x, p["wqkv"]) + p["bqkv"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(b, t, heads, head_dim)
-    k = k.reshape(b, t, heads, head_dim)
-    v = v.reshape(b, t, heads, head_dim)
-    q = _apply_rope_hs(q, rope_cos, rope_sin).astype(x.dtype)
-    k = _apply_rope_hs(k, rope_cos, rope_sin).astype(x.dtype)
 
     use_flash = (jax.default_backend() == "tpu" and t % 128 == 0
                  and head_dim % 64 == 0)
+    if use_flash:
+        q, k, v = _rope_qkv_flat(qkv, rope_cos, rope_sin, heads, head_dim)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, heads, head_dim)
+        k = k.reshape(b, t, heads, head_dim)
+        v = v.reshape(b, t, heads, head_dim)
+        q = _apply_rope_hs(q, rope_cos, rope_sin).astype(x.dtype)
+        k = _apply_rope_hs(k, rope_cos, rope_sin).astype(x.dtype)
+
     if use_flash:
         from ..ops.flash_attention import flash_attention
 
@@ -346,14 +380,11 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                     bq = cand
                     break
             out = flash_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), kv_len, block_q=bq, block_kv=t,
-                head_block=hb,
+                q, k, v, kv_len, block_q=bq, block_kv=t, head_block=hb,
             ).transpose(0, 2, 1, 3)
         else:
             out = flash_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), kv_len, block_q=256, block_kv=512,
+                q, k, v, kv_len, block_q=256, block_kv=512,
             ).transpose(0, 2, 1, 3)
     else:
         scores = jnp.einsum("bshd,bthd->bhst", q, k,

@@ -96,8 +96,10 @@ def _kernel_onepass(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                 # (hb, bq, skv)
+    # bias carries the -30 exponent shift for valid keys (NEG_INF masked),
+    # so clamp+bias+shift is one fused add chain over the score tile
     s = jnp.minimum(s * jnp.float32(scale * _LOG2E), 100.0) + bias_ref[...]
-    p = jnp.exp2(s - 30.0)
+    p = jnp.exp2(s)
     l = jnp.sum(p, axis=-1, keepdims=True) + 1e-37
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -112,7 +114,7 @@ def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
     # kv_len scalar -> shared bias row; (B,) vector -> per-batch-row bias
     # (batched serving: each request in the batch has its own valid length)
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(-1)
-    bias = jnp.where(jnp.arange(s)[None, :] < kv_len[:, None], 0.0,
+    bias = jnp.where(jnp.arange(s)[None, :] < kv_len[:, None], -30.0,
                      NEG_INF).astype(jnp.float32)[:, None, :]
     bias = jnp.broadcast_to(bias, (b, 1, s))
     grid = (b, h // head_block, s // block_q)

@@ -277,11 +277,11 @@ class F5Pipeline:
 
     # -- public API ---------------------------------------------------------
 
-    def synthesize(self, ref_audio: np.ndarray, ref_text: str, gen_text: str,
-                   speed: float = 1.0, seed: int | None = None
-                   ) -> tuple[np.ndarray, F5Stats]:
-        """ref_audio: int16 or float mono waveform at cfg.sample_rate.
-        Returns (int16 waveform, stats)."""
+    def _prepare(self, ref_audio: np.ndarray, ref_text: str, gen_text: str,
+                 speed: float = 1.0):
+        """Host-side prep shared by synthesize and the benchmark: audio
+        normalize, duration heuristic, tokenize, bucket, pad. Returns
+        (audio_p, ids_p, ref_signal_len, duration, buckets, n_keep)."""
         cfg = self.cfg
         if ref_audio.dtype == np.int16:
             audio = ref_audio.astype(np.float32) / 32768.0
@@ -313,8 +313,17 @@ class F5Pipeline:
 
         gen_len = max(duration - ref_signal_len - 1, 0)
         gen_bucket = min(_bucket(gen_len, 64, 64), frame_bucket)
+        buckets = (audio_bucket, text_bucket, frame_bucket, gen_bucket)
+        n_keep = max(duration - ref_signal_len - 1, 0) * cfg.hop
+        return audio_p, ids_p, ref_signal_len, duration, buckets, n_keep
 
-        fn = self._get_fn(audio_bucket, text_bucket, frame_bucket, gen_bucket)
+    def _dispatch(self, audio_p, ids_p, ref_signal_len, duration,
+                  buckets, seed=None):
+        """Enqueue one synthesis without fetching: returns the device
+        array. XLA dispatch is async, so back-to-back dispatches queue on
+        the device and host/tunnel latency overlaps with compute — the
+        basis of the sustained-throughput benchmark mode."""
+        fn = self._get_fn(*buckets)
         # scalar jnp.int32()/jax.random.key() creation costs ~30 ms each over
         # a remote-device tunnel (tiny blocking transfers); numpy scalars ride
         # the fast argument path and keys are cached per seed
@@ -322,17 +331,25 @@ class F5Pipeline:
         key = self._key_cache.get(s)
         if key is None:
             key = self._key_cache[s] = jax.random.key(s)
+        return fn(self.params, self.vparams, jnp.asarray(audio_p),
+                  jnp.asarray(ids_p), np.int32(ref_signal_len),
+                  np.int32(duration), key)
 
+    def synthesize(self, ref_audio: np.ndarray, ref_text: str, gen_text: str,
+                   speed: float = 1.0, seed: int | None = None
+                   ) -> tuple[np.ndarray, F5Stats]:
+        """ref_audio: int16 or float mono waveform at cfg.sample_rate.
+        Returns (int16 waveform, stats)."""
+        audio_p, ids_p, ref_signal_len, duration, buckets, n_keep = \
+            self._prepare(ref_audio, ref_text, gen_text, speed)
         t0 = time.perf_counter()
-        wav = fn(self.params, self.vparams, jnp.asarray(audio_p),
-                 jnp.asarray(ids_p), np.int32(ref_signal_len),
-                 np.int32(duration), key)
+        wav = self._dispatch(audio_p, ids_p, ref_signal_len, duration,
+                             buckets, seed)
         wav = np.asarray(jax.block_until_ready(wav))
         wall = time.perf_counter() - t0
-
-        n_keep = max(duration - ref_signal_len - 1, 0) * cfg.hop
         out = wav.reshape(-1)[:n_keep]
-        return out, F5Stats(wall_s=wall, audio_s=n_keep / cfg.sample_rate)
+        return out, F5Stats(wall_s=wall,
+                            audio_s=n_keep / self.cfg.sample_rate)
 
     def synthesize_batch(self, requests: list[tuple[np.ndarray, str, str]],
                          speed: float = 1.0, seed: int | None = None
@@ -407,10 +424,28 @@ class F5Pipeline:
         ref_text = "Some call me nature, others call me mother nature."
         gen_text = " ".join(["word"] * gen_words)
         wav, _ = self.synthesize(audio, ref_text, gen_text)        # compile
+        audio_s = len(wav) / self.cfg.sample_rate
+
+        # single-request latency: dispatch + full device->host fetch per call
         t0 = time.perf_counter()
         for _ in range(iters):
             wav, stats = self.synthesize(audio, ref_text, gen_text)
-        wall = (time.perf_counter() - t0) / iters
-        audio_s = len(wav) / self.cfg.sample_rate
-        return {"wall_s": wall, "audio_s": audio_s,
-                "rtf": wall / max(audio_s, 1e-9)}
+        lat_wall = (time.perf_counter() - t0) / iters
+
+        # sustained per-chip throughput: the same exact jobs queued
+        # back-to-back (async dispatch), one fetch fence at the end — the
+        # fixed per-call host/tunnel latency overlaps device compute, as it
+        # does in any server that pipelines requests. Output is identical
+        # to the latency path (same program, same seed).
+        prep = self._prepare(audio, ref_text, gen_text)
+        t0 = time.perf_counter()
+        outs = [self._dispatch(*prep[:5]) for _ in range(iters)]
+        outs = [np.asarray(o) for o in outs]
+        sus_wall = (time.perf_counter() - t0) / iters
+        np.testing.assert_array_equal(
+            outs[0].reshape(-1)[: len(wav)], wav)    # exact-output guard
+
+        return {"wall_s": lat_wall, "audio_s": audio_s,
+                "rtf": lat_wall / max(audio_s, 1e-9),
+                "sustained_wall_s": sus_wall,
+                "sustained_rtf": sus_wall / max(audio_s, 1e-9)}
