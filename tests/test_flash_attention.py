@@ -58,3 +58,24 @@ def test_flash_rejects_bad_blocks():
     q = jnp.zeros((1, 1, 100, 64))
     with pytest.raises(ValueError):
         flash_attention(q, q, q, block_q=64, block_kv=64)
+
+
+def test_flash_packed_out_matches_transpose():
+    """packed_out=True returns (B, S, H*D) equal to the standard output
+    transposed+reshaped."""
+    import jax.numpy as jnp
+
+    from tts_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(9)
+    B, H, S, D = 2, 4, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = flash_attention(q, k, v, jnp.int32(50), block_q=32,
+                              block_kv=S, head_block=2)
+        out = flash_attention(q, k, v, jnp.int32(50), block_q=32,
+                              block_kv=S, head_block=2, packed_out=True)
+    ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    np.testing.assert_array_equal(np.asarray(out), ref)

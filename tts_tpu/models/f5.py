@@ -379,9 +379,13 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                 if t % cand == 0 and hb * cand * t * 4 <= (1 << 22):
                     bq = cand
                     break
+            # packed_out: the kernel writes (B, S, H*D) directly — the
+            # head relayout happens per-tile in VMEM instead of as a
+            # full-tensor transpose
             out = flash_attention(
                 q, k, v, kv_len, block_q=bq, block_kv=t, head_block=hb,
-            ).transpose(0, 2, 1, 3)
+                packed_out=True,
+            ).reshape(b, t, heads, head_dim)
         else:
             out = flash_attention(
                 q, k, v, kv_len, block_q=256, block_kv=512,

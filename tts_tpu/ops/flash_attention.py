@@ -72,7 +72,8 @@ def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 _LOG2E = 1.4426950408889634
 
 
-def _kernel_onepass(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+def _kernel_onepass(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                    packed_out: bool = False):
     """Single-kv-block fast path: the whole score row fits in VMEM, so the
     softmax is one pass. Two VPU economies over the classic form (measured
     ~10% of the kernel at S=1408, B2 H16 D64):
@@ -105,11 +106,20 @@ def _kernel_onepass(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                                 # (hb, bq, d)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    o = (o / l).astype(o_ref.dtype)
+    if packed_out:
+        # write (bq, hb*d) directly into the (B, S, H*D) output — the
+        # (B,H,S,D)->(B,S,H,D) relayout happens per-tile in VMEM as a lane
+        # concat (Mosaic rejects the transpose+reshape cast) instead of as
+        # a full-tensor XLA transpose after the kernel
+        hb = o.shape[0]
+        o_ref[0] = jnp.concatenate([o[j] for j in range(hb)], axis=-1)
+    else:
+        o_ref[0] = o
 
 
 def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
-                   head_block: int):
+                   head_block: int, packed_out: bool = False):
     b, h, s, d = q.shape
     # kv_len scalar -> shared bias row; (B,) vector -> per-batch-row bias
     # (batched serving: each request in the batch has its own valid length)
@@ -118,7 +128,16 @@ def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
                      NEG_INF).astype(jnp.float32)[:, None, :]
     bias = jnp.broadcast_to(bias, (b, 1, s))
     grid = (b, h // head_block, s // block_q)
-    kernel = functools.partial(_kernel_onepass, scale=scale)
+    kernel = functools.partial(_kernel_onepass, scale=scale,
+                               packed_out=packed_out)
+    if packed_out:
+        out_spec = pl.BlockSpec((1, block_q, head_block * d),
+                                lambda ib, ih, iq: (ib, iq, ih))
+        out_shape = jax.ShapeDtypeStruct((b, s, h * d), q.dtype)
+    else:
+        out_spec = pl.BlockSpec((1, head_block, block_q, d),
+                                lambda ib, ih, iq: (ib, ih, iq, 0))
+        out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -131,9 +150,8 @@ def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
                          lambda ib, ih, iq: (ib, ih, 0, 0)),
             pl.BlockSpec((1, 1, s), lambda ib, ih, iq: (ib, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, head_block, block_q, d),
-                               lambda ib, ih, iq: (ib, ih, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -142,15 +160,18 @@ def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_q", "block_kv",
-                                    "head_block"))
+                                    "head_block", "packed_out"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     kv_len: jax.Array | None = None, scale: float = 1.0,
                     block_q: int = 256, block_kv: int = 256,
-                    head_block: int = 1) -> jax.Array:
+                    head_block: int = 1,
+                    packed_out: bool = False) -> jax.Array:
     """q, k, v: (B, H, S, D) -> (B, H, S, D). Non-causal; keys at positions
     >= kv_len are masked out (kv_len defaults to S). When block_kv covers
     the whole sequence a single-pass kernel (no online-softmax scratch) is
-    used, with `head_block` heads batched per grid program."""
+    used, with `head_block` heads batched per grid program. packed_out
+    (single-pass path only) returns (B, S, H*D) with the head relayout done
+    per-tile in VMEM."""
     b, h, s, d = q.shape
     block_q = min(block_q, s)
     block_kv = min(block_kv, s)
@@ -162,7 +183,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     if block_kv == s and head_block and h % head_block == 0:
         # kv_len may be a scalar or a (B,) per-request vector here
-        return _flash_onepass(q, k, v, kv_len, scale, block_q, head_block)
+        return _flash_onepass(q, k, v, kv_len, scale, block_q, head_block,
+                              packed_out)
+    if packed_out:
+        raise NotImplementedError("packed_out needs the single-pass kernel")
     # head_block=0 forces the scratch-carry kernel even at block_kv == s
     if jnp.asarray(kv_len).ndim > 0 and jnp.asarray(kv_len).size != 1:
         raise NotImplementedError(
