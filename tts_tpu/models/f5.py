@@ -367,9 +367,9 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
         # VMEM so the single-pass kernel applies (no online-softmax
         # scratch), with 2 heads batched per grid program — measured 35%
         # faster than the scratch-carry config at t=1024. Block sizes keep
-        # the fp32 score tile near 4 MB. (An in-kernel RoPE variant exists —
-        # flash_attention_rope — but Mosaic's fp32-only rotate made it a net
-        # loss; XLA already fuses the rope elementwise chain well.)
+        # the fp32 score tile near 4 MB. (An in-kernel RoPE variant was
+        # measured a net loss in round 1 — Mosaic's fp32-only rotate — and
+        # removed; the flat-rope prologue above covers it in XLA.)
         if t <= 4096:
             hb = 2 if heads % 2 == 0 else 1
             bq = 128

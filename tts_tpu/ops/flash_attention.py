@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_rope"]
+__all__ = ["flash_attention"]
 
 NEG_INF = -1e30
 
@@ -225,122 +225,3 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                  "arbitrary"),
         ),
     )(kv_len, q, k, v)
-
-
-# ---------------------------------------------------------------------------
-# Fused RoPE + attention (B, H, S, D layout).
-#
-# Applies interleaved-pair RoPE to the q and k tiles inside VMEM before the
-# score matmul, removing two full elementwise passes over q/k per DiT block.
-# Rotation uses the roll trick:
-#   rot(x)[2i] = -x[2i+1],  rot(x)[2i+1] = x[2i]
-#   rot(x) = where(lane even, -roll(x, d-1), roll(x, +1))
-# (the circular wrap elements always land on the branch the mask discards).
-
-def _rope_rotate(x):
-    # Mosaic's roll only handles 32-bit data — rotate in fp32 and cast back
-    xf = x.astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    even = (lane % 2) == 0
-    d = x.shape[-1]
-    rot = jnp.where(even, -pltpu.roll(xf, d - 1, axis=x.ndim - 1),
-                    pltpu.roll(xf, 1, axis=x.ndim - 1))
-    return rot.astype(x.dtype)
-
-
-def _kernel_rope(kvlen_ref, q_ref, k_ref, v_ref, cosq_ref, sinq_ref,
-                 cosk_ref, sink_ref, o_ref, m_ref, l_ref, acc_ref,
-                 *, bkv: int, scale: float):
-    j = pl.program_id(3)
-    nkv = pl.num_programs(3)
-
-    @pl.when(j == 0)
-    def _():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    q = q * cosq_ref[...] + _rope_rotate(q) * sinq_ref[...]
-    k = k * cosk_ref[...] + _rope_rotate(k) * sink_ref[...]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    if scale != 1.0:
-        s = s * scale
-    kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bkv
-    s = jnp.where(kv_idx < kvlen_ref[0], s, NEG_INF)
-
-    m_prev = m_ref[...]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[...] = m_new
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(j == nkv - 1)
-    def _():
-        o_ref[0, 0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
-def flash_attention_rope(q, k, v, cos, sin, kv_len=None, scale: float = 1.0,
-                         block_q: int = 256, block_kv: int | None = None):
-    """q, k, v: (B, H, S, D) pre-RoPE; cos/sin: (S, D) interleaved-pair RoPE
-    tables applied in-kernel. Returns (B, H, S, D)."""
-    b, h, s, d = q.shape
-    block_q = min(block_q, s)
-    if block_kv is None:
-        block_kv = s if s <= 2048 else 512
-    block_kv = min(block_kv, s)
-    if s % block_q or s % block_kv:
-        raise ValueError(f"seq {s} must divide blocks ({block_q}, {block_kv})")
-    if kv_len is None:
-        kv_len = jnp.int32(s)
-    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)
-    cos = cos.astype(q.dtype)
-    sin = sin.astype(q.dtype)
-
-    grid = (b, h, s // block_q, s // block_kv)
-    kernel = functools.partial(_kernel_rope, bkv=block_kv, scale=scale)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, block_q, d),
-                             lambda ib, ih, iq, ikv, kvl: (ib, ih, iq, 0)),
-                pl.BlockSpec((1, 1, block_kv, d),
-                             lambda ib, ih, iq, ikv, kvl: (ib, ih, ikv, 0)),
-                pl.BlockSpec((1, 1, block_kv, d),
-                             lambda ib, ih, iq, ikv, kvl: (ib, ih, ikv, 0)),
-                pl.BlockSpec((block_q, d),
-                             lambda ib, ih, iq, ikv, kvl: (iq, 0)),
-                pl.BlockSpec((block_q, d),
-                             lambda ib, ih, iq, ikv, kvl: (iq, 0)),
-                pl.BlockSpec((block_kv, d),
-                             lambda ib, ih, iq, ikv, kvl: (ikv, 0)),
-                pl.BlockSpec((block_kv, d),
-                             lambda ib, ih, iq, ikv, kvl: (ikv, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda ib, ih, iq, ikv, kvl: (ib, ih, iq, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, 1), jnp.float32),
-                pltpu.VMEM((block_q, d), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
-    )(kv_len, q, k, v, cos, sin, cos, sin)
