@@ -76,3 +76,24 @@ def test_rope_qkv_flat_matches_per_head():
     np.testing.assert_array_equal(np.asarray(q), np.asarray(qr))
     np.testing.assert_array_equal(np.asarray(k), np.asarray(kr))
     np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
+
+
+def test_mlp_block_fused_t1024_block_rows_176():
+    """Regression: T=1024 with the default block_rows=176 must pick an
+    8-multiple divisor (128), not collapse to 2 (which violates the TPU
+    sublane block minimum — crashed the real pipeline at 4 s references)."""
+    from tts_tpu.ops.dit_mlp import mlp_block_fused
+
+    rng = np.random.default_rng(2)
+    B, T, D, F = 1, 1024, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((D, F)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, D)) * 0.05, jnp.float32)
+    z = jnp.zeros((D,))
+    mods = jnp.stack([z, z, jnp.ones((D,))])
+    out = mlp_block_fused(x, mods, w1, jnp.zeros(F), w2, jnp.zeros(D),
+                          block_rows=176, interpret=True)
+    n = layer_norm(x, eps=1e-6)
+    ref = x + jnp.matmul(jax.nn.gelu(jnp.matmul(n, w1), approximate=True), w2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

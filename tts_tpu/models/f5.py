@@ -374,9 +374,15 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
             hb = 2 if heads % 2 == 0 else 1
             bq = 128
             # largest divisor-of-t q-block (multiple of 8) whose fp32 score
-            # tile (hb, bq, t) fits ~4 MB of VMEM
+            # tile (hb, bq, t) plus the double-buffered k/v stream fits
+            # ~14 MB of VMEM. Bigger q-blocks amortize the k/v residency:
+            # bq=704/hb=2 measured 4% faster than 352/hb=2 at T=1408
+            # (benchmarks/f5_profile.py in-situ block scan; outputs are
+            # bit-identical — q-row blocking doesn't change any summation
+            # order).
+            kv_bytes = 2 * 2 * hb * t * head_dim * q.dtype.itemsize
             for cand in range(min(t, 1024), 127, -8):
-                if t % cand == 0 and hb * cand * t * 4 <= (1 << 22):
+                if t % cand == 0 and hb * cand * t * 4 + kv_bytes <= 14 << 20:
                     bq = cand
                     break
             # packed_out: the kernel writes (B, S, H*D) directly — the

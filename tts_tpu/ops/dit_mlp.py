@@ -56,9 +56,14 @@ def mlp_block_fused(x: jax.Array, mods: jax.Array, w1: jax.Array,
     Returns x + gate * ff2(gelu(ff1(ln(x) * (1+scale) + shift)))."""
     b, t, d = x.shape
     f = w1.shape[1]
-    bs = block_rows
-    while t % bs:
-        bs //= 2
+    # largest divisor of t that is <= block_rows and a multiple of 8 (the
+    # TPU block minimum for the sublane dim); t itself (bucketed to 128
+    # frames by every caller) as the last resort
+    bs = t
+    for cand in range(min(block_rows, t) // 8 * 8, 7, -8):
+        if t % cand == 0:
+            bs = cand
+            break
     grid = (b, t // bs)
     return pl.pallas_call(
         _kernel,

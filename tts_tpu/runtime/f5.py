@@ -121,6 +121,10 @@ class F5Pipeline:
         @jax.jit
         def run(params, vparams, audio, text_ids, ref_signal_len, duration, key):
             # --- preprocess (reference graph A) ---
+            # audio arrives as int16 PCM (the reference's I/O contract,
+            # SURVEY §2.8.8) — half the host->device bytes of float32, and
+            # the /32768 scale is exact in float
+            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
             mel = melspec(audio)[:, :frames]                       # (1, Fa, M)
             fa = mel.shape[1]
             frame_idx = jnp.arange(frames)[None, :, None]          # (1, T, 1)
@@ -229,6 +233,7 @@ class F5Pipeline:
         @jax.jit
         def run(params, vparams, audio, text_ids, ref_signal_len, duration,
                 key):
+            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)  # int16 PCM in
             mel = melspec(audio)[:, :frames]                   # (B, Fa, M)
             fa = mel.shape[1]
             frame_idx = jnp.arange(frames)[None, :, None]      # (1, T, 1)
@@ -283,10 +288,13 @@ class F5Pipeline:
         normalize, duration heuristic, tokenize, bucket, pad. Returns
         (audio_p, ids_p, ref_signal_len, duration, buckets, n_keep)."""
         cfg = self.cfg
+        # the wire format is int16 PCM (reference contract; float inputs are
+        # quantized here exactly as pydub loading would have)
         if ref_audio.dtype == np.int16:
-            audio = ref_audio.astype(np.float32) / 32768.0
+            audio = ref_audio
         else:
-            audio = ref_audio.astype(np.float32)
+            audio = np.clip(np.round(ref_audio.astype(np.float64) * 32768.0),
+                            -32768, 32767).astype(np.int16)
         audio = audio.reshape(1, -1)
 
         ref_signal_len, duration = f5_duration(
@@ -369,9 +377,9 @@ class F5Pipeline:
         cfg = self.cfg
         audios, idss, refs, durs = [], [], [], []
         for ref_audio, ref_text, gen_text in requests:
-            a = (ref_audio.astype(np.float32) / 32768.0
-                 if ref_audio.dtype == np.int16
-                 else ref_audio.astype(np.float32)).reshape(-1)
+            a = (ref_audio if ref_audio.dtype == np.int16
+                 else np.clip(np.round(ref_audio.astype(np.float64) * 32768.0),
+                              -32768, 32767).astype(np.int16)).reshape(-1)
             r, d = f5_duration(len(a), ref_text, gen_text, cfg.hop, speed)
             audios.append(a)
             refs.append(r)
@@ -388,7 +396,7 @@ class F5Pipeline:
         gens = [max(d - r - 1, 0) for d, r in zip(durs, refs)]
         gen_bucket = min(_bucket(max(gens), 64, 64), frame_bucket)
 
-        audio_p = np.zeros((bsz, audio_bucket), np.float32)
+        audio_p = np.zeros((bsz, audio_bucket), np.int16)
         ids_p = np.full((bsz, text_bucket), -1, np.int32)
         for b, (a, i) in enumerate(zip(audios, idss)):
             audio_p[b, :len(a)] = a
