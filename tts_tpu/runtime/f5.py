@@ -339,9 +339,10 @@ class F5Pipeline:
         key = self._key_cache.get(s)
         if key is None:
             key = self._key_cache[s] = jax.random.key(s)
-        return fn(self.params, self.vparams, jnp.asarray(audio_p),
-                  jnp.asarray(ids_p), np.int32(ref_signal_len),
-                  np.int32(duration), key)
+        # numpy args ride the dispatch (no separate blocking upload RPCs
+        # over the remote-device tunnel)
+        return fn(self.params, self.vparams, audio_p, ids_p,
+                  np.int32(ref_signal_len), np.int32(duration), key)
 
     def synthesize(self, ref_audio: np.ndarray, ref_text: str, gen_text: str,
                    speed: float = 1.0, seed: int | None = None
