@@ -126,6 +126,24 @@ def _block(params, x, *, attn="full", mlp=True, use_ln=True):
     return x
 
 
+def _quantize_blocks(params):
+    """Same DiT-matmul-only int8 policy as F5Pipeline(quantize=8)."""
+    from tts_tpu.quant.weight_only import quantize_int8
+
+    blocks = [
+        {
+            **blk,
+            "attn": {**blk["attn"],
+                     "wqkv": quantize_int8(blk["attn"]["wqkv"]),
+                     "wo": quantize_int8(blk["attn"]["wo"])},
+            "ff1": {**blk["ff1"], "w": quantize_int8(blk["ff1"]["w"])},
+            "ff2": {**blk["ff2"], "w": quantize_int8(blk["ff2"]["w"])},
+        }
+        for blk in params["blocks"]
+    ]
+    return {**params, "blocks": blocks}
+
+
 def embed(params, c):
     h = input_embedding(params, c[..., :cfg.n_mels],
                         jnp.concatenate([cond, cond], 0))
@@ -146,8 +164,15 @@ VARIANTS = {
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
     results = {}
+    global_params = PARAMS
     for name in names:
-        fn, state = VARIANTS[name]
+        if name == "full_step_q8":
+            fn, state = full_step, noise
+            PARAMS = _quantize_blocks(global_params)
+            jax.block_until_ready(PARAMS)
+        else:
+            fn, state = VARIANTS[name]
+            PARAMS = global_params
         results[name] = measure(name, fn, state)
     if "block_full" in results:
         base = results["block_full"]

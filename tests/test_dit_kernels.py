@@ -97,3 +97,85 @@ def test_mlp_block_fused_t1024_block_rows_176():
     ref = x + jnp.matmul(jax.nn.gelu(jnp.matmul(n, w1), approximate=True), w2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def _q8_ref_dense(nf, w_q, w_scale):
+    """Emulate the in-kernel W8A8 matmul in plain fp32: per-row symmetric
+    activation quantization then the int8 dot (exact in fp32 at these
+    sizes: |acc| <= 127*127*K < 2^24)."""
+    amax = jnp.max(jnp.abs(nf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    nq = jnp.clip(jnp.round(nf / xs), -127, 127)
+    return jnp.matmul(nq, w_q.astype(jnp.float32)) * xs * w_scale
+
+
+def test_mlp_block_fused_q8_matches_reference_chain():
+    from tts_tpu.ops.dit_mlp import mlp_block_fused_q8
+    from tts_tpu.quant.weight_only import quantize_int8
+
+    rng = np.random.default_rng(3)
+    B, T, D, F = 2, 64, 128, 256
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((D, F)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, D)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    gate = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    q1, q2 = quantize_int8(w1), quantize_int8(w2)
+
+    n = (layer_norm(x, eps=1e-6) * (1 + scale) + shift).astype(jnp.float32)
+    h = _q8_ref_dense(n, q1.q, q1.scale) + b1
+    h = jax.nn.gelu(h, approximate=True)
+    y = _q8_ref_dense(h, q2.q, q2.scale) + b2
+    ref = x + gate * y
+
+    mods = jnp.stack([shift, scale, gate])
+    out = mlp_block_fused_q8(x, mods, q1.q, q1.scale, b1, q2.q, q2.scale,
+                             b2, block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_ln_qkv_q8_matches_reference_chain():
+    from tts_tpu.ops.quant_matmul import ln_qkv_q8
+    from tts_tpu.quant.weight_only import quantize_int8
+
+    rng = np.random.default_rng(4)
+    B, T, D, N = 2, 64, 128, 384
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((D, N)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
+    shift = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    qw = quantize_int8(w)
+
+    n = (layer_norm(x, eps=1e-6) * (1 + scale) + shift).astype(jnp.float32)
+    ref = _q8_ref_dense(n, qw.q, qw.scale) + b
+
+    out = ln_qkv_q8(x, jnp.stack([shift, scale]), qw.q, qw.scale, b,
+                    block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_out_proj_residual_q8_matches_reference_chain():
+    from tts_tpu.ops.quant_matmul import out_proj_residual_q8
+    from tts_tpu.quant.weight_only import quantize_int8
+
+    rng = np.random.default_rng(5)
+    B, T, HD, D = 2, 64, 256, 128
+    o = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((HD, D)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    gate = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+    qw = quantize_int8(w)
+
+    ref = x + gate * (_q8_ref_dense(o, qw.q, qw.scale) + b)
+
+    out = out_proj_residual_q8(o, qw.q, qw.scale, b, gate, x,
+                               block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)

@@ -40,7 +40,7 @@ from ..audio.mel import MelSpectrogram
 from ..nn.norm import layer_norm
 from ..nn.rope import rope_table_interleaved
 from ..ops.conv import conv1d
-from ..quant.weight_only import dense
+from ..quant.weight_only import QTensor, dense
 
 __all__ = [
     "F5Config",
@@ -243,6 +243,12 @@ def _text_freqs_cis(text_dim: int, max_pos: int = 4096) -> np.ndarray:
 # weights, and VMEM fit at the call sites)
 USE_FUSED_CONV = True
 USE_FUSED_MLP = True
+USE_FUSED_Q8 = True
+
+
+def _is_q8(w) -> bool:
+    """Per-channel int8 QTensor (not the packed int4 QTensor4)."""
+    return isinstance(w, QTensor)
 
 
 def _grouped_conv_mm(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
@@ -331,6 +337,28 @@ def _rope_qkv_flat(qkv: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
     return (qkvh[:, :heads], qkvh[:, heads:2 * heads], qkvh[:, 2 * heads:])
 
 
+def _flash_packed(q: jax.Array, k: jax.Array, v: jax.Array, kv_len,
+                  head_dim: int) -> jax.Array:
+    """Single-pass flash attention returning the packed (B, T, H*D) layout.
+    Picks the largest divisor-of-t q-block (multiple of 8) whose fp32 score
+    tile (hb, bq, t) plus the double-buffered k/v stream fits ~14 MB of
+    VMEM — bigger q-blocks amortize the k/v residency (bq=704/hb=2 measured
+    4% faster than 352/hb=2 at T=1408; outputs bit-identical, q-row
+    blocking doesn't change any summation order)."""
+    from ..ops.flash_attention import flash_attention
+
+    _, heads, t, _ = q.shape
+    hb = 2 if heads % 2 == 0 else 1
+    bq = 128
+    kv_bytes = 2 * 2 * hb * t * head_dim * q.dtype.itemsize
+    for cand in range(min(t, 1024), 127, -8):
+        if t % cand == 0 and hb * cand * t * 4 + kv_bytes <= 14 << 20:
+            bq = cand
+            break
+    return flash_attention(q, k, v, kv_len, block_q=bq, block_kv=t,
+                           head_block=hb, packed_out=True)
+
+
 def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                    heads: int, head_dim: int,
                    kv_len: jax.Array | None = None) -> jax.Array:
@@ -361,38 +389,21 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
         k = _apply_rope_hs(k, rope_cos, rope_sin).astype(x.dtype)
 
     if use_flash:
-        from ..ops.flash_attention import flash_attention
-
         # full-kv blocks at these lengths: the whole score row stays in
         # VMEM so the single-pass kernel applies (no online-softmax
         # scratch), with 2 heads batched per grid program — measured 35%
-        # faster than the scratch-carry config at t=1024. Block sizes keep
-        # the fp32 score tile near 4 MB. (An in-kernel RoPE variant was
-        # measured a net loss in round 1 — Mosaic's fp32-only rotate — and
-        # removed; the flat-rope prologue above covers it in XLA.)
+        # faster than the scratch-carry config at t=1024. (An in-kernel
+        # RoPE variant was measured a net loss in round 1 — Mosaic's
+        # fp32-only rotate — and removed; the flat-rope prologue above
+        # covers it in XLA.) packed_out: the kernel writes (B, S, H*D)
+        # directly — the head relayout happens per-tile in VMEM instead of
+        # as a full-tensor transpose.
         if t <= 4096:
-            hb = 2 if heads % 2 == 0 else 1
-            bq = 128
-            # largest divisor-of-t q-block (multiple of 8) whose fp32 score
-            # tile (hb, bq, t) plus the double-buffered k/v stream fits
-            # ~14 MB of VMEM. Bigger q-blocks amortize the k/v residency:
-            # bq=704/hb=2 measured 4% faster than 352/hb=2 at T=1408
-            # (benchmarks/f5_profile.py in-situ block scan; outputs are
-            # bit-identical — q-row blocking doesn't change any summation
-            # order).
-            kv_bytes = 2 * 2 * hb * t * head_dim * q.dtype.itemsize
-            for cand in range(min(t, 1024), 127, -8):
-                if t % cand == 0 and hb * cand * t * 4 + kv_bytes <= 14 << 20:
-                    bq = cand
-                    break
-            # packed_out: the kernel writes (B, S, H*D) directly — the
-            # head relayout happens per-tile in VMEM instead of as a
-            # full-tensor transpose
-            out = flash_attention(
-                q, k, v, kv_len, block_q=bq, block_kv=t, head_block=hb,
-                packed_out=True,
-            ).reshape(b, t, heads, head_dim)
+            out = _flash_packed(q, k, v, kv_len, head_dim
+                                ).reshape(b, t, heads, head_dim)
         else:
+            from ..ops.flash_attention import flash_attention
+
             out = flash_attention(
                 q, k, v, kv_len, block_q=256, block_kv=512,
             ).transpose(0, 2, 1, 3)
@@ -420,11 +431,42 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
         mod, 6, axis=-1
     )
-    norm = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
-    x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos, rope_sin,
-                                      cfg.heads, cfg.head_dim, kv_len)
-    if (USE_FUSED_MLP and jax.default_backend() == "tpu"
-            and x.shape[1] % 8 == 0
+    t = x.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    # W8A8 fused attention projections (quantize=8 mode): the LN+modulate
+    # prologue, per-row activation quantization, int8 MXU matmul, and the
+    # rescale/bias(/gated-residual) epilogues each stay in ONE Pallas
+    # kernel, so the int8 dot's ~1.4x MXU advantage is not eaten by fusion
+    # breaks (the round-1 standalone-kernel failure, ops/quant_matmul.py).
+    attn_q8 = (USE_FUSED_Q8 and on_tpu and t % 128 == 0 and t <= 4096
+               and cfg.head_dim % 64 == 0
+               and _is_q8(p["attn"]["wqkv"]) and _is_q8(p["attn"]["wo"]))
+    if attn_q8:
+        from ..ops.quant_matmul import ln_qkv_q8, out_proj_residual_q8
+
+        wqkv, wo = p["attn"]["wqkv"], p["attn"]["wo"]
+        mods_a = jnp.concatenate([shift_msa[0], scale_msa[0]], axis=0)
+        qkv = ln_qkv_q8(x, mods_a, wqkv.q, wqkv.scale, p["attn"]["bqkv"])
+        q, k, v = _rope_qkv_flat(qkv, rope_cos, rope_sin, cfg.heads,
+                                 cfg.head_dim)
+        o = _flash_packed(q, k, v, kv_len, cfg.head_dim)     # (B, T, H*D)
+        x = out_proj_residual_q8(o, wo.q, wo.scale, p["attn"]["bo"],
+                                 gate_msa.reshape(-1), x)
+    else:
+        norm = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
+        x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos,
+                                          rope_sin, cfg.heads, cfg.head_dim,
+                                          kv_len)
+    if (USE_FUSED_Q8 and on_tpu and t % 32 == 0
+            and _is_q8(p["ff1"]["w"]) and _is_q8(p["ff2"]["w"])):
+        from ..ops.dit_mlp import mlp_block_fused_q8
+
+        mods = jnp.concatenate([shift_mlp[0], scale_mlp[0], gate_mlp[0]],
+                               axis=0)
+        return mlp_block_fused_q8(
+            x, mods, p["ff1"]["w"].q, p["ff1"]["w"].scale, p["ff1"]["b"],
+            p["ff2"]["w"].q, p["ff2"]["w"].scale, p["ff2"]["b"])
+    if (USE_FUSED_MLP and on_tpu and t % 8 == 0
             and not hasattr(p["ff1"]["w"], "scale")):
         # fused LN+modulate -> ff1 -> gelu -> ff2 -> gated residual: one
         # Pallas program per row-block, both MLP weights VMEM-resident
