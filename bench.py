@@ -32,7 +32,7 @@ def bench_f5():
     vp = jax.jit(lambda k: vocos_init(vcfg, k, dtype))(jax.random.key(1))
     pipe = F5Pipeline(f5p, cfg, {" ": 0}, vp, vcfg)
     stats = pipe.benchmark(ref_seconds=6.0, gen_words=15,
-                           iters=3 if on_tpu else 1)
+                           iters=8 if on_tpu else 1)
     baseline_rtf = 21.0  # MX150 GPU, README.md:30
     # primary = sustained per-chip RTF: identical jobs queued back-to-back
     # with one fetch fence (exact output, FORA off) — the per-chip serving
