@@ -66,7 +66,7 @@ class VoxCPMPipeline:
         self.dcfg = decode_cfg or VoxCPMDecodeConfig()
         self.output_sample_rate = output_sample_rate or cfg.output_sample_rate
         self._enc_cache: dict = {}
-        self._dec_fn = None
+        self._dec_cache = {}
         self._vae_dec_cache: dict = {}
         self._key_cache: dict = {}
 
@@ -113,11 +113,25 @@ class VoxCPMPipeline:
 
     # ------------------------------------------------------------- decode
 
-    def _build_decode(self):
+    def _build_decode(self, buf: int):
+        """Prefill + generation + VAE decode fused into ONE dispatch.
+
+        `buf` (static) bounds the latent buffer — the host buckets
+        min(max_steps, max_latents) so short requests don't pay a
+        max_latents-sized VAE decode. Returning (wav_int16, num) from a
+        single jit collapses the old 3-4 tunnel round trips per call
+        (decode dispatch, int(num) fence, latents fetch, VAE dispatch +
+        wav fetch) into one dispatch + one fetch — on the axon tunnel each
+        round trip costs ~30-70 ms, which dominated short-utterance RTF.
+        Numerics are identical: the old separate path also zero-padded
+        latents past `num` before the causal-conv VAE."""
         cfg, dcfg = self.cfg, self.dcfg
         b = cfg.base
+        sr_idx = int(np.searchsorted(np.asarray(cfg.vae.sr_bins),
+                                     cfg.output_sample_rate)) \
+            if cfg.vae.sr_bins else 0
 
-        def run(params, text_buf, is_audio, prefill_len,
+        def run(params, vae_params, text_buf, is_audio, prefill_len,
                 feat_embed_buf, feat_cond0, max_steps, key):
             """Generic segmented prefill: position i is either a text token
             (text_buf[0, i] embedded) or an audio patch (feat_embed_buf[:, i]).
@@ -148,13 +162,11 @@ class VoxCPMPipeline:
             res_kv = res_kv.rewind(prefill_len)
 
             # ---- generation loop
-            latents = jnp.zeros((dcfg.max_latents, cfg.patch_size,
-                                 cfg.vae.latent_dim))
+            latents = jnp.zeros((buf, cfg.patch_size, cfg.vae.latent_dim))
 
             def gcond(c):
                 _, _, _, _, _, _, num, fin = c
-                return (~fin) & (num < jnp.minimum(max_steps,
-                                                   dcfg.max_latents))
+                return (~fin) & (num < jnp.minimum(max_steps, buf))
 
             def gbody(c):
                 base_kv, res_kv, dit, feat_cond, latents, key, num, _ = c
@@ -180,20 +192,30 @@ class VoxCPMPipeline:
                     jnp.zeros((), jnp.int32), jnp.zeros((), bool))
             _, _, _, _, latents, _, num, _ = jax.lax.while_loop(
                 gcond, gbody, init)
-            return latents, num
+            flat = latents.reshape(1, -1, cfg.vae.latent_dim)
+            wav = vae_decode(vae_params["dec"], flat, cfg.vae, sr_idx=sr_idx)
+            return (wav * 32767.0).astype(jnp.int16), num
 
         return jax.jit(run)
 
-    def _build_decode_batch(self, bsz: int, s_buf: int):
+    def _build_decode_batch(self, bsz: int, s_buf: int, buf: int):
         """Batched serving: B segmented prompts right-justified in one
         bucket (per-row kv_valid masks the left pad; rope is relative so
         the shared shift is free), per-row stop/cap tracking, batched CFM +
-        feat-encoder + dual-LM steps."""
+        feat-encoder + dual-LM steps.
+
+        `buf` (static) bounds the latent buffer to the bucketed max of the
+        per-row caps, and the batched VAE decode is fused into the same
+        dispatch (rows' latents are zeroed past their stop first, matching
+        the old compact zero-padded decode bit-for-bit)."""
         cfg, dcfg = self.cfg, self.dcfg
         b = cfg.base
+        sr_idx = int(np.searchsorted(np.asarray(cfg.vae.sr_bins),
+                                     cfg.output_sample_rate)) \
+            if cfg.vae.sr_bins else 0
 
-        def run(params, text_buf, is_audio, pad_start, feat_embed_buf,
-                feat_cond0, caps, key):
+        def run(params, vae_params, text_buf, is_audio, pad_start,
+                feat_embed_buf, feat_cond0, caps, key):
             dt = params["embed"].dtype
             feat_embed_buf = feat_embed_buf.astype(dt)
             feat_cond0 = feat_cond0.astype(dt)
@@ -213,12 +235,12 @@ class VoxCPMPipeline:
                 params, h, feat_embed_buf, is_audio, base_kv, res_kv, cfg,
                 kv_valid=kv_valid)
 
-            latents = jnp.zeros((bsz, dcfg.max_latents, cfg.patch_size,
+            latents = jnp.zeros((bsz, buf, cfg.patch_size,
                                  cfg.vae.latent_dim))
 
             def gcond(c):
                 _, _, _, _, _, _, num, fin, _ = c
-                return (~fin.all()) & (num < dcfg.max_latents)
+                return (~fin.all()) & (num < buf)
 
             def gbody(c):
                 base_kv, res_kv, dit, feat_cond, latents, key, num, fin, done = c
@@ -243,33 +265,22 @@ class VoxCPMPipeline:
                 return (base_kv, res_kv, dit, feat_cond, latents, key,
                         num + 1, fin | newly, done)
 
-            done0 = jnp.full((bsz,), dcfg.max_latents, jnp.int32)
+            done0 = jnp.full((bsz,), buf, jnp.int32)
             init = (base_kv, res_kv, dit, feat_cond0, latents, key,
                     jnp.zeros((), jnp.int32), jnp.zeros((bsz,), bool), done0)
             _, _, _, _, latents, _, num, _, done = jax.lax.while_loop(
                 gcond, gbody, init)
-            return latents, jnp.minimum(done, num)
+            done = jnp.minimum(done, num)
+            # finished rows keep generating until the whole batch stops;
+            # zero their tail so the causal VAE sees the same zero-padded
+            # buffer the old compact per-row decode did
+            live_mask = (jnp.arange(buf)[None, :]
+                         < done[:, None])[..., None, None]
+            flat = (latents * live_mask).reshape(bsz, -1, cfg.vae.latent_dim)
+            wav = vae_decode(vae_params["dec"], flat, cfg.vae, sr_idx=sr_idx)
+            return (wav * 32767.0).astype(jnp.int16), done
 
         return jax.jit(run)
-
-    def _vae_dec_batch_fn(self, bsz: int, n: int):
-        key = ("batch", bsz, n)
-        if key not in self._vae_dec_cache:
-            cfg = self.cfg
-            sr_idx = int(np.searchsorted(np.asarray(cfg.vae.sr_bins),
-                                         cfg.output_sample_rate)) \
-                if cfg.vae.sr_bins else 0
-
-            @jax.jit
-            def run(vae_params, latents):
-                flat = latents.reshape(latents.shape[0], -1,
-                                       cfg.vae.latent_dim)
-                wav = vae_decode(vae_params["dec"], flat, cfg.vae,
-                                 sr_idx=sr_idx)
-                return (wav * 32767.0).astype(jnp.int16)
-
-            self._vae_dec_cache[key] = run
-        return self._vae_dec_cache[key]
 
     def synthesize_ids_batch(
             self, requests: list[tuple[np.ndarray, np.ndarray]],
@@ -402,43 +413,36 @@ class VoxCPMPipeline:
                 feat_cond0[bi] = fc[0]            # pos row
                 feat_cond0[bsz + bi] = fc[1]      # neg row
 
-        fkey = ("batch", bsz, s_buf)
+        # latent buffer bucket: the loop cannot exceed max(caps)
+        buf = min(dcfg.max_latents,
+                  max(32, -(-int(max(caps)) // 32) * 32))
+        fkey = ("batch", bsz, s_buf, buf)
         if not hasattr(self, "_batch_fns"):
             self._batch_fns = {}
         if fkey not in self._batch_fns:
-            self._batch_fns[fkey] = self._build_decode_batch(bsz, s_buf)
+            self._batch_fns[fkey] = self._build_decode_batch(bsz, s_buf, buf)
 
         t0 = time.perf_counter()
-        latents, done = self._batch_fns[fkey](
-            self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
-            np.asarray(pad_start), jnp.asarray(fe_buf),
-            jnp.asarray(feat_cond0), np.asarray(caps),
+        wav_dev, done_dev = self._batch_fns[fkey](
+            self.params, self.vae_params, jnp.asarray(text_buf),
+            jnp.asarray(is_audio), np.asarray(pad_start),
+            jnp.asarray(fe_buf), jnp.asarray(feat_cond0), np.asarray(caps),
             self._get_key(self.dcfg.seed if seed is None else seed))
-        latents = np.asarray(latents)
-        done = np.asarray(done)
+        wav, done = jax.device_get((wav_dev, done_dev))
         counts = [int(done[bi]) for bi in range(bsz)]
         wavs: list[np.ndarray | None] = [None] * bsz
-        live = [bi for bi in range(bsz) if counts[bi] > 0]
-        if live:
-            nb = max(2, -(-max(counts[bi] for bi in live) // 2) * 2)
-            lb = np.zeros((len(live), nb, cfg.patch_size,
-                           cfg.vae.latent_dim), np.float32)
-            for i, bi in enumerate(live):
-                lb[i, : counts[bi]] = latents[bi, : counts[bi]]
-            wav = np.asarray(self._vae_dec_batch_fn(len(live), nb)(
-                self.vae_params, jnp.asarray(lb)))
-            spl = cfg.samples_per_latent
-            native = cfg.output_sample_rate
-            for i, bi in enumerate(live):
-                w = wav[i, : counts[bi] * spl]
-                if self.output_sample_rate != native:
-                    from ..audio.wav import resample_linear
-
-                    w = resample_linear(w, native, self.output_sample_rate)
-                wavs[bi] = w
+        spl = cfg.samples_per_latent
+        native = cfg.output_sample_rate
         for bi in range(bsz):
-            if wavs[bi] is None:
+            if counts[bi] == 0:
                 wavs[bi] = np.zeros(0, np.int16)
+                continue
+            w = np.asarray(wav)[bi, : counts[bi] * spl]
+            if self.output_sample_rate != native:
+                from ..audio.wav import resample_linear
+
+                w = resample_linear(w, native, self.output_sample_rate)
+            wavs[bi] = w
         wall = time.perf_counter() - t0
         total_audio = sum(len(w) for w in wavs) / self.output_sample_rate
         stats = {"latents": sum(counts), "wall_s": wall,
@@ -603,44 +607,56 @@ class VoxCPMPipeline:
         (1, T, H)) in prompt order. Runs prefill + generation + VAE decode."""
         cfg, dcfg = self.cfg, self.dcfg
         cap = MAX_PREFILL_TOKENS + MAX_PROMPT_FEATS
-        text_buf = np.zeros((1, cap), np.int32)
-        fe_buf = np.zeros((1, cap, cfg.base.hidden_size), np.float32)
-        is_audio = np.zeros((cap,), bool)
-        pos = 0
+        pos = sum(len(d) if kind == "text" else d.shape[1]
+                  for kind, d in segments)
+        if pos > cap:
+            raise ValueError(f"prompt too long: {pos} > {cap}")
+        # prefill bucket: a fixed 512-position buffer uploads a 2 MB fp32
+        # feat buffer over the tunnel and runs the dual-LM over 512
+        # positions for a typical ~50-token prompt; bucket to 64s instead
+        s_buf = min(cap, max(64, -(-pos // 64) * 64))
+        text_buf = np.zeros((1, s_buf), np.int32)
+        is_audio = np.zeros((s_buf,), bool)
+        has_audio = any(kind == "audio" for kind, _ in segments)
+        fe_np = (np.zeros((1, s_buf, cfg.base.hidden_size), np.float32)
+                 if has_audio else None)
+        p = 0
         for kind, data in segments:
             if kind == "text":
                 n = len(data)
-                text_buf[0, pos:pos + n] = data
+                text_buf[0, p:p + n] = data
             else:
                 n = data.shape[1]
-                fe_buf[:, pos:pos + n] = np.asarray(data)
-                is_audio[pos:pos + n] = True
-            pos += n
-        if pos > cap:
-            raise ValueError(f"prompt too long: {pos} > {cap}")
+                fe_np[:, p:p + n] = np.asarray(data)
+                is_audio[p:p + n] = True
+            p += n
+        # all-zero feat buffers fill on-device instead of uploading
+        fe_buf = (jnp.asarray(fe_np) if has_audio else
+                  jnp.zeros((1, s_buf, cfg.base.hidden_size), jnp.float32))
 
-        if self._dec_fn is None:
-            self._dec_fn = self._build_decode()
+        # latent-buffer bucket: 32-latent granularity, capped at max_latents
+        buf = min(dcfg.max_latents, max(32, -(-max_steps // 32) * 32))
+        dec_fn = self._dec_cache.get(buf)
+        if dec_fn is None:
+            dec_fn = self._dec_cache[buf] = self._build_decode(buf)
         base_seed = self.dcfg.seed if seed is None else seed
 
         t0 = time.perf_counter()
         for attempt in range(self.dcfg.retry_badcase + 1):
             key = self._get_key(base_seed + attempt)
-            latents, num = self._dec_fn(
-                self.params, jnp.asarray(text_buf), jnp.asarray(is_audio),
-                np.int32(pos), jnp.asarray(fe_buf),
+            wav_dev, num_dev = dec_fn(
+                self.params, self.vae_params, jnp.asarray(text_buf),
+                jnp.asarray(is_audio), np.int32(pos), fe_buf,
                 feat_cond, np.int32(max_steps), key)
+            # one combined fetch: wav + num in the same round trip
+            wav, num = jax.device_get((wav_dev, num_dev))
             num = int(num)
-            cap = min(max_steps, dcfg.max_latents)
+            cap = min(max_steps, buf)
             if num < cap or attempt == self.dcfg.retry_badcase:
                 break   # stopped naturally (or retries exhausted)
         if num == 0:
             return np.zeros(0, np.int16), {"latents": 0, "wall_s": 0.0}
 
-        nb = max(8, -(-num // 8) * 8)
-        lat = np.zeros((nb, cfg.patch_size, cfg.vae.latent_dim), np.float32)
-        lat[:num] = np.asarray(latents)[:num]
-        wav = self._vae_dec_fn(nb)(self.vae_params, jnp.asarray(lat))
         n_samples = num * cfg.samples_per_latent
         wav = np.asarray(wav)[0, :n_samples]
         native = cfg.output_sample_rate   # v2 decodes 48 kHz natively
