@@ -150,8 +150,20 @@ def embed(params, c):
     return c + 0.0 * h[..., :c.shape[-1]].astype(c.dtype)
 
 
+def full_step_nb(n_blocks):
+    """full_step with only the first n_blocks DiT blocks: per-block marginal
+    = (t22 - t11)/11, non-block remainder = t22 - 22*marginal (embed + final
+    LN/proj_out + Euler update + boundary relayouts)."""
+    def fn(params, carry):
+        p = {**params, "blocks": params["blocks"][:n_blocks],
+             "ada_table": params["ada_table"][:, :n_blocks]}
+        return full_step(p, carry)
+    return fn
+
+
 VARIANTS = {
     "full_step": (full_step, noise),
+    "full_step_nb11": (full_step_nb(11), noise),
     "block_full": (lambda p, c: _block(p, c), x2),
     "block_no_flash": (lambda p, c: _block(p, c, attn="noflash"), x2),
     "block_no_rope": (lambda p, c: _block(p, c, attn="norope"), x2),

@@ -27,7 +27,7 @@ from tts_tpu.models.voxcpm import (
 )
 from tts_tpu.kv.cache import KVCache
 
-N1, N2 = 4, 24
+N1, N2 = 16, 96
 
 cfg = VoxCPMConfig()
 dtype = jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
@@ -89,7 +89,7 @@ def _time_scan(fn, n_iters):
         return jnp.sum(out[2].astype(jnp.float32))
 
     s = run(PARAMS, STATE)
-    jax.block_until_ready(s)
+    float(s)   # fetch fence: block_until_ready acks early over the tunnel
     t0 = time.perf_counter()
     s = run(PARAMS, STATE)
     float(s)                        # device->host fetch fence

@@ -323,12 +323,21 @@ class IndexTTSPipeline:
     # ------------------------------------------------------------- vocode
 
     def _vocode_fn(self, frames: int):
+        """Vocoder stage fed directly from the DEVICE-resident decode
+        hiddens buffer: slices the first `frames` rows in-graph and zeroes
+        rows past `n_frames` (the old host path fetched the buffer, cropped,
+        zero-padded and re-uploaded — two large tunnel round trips that cost
+        more than the whole scalar fence). Zero-pad + crop is equivalent to
+        a compact run: zero rows match the old explicit zero padding
+        bit-for-bit."""
         if frames not in self._voc_cache:
             vcfg = self.vcfg
 
             @jax.jit
-            def run(params, hiddens, cond_embed, conds):
-                latent = gpt_final_norm(params["gpt"], hiddens[None])
+            def run(params, hiddens, n_frames, cond_embed, conds):
+                h = hiddens[:frames] * (jnp.arange(frames)
+                                        < n_frames)[:, None]
+                latent = gpt_final_norm(params["gpt"], h[None])
                 wav = bigvgan_apply(params["bigvgan"], latent, vcfg,
                                     conds=conds, cond_embed=cond_embed)
                 return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
@@ -336,16 +345,20 @@ class IndexTTSPipeline:
             self._voc_cache[frames] = run
         return self._voc_cache[frames]
 
-    def _vocode_batch_fn(self, frames: int):
-        key = ("batch", frames)
+    def _vocode_batch_fn(self, frames: int, nlive: int):
+        key = ("batch", frames, nlive)
         if key not in self._voc_cache:
             vcfg = self.vcfg
 
             @jax.jit
-            def run(params, hiddens, cond_embed, conds):
-                """hiddens (B, F, D); cond_embed (B, 1, C0); conds[i]
-                (B, 1, C_i)."""
-                latent = gpt_final_norm(params["gpt"], hiddens)
+            def run(params, hiddens, rows, n_frames, cond_embed, conds):
+                """hiddens (B, max_gen, D) device-resident decode output;
+                rows (nlive,) indices of live requests; n_frames (nlive,);
+                cond_embed (nlive, 1, C0); conds[i] (nlive, 1, C_i)."""
+                h = jnp.take(hiddens, rows, axis=0)[:, :frames]
+                h = h * (jnp.arange(frames)[None, :]
+                         < n_frames[:, None])[..., None]
+                latent = gpt_final_norm(params["gpt"], h)
                 wav = bigvgan_apply(params["bigvgan"], latent, vcfg,
                                     conds=conds, cond_embed=cond_embed)
                 return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
@@ -371,16 +384,15 @@ class IndexTTSPipeline:
         # np.int32: jnp scalar creation costs ~30 ms/call over a tunnel
         hiddens, num, save = self._decode_fn(tb, max_gen)(
             self.params, conds_latent, jnp.asarray(ids), np.int32(tlen))
-        num = int(num)
+        num = int(num)                       # scalar fence picks the bucket
         # drop the last 2 collected hiddens (reference :303 latent[:-2])
         n_frames = max(num - 2, 0)
         if n_frames == 0:
             return np.zeros(0, np.int16), IndexTTSStats(num, 0.0)
-        fb = max(8, -(-n_frames // 8) * 8)
-        h = np.asarray(hiddens)[:n_frames]
-        h = np.pad(h, ((0, fb - n_frames), (0, 0)))
-        wav = self._vocode_fn(fb)(self.params, jnp.asarray(h), cond_embed,
-                                  conds)
+        fb = min(max(8, -(-n_frames // 8) * 8), max_gen)
+        # hiddens stays on device; the vocoder slices/masks it in-graph
+        wav = self._vocode_fn(fb)(self.params, hiddens, np.int32(n_frames),
+                                  cond_embed, conds)
         total_up = self.vcfg.total_upsample
         wav = np.asarray(wav)[0, : n_frames * total_up]
         return wav, IndexTTSStats(num, time.perf_counter() - t0)
@@ -408,26 +420,26 @@ class IndexTTSPipeline:
         hiddens, done, _ = self._decode_batch_fn(bsz, tb, max_gen)(
             self.params, jnp.asarray(np.stack(conds_latent)),
             jnp.asarray(ids), jnp.asarray(tlens))
-        hiddens = np.asarray(hiddens)
-        done = np.asarray(done)
+        done = np.asarray(done)              # (B,) fence picks the bucket
         total_up = self.vcfg.total_upsample
         frames = [max(int(done[b]) - 2, 0) for b in range(bsz)]
         wavs: list[np.ndarray | None] = [None] * bsz
         live = [b for b in range(bsz) if frames[b] > 0]
         if live:
             # one batched speaker-conditioned vocoder call at the max frame
-            # bucket; rows zero-padded, per-row crops afterwards
-            fb = max(8, -(-max(frames[b] for b in live) // 8) * 8)
-            h = np.zeros((len(live), fb, self.cfg.gpt_dim), hiddens.dtype)
-            for i, b in enumerate(live):
-                h[i, : frames[b]] = hiddens[b, : frames[b]]
+            # bucket, fed from the device-resident hiddens (rows gathered +
+            # masked in-graph); per-row crops afterwards
+            fb = min(max(8, -(-max(frames[b] for b in live) // 8) * 8),
+                     max_gen)
             cond_embed = jnp.concatenate(
                 [requests[b][1][1] for b in live], axis=0)
             conds = [jnp.concatenate([requests[b][1][2][i] for b in live],
                                      axis=0)
                      for i in range(len(requests[live[0]][1][2]))]
-            wav = np.asarray(self._vocode_batch_fn(fb)(
-                self.params, jnp.asarray(h), cond_embed, conds))
+            wav = np.asarray(self._vocode_batch_fn(fb, len(live))(
+                self.params, hiddens, np.asarray(live, np.int32),
+                np.asarray(frames, np.int32)[np.asarray(live)],
+                cond_embed, conds))
             for i, b in enumerate(live):
                 wavs[b] = wav[i, : frames[b] * total_up]
         for b in range(bsz):

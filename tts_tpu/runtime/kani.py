@@ -3,8 +3,13 @@
 Reference behavior: /root/reference/Kani_TTS/Inference_Kani_TTS_ONNX.py
 :110-366 (8 ONNX sessions + a Python decode loop with 3-4 session calls per
 token). Here prefill + the whole AR loop (LM step, repetition penalty,
-greedy or beam selection, stop check) compile into ONE lax.while_loop, and
-the codec decode is a second jitted program — two dispatches per sentence.
+greedy or beam selection, stop check) AND the codec decode compile into ONE
+jitted program — one dispatch + one (wav, count) fetch per sentence. The
+codec runs over the full zero-generation-padded token buffer (padded with
+the group-base token like the old host path); the HiFiGAN is causal, so the
+cropped [0 : frames*upsample) samples are bit-identical to a compact
+decode. The token buffer buckets to the per-call `max_new_tokens` cap so
+short requests don't pay a max-length codec pass.
 
 Variable prompt lengths are handled without recompiles: the prompt id buffer
 has a fixed capacity and a while_loop feeds it token-by-token into the same
@@ -93,12 +98,30 @@ class KaniPipeline:
             audio_tokens_start if audio_tokens_start is not None
             else cfg.vocab_size - 4 * codec_cfg.codebook_size
         )
-        self._decode_fn = None
-        self._codec_fn_cache: dict = {}
+        self._decode_cache: dict = {}
 
     # ------------------------------------------------------------------ LM
 
-    def _build_decode(self):
+    def _vocode_in_graph(self, save_ids, num, codec_params, fbuf: int):
+        """In-graph codec epilogue: save_ids rows (.., buf) -> int16 wav
+        (.., fbuf*total_upsample). Positions past the generated frame count
+        are replaced with the group-base token (the old host path padded its
+        compact bucket the same way); the HiFiGAN is causal, so samples
+        before frames*upsample are unaffected by the padding. `num` may be
+        scalar or (B,)."""
+        ccfg = self.codec_cfg
+        g = ccfg.num_groups
+        flat = save_ids[:, 2:2 + fbuf * g]
+        frames = jnp.maximum((num - 2) // g, 0)
+        valid = jnp.arange(fbuf * g)[None, :] < \
+            jnp.reshape(frames, (-1, 1)) * g
+        flat = jnp.where(valid, flat, self.audio_tokens_start)
+        codes = tokens_to_codes(flat, ccfg, self.audio_tokens_start)
+        feats = fsq_dequantize(codes, ccfg)
+        wav = hifigan_decode(codec_params, feats, ccfg)
+        return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+    def _build_decode(self, buf: int, fbuf: int):
         cfg, dcfg = self.cfg, self.dcfg
         use_penalty = dcfg.repeat_penalty != 1.0
 
@@ -108,17 +131,17 @@ class KaniPipeline:
             return apply_repetition_penalty(
                 logits, save_ids, num, dcfg.repeat_penalty, dcfg.penalty_range)
 
-        def greedy_run(params, ids_buf, prompt_len):
+        def greedy_run(params, codec_params, ids_buf, prompt_len, cap):
             state, logits = _prefill_loop(
                 params, ids_buf, prompt_len,
                 init_state(cfg, kv_dtype=params["embed"].dtype), cfg)
             first = greedy(logits)
-            save_ids = jnp.zeros((1, dcfg.max_new_tokens), jnp.int32)
+            save_ids = jnp.zeros((1, buf), jnp.int32)
             save_ids = save_ids.at[:, 0].set(first)
 
             def cond(c):
                 _, _, num, _, finished = c
-                return (~finished) & (num < dcfg.max_new_tokens)
+                return (~finished) & (num < jnp.minimum(cap, buf))
 
             def body(c):
                 state, save_ids, num, last, _ = c
@@ -133,9 +156,10 @@ class KaniPipeline:
             init = (state, save_ids, jnp.ones((), jnp.int32), first,
                     (first == cfg.stop_token).any())
             _, save_ids, num, _, finished = jax.lax.while_loop(cond, body, init)
-            return save_ids, num - finished.astype(jnp.int32)
+            n = num - finished.astype(jnp.int32)
+            return self._vocode_in_graph(save_ids, n, codec_params, fbuf), n
 
-        def beam_run(params, ids_buf, prompt_len):
+        def beam_run(params, codec_params, ids_buf, prompt_len, cap):
             beam = dcfg.beam_size
             state, logits = _prefill_loop(
                 params, ids_buf, prompt_len,
@@ -143,12 +167,12 @@ class KaniPipeline:
             bs = beam_init(logits, beam)
             state = KaniState(state.kv.repeat_batch(beam),
                               jnp.tile(state.conv, (1, beam, 1, 1)))
-            save_ids = jnp.zeros((beam, dcfg.max_new_tokens), jnp.int32)
+            save_ids = jnp.zeros((beam, buf), jnp.int32)
             save_ids = save_ids.at[:, 0].set(bs.tokens)
 
             def cond(c):
                 _, _, _, num, finished = c
-                return (~finished) & (num < dcfg.max_new_tokens)
+                return (~finished) & (num < jnp.minimum(cap, buf))
 
             def body(c):
                 state, bs, save_ids, num, _ = c
@@ -167,7 +191,9 @@ class KaniPipeline:
             init = (state, bs, save_ids, jnp.ones((), jnp.int32),
                     bs.tokens[0] == cfg.stop_token)
             _, _, save_ids, num, finished = jax.lax.while_loop(cond, body, init)
-            return save_ids[:1], num - finished.astype(jnp.int32)
+            n = num - finished.astype(jnp.int32)
+            return (self._vocode_in_graph(save_ids[:1], n, codec_params, fbuf),
+                    n)
 
         degenerate = self.dcfg.top_k < 2 or self.dcfg.beam_size < 2
         if self.dcfg.use_beam and degenerate:
@@ -180,16 +206,17 @@ class KaniPipeline:
         run = beam_run if (self.dcfg.use_beam and not degenerate) else greedy_run
         return jax.jit(run)
 
-    def _build_decode_batch(self, bsz: int):
+    def _build_decode_batch(self, bsz: int, buf: int, fbuf: int):
         """Multi-request greedy decode: B prompts right-justified in one
         bucket (kani_step key_valid_from masks each row's left pad), one
-        while_loop until every stream stops. AR decode at B=1 is latency-
-        bound, so batching multiplies aggregate tok/s — the serving path
-        the single-stream reference lacks."""
+        while_loop until every stream stops, then the batched codec decode
+        in the same program. AR decode at B=1 is latency-bound, so batching
+        multiplies aggregate tok/s — the serving path the single-stream
+        reference lacks."""
         cfg, dcfg = self.cfg, self.dcfg
         use_penalty = dcfg.repeat_penalty != 1.0
 
-        def run(params, ids_buf, pad_start):
+        def run(params, codec_params, ids_buf, pad_start, cap):
             valid = (jnp.arange(ids_buf.shape[1])[None, :]
                      >= pad_start[:, None])
             emb = embed_tokens(params, ids_buf) * valid[..., None]
@@ -198,15 +225,15 @@ class KaniPipeline:
             logits, state = kani_step(params, emb, state, cfg,
                                       key_valid_from=pad_start)
             first = greedy(logits)                              # (B,)
-            save = jnp.zeros((bsz, dcfg.max_new_tokens), jnp.int32)
+            save = jnp.zeros((bsz, buf), jnp.int32)
             save = save.at[:, 0].set(first)
             fin0 = first == cfg.stop_token
             # done_at[b] = index of the stop token (tokens kept before it)
-            done0 = jnp.where(fin0, 0, dcfg.max_new_tokens)
+            done0 = jnp.where(fin0, 0, buf)
 
             def cond(c):
                 _, _, num, _, fin, _ = c
-                return (~fin.all()) & (num < dcfg.max_new_tokens)
+                return (~fin.all()) & (num < jnp.minimum(cap, buf))
 
             def body(c):
                 state, save, num, last, fin, done = c
@@ -227,26 +254,21 @@ class KaniPipeline:
 
             init = (state, save, jnp.ones((), jnp.int32), first, fin0, done0)
             _, save, num, _, fin, done = jax.lax.while_loop(cond, body, init)
-            return save, jnp.minimum(done, num)
+            done = jnp.minimum(done, num)
+            return self._vocode_in_graph(save, done, codec_params, fbuf), done
 
         return jax.jit(run)
 
-    # ---------------------------------------------------------------- codec
-
-    def _codec_fn(self, frames: int):
-        if frames not in self._codec_fn_cache:
-            ccfg = self.codec_cfg
-            start = self.audio_tokens_start
-
-            @jax.jit
-            def run(codec_params, ids):
-                codes = tokens_to_codes(ids, ccfg, start)      # (1, T, G)
-                feats = fsq_dequantize(codes, ccfg)
-                wav = hifigan_decode(codec_params, feats, ccfg)
-                return (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-
-            self._codec_fn_cache[frames] = run
-        return self._codec_fn_cache[frames]
+    def _buf_for(self, max_new_tokens: int | None) -> tuple[int, int, int]:
+        """(cap, buf, fbuf): token cap, bucketed save_ids capacity, codec
+        frame capacity. 16-frame (64-token) granularity keeps recompiles
+        rare while short requests skip most of a max-length codec pass."""
+        dcfg = self.dcfg
+        g = self.codec_cfg.num_groups
+        cap = min(max_new_tokens or dcfg.max_new_tokens, dcfg.max_new_tokens)
+        fbuf_max = max(-(-(dcfg.max_new_tokens - 2) // g), 16)
+        fbuf = min(fbuf_max, max(16, -(-max(cap - 2, 1) // (g * 16)) * 16))
+        return cap, fbuf * g + 2, fbuf
 
     # --------------------------------------------------------------- public
 
@@ -260,47 +282,49 @@ class KaniPipeline:
             axis=1,
         )
 
-    def synthesize_ids(self, ids: np.ndarray) -> tuple[np.ndarray, dict]:
+    def synthesize_ids(self, ids: np.ndarray,
+                       max_new_tokens: int | None = None
+                       ) -> tuple[np.ndarray, dict]:
         """ids: (1, P) full prompt (head/tail already attached)."""
-        if self._decode_fn is None:
-            self._decode_fn = self._build_decode()
+        cap, buf, fbuf = self._buf_for(max_new_tokens)
+        dec = self._decode_cache.get(fbuf)
+        if dec is None:
+            dec = self._decode_cache[fbuf] = self._build_decode(buf, fbuf)
         prompt_len = ids.shape[1]
         # bucket bounded by the rope table / KV size
-        cap = min(MAX_PROMPT, self.cfg.max_seq_len // 2)
-        bucket = max(16, min(cap, -(-prompt_len // 64) * 64))
+        pcap = min(MAX_PROMPT, self.cfg.max_seq_len // 2)
+        bucket = max(16, min(pcap, -(-prompt_len // 64) * 64))
         ids_buf = np.zeros((1, bucket), np.int32)
         ids_buf[0, :prompt_len] = ids[0]
 
         t0 = time.perf_counter()
         # np.int32: per-call jnp scalar creation costs ~30 ms over a
         # remote-device tunnel; numpy args ride the fast path
-        save_ids, n = self._decode_fn(self.params, jnp.asarray(ids_buf),
-                                      np.int32(prompt_len))
+        wav_dev, n_dev = dec(self.params, self.codec_params,
+                             jnp.asarray(ids_buf), np.int32(prompt_len),
+                             np.int32(min(cap, buf)))
+        # one combined fetch: wav + count in the same round trip
+        wav, n = jax.device_get((wav_dev, n_dev))
         n = int(n)
-        g = self.codec_cfg.num_groups
-        frames = max((n - 2) // g, 0)
+        frames = max((n - 2) // self.codec_cfg.num_groups, 0)
         if frames == 0:
             return np.zeros(0, np.int16), {"tokens": n, "wall_s": 0.0}
-        # frame-align and bucket the codec input
-        bucket = max(8, -(-frames // 8) * 8)
-        flat = np.asarray(save_ids)[:1, 2:2 + frames * g]
-        pad = np.zeros((1, (bucket - frames) * g), np.int32) + self.audio_tokens_start
-        flat = np.concatenate([flat, pad], axis=1)
-        wav = self._codec_fn(bucket)(self.codec_params, jnp.asarray(flat))
-        wav = np.asarray(wav)[0, : frames * self.codec_cfg.total_upsample]
+        wav = wav[0, : frames * self.codec_cfg.total_upsample]
         wall = time.perf_counter() - t0
         return wav, {"tokens": n, "wall_s": wall,
                      "tokens_per_s": n / max(wall, 1e-9)}
 
-    def synthesize_ids_batch(self, ids_list: list[np.ndarray]
+    def synthesize_ids_batch(self, ids_list: list[np.ndarray],
+                             max_new_tokens: int | None = None
                              ) -> tuple[list[np.ndarray], dict]:
         """Batched serving: decode B prompts concurrently (one program,
-        per-row stop tracking), then vocode each stream. Returns
-        (list of int16 waveforms, aggregate stats)."""
+        per-row stop tracking) and vocode all rows in the same dispatch.
+        Returns (list of int16 waveforms, aggregate stats)."""
         bsz = len(ids_list)
-        cap = min(MAX_PROMPT, self.cfg.max_seq_len // 2)
+        cap, buf, fbuf = self._buf_for(max_new_tokens)
+        pcap = min(MAX_PROMPT, self.cfg.max_seq_len // 2)
         longest = max(i.shape[1] for i in ids_list)
-        bucket = max(16, min(cap, -(-longest // 64) * 64))
+        bucket = max(16, min(pcap, -(-longest // 64) * 64))
         ids_buf = np.zeros((bsz, bucket), np.int32)
         pad_start = np.zeros((bsz,), np.int32)
         for b, ids in enumerate(ids_list):
@@ -308,36 +332,24 @@ class KaniPipeline:
             ids_buf[b, bucket - p:] = ids[0]
             pad_start[b] = bucket - p
 
-        key = ("batch", bsz)
+        key = ("batch", bsz, fbuf)
         if not hasattr(self, "_batch_fns"):
             self._batch_fns = {}
         if key not in self._batch_fns:
-            self._batch_fns[key] = self._build_decode_batch(bsz)
+            self._batch_fns[key] = self._build_decode_batch(bsz, buf, fbuf)
 
         t0 = time.perf_counter()
-        save, done = self._batch_fns[key](self.params, jnp.asarray(ids_buf),
-                                          np.asarray(pad_start))
-        save = np.asarray(save)
-        done = np.asarray(done)
+        wav_dev, done_dev = self._batch_fns[key](
+            self.params, self.codec_params, jnp.asarray(ids_buf),
+            np.asarray(pad_start), np.int32(min(cap, buf)))
+        wav, done = jax.device_get((wav_dev, done_dev))
         g = self.codec_cfg.num_groups
-        frames = [max((int(done[b]) - 2) // g, 0) for b in range(bsz)]
-        # one batched codec decode at the max frame bucket (rows padded with
-        # the group-0 base token); per-row crops afterwards
-        wavs: list[np.ndarray | None] = [None] * bsz
-        live = [b for b in range(bsz) if frames[b] > 0]
-        if live:
-            fbucket = max(8, -(-max(frames[b] for b in live) // 8) * 8)
-            flat = np.full((len(live), fbucket * g),
-                           self.audio_tokens_start, np.int32)
-            for i, b in enumerate(live):
-                flat[i, : frames[b] * g] = save[b, 2 : 2 + frames[b] * g]
-            wav = np.asarray(self._codec_fn(fbucket)(self.codec_params,
-                                                     jnp.asarray(flat)))
-            for i, b in enumerate(live):
-                wavs[b] = wav[i, : frames[b] * self.codec_cfg.total_upsample]
+        up = self.codec_cfg.total_upsample
+        wavs = []
         for b in range(bsz):
-            if wavs[b] is None:
-                wavs[b] = np.zeros(0, np.int16)
+            frames = max((int(done[b]) - 2) // g, 0)
+            wavs.append(wav[b, : frames * up] if frames
+                        else np.zeros(0, np.int16))
         wall = time.perf_counter() - t0
         total = int(done.sum())
         return wavs, {"tokens": total, "wall_s": wall,

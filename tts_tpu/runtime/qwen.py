@@ -375,6 +375,36 @@ class QwenTTSPipeline:
             self._codec_cache[frames] = run
         return self._codec_cache[frames]
 
+    def _codec_dev_fn(self, fb: int, nlive: int | None = None):
+        """Codec stage fed from the DEVICE-resident decode frame buffer:
+        slices the first fb frames in-graph and zeroes frames past the
+        per-stream count — identical to the old host crop+zero-pad+re-upload
+        round trips, minus the tunnel latency. nlive=None: single stream
+        (frames (max_frames, G), num scalar); else batched (frames
+        (B, max_frames, G), rows (nlive,), nfr (nlive,))."""
+        key = (fb, "dev", nlive)
+        if key not in self._codec_cache:
+            ccfg = self.codec_cfg
+
+            if nlive is None:
+                @jax.jit
+                def run(codec_params, frames, num):
+                    codes = frames[None, :fb] * (jnp.arange(fb)
+                                                 < num)[None, :, None]
+                    wav = codec_decode(codec_params, codes, ccfg)
+                    return (wav * 32767.0).astype(jnp.int16)
+            else:
+                @jax.jit
+                def run(codec_params, frames, rows, nfr):
+                    codes = jnp.take(frames, rows, axis=0)[:, :fb]
+                    codes = codes * (jnp.arange(fb)[None, :]
+                                     < nfr[:, None])[..., None]
+                    wav = codec_decode(codec_params, codes, ccfg)
+                    return (wav * 32767.0).astype(jnp.int16)
+
+            self._codec_cache[key] = run
+        return self._codec_cache[key]
+
     def encode_reference(self, audio: np.ndarray, encoder_params,
                          encoder_cfg, speaker_params=None,
                          speaker_cfg=None, mel=None):
@@ -630,13 +660,12 @@ class QwenTTSPipeline:
         t0 = time.perf_counter()
         frames, num = self._decode_fn[tb](
             self.params, jnp.asarray(buf), np.int32(p_len), jnp.asarray(tr))
-        num = int(num)
+        num = int(num)                      # scalar fence picks the bucket
         if num == 0:
             return np.zeros(0, np.int16), {"frames": 0, "wall_s": 0.0}
-        fb = max(8, -(-num // 8) * 8)
-        codes = np.zeros((1, fb, cfg.num_code_groups), np.int32)
-        codes[0, :num] = np.asarray(frames)[:num]
-        wav = self._codec_fn(fb)(self.codec_params, jnp.asarray(codes))
+        fb = min(max(8, -(-num // 8) * 8), self.dcfg.max_frames)
+        # frames stays on device; the codec slices/masks it in-graph
+        wav = self._codec_dev_fn(fb)(self.codec_params, frames, np.int32(num))
         wav = np.asarray(wav)[0, : num * self.codec_cfg.total_upsample]
         wall = time.perf_counter() - t0
         return wav, {"frames": num, "wall_s": wall,
@@ -673,18 +702,16 @@ class QwenTTSPipeline:
         frames, done = self._batch_fns[key](
             self.params, jnp.asarray(buf), np.asarray(pad_start),
             jnp.asarray(tr_buf))
-        frames = np.asarray(frames)
-        done = np.asarray(done)
+        done = np.asarray(done)             # (B,) fence picks the bucket
         nfr = [int(done[b]) for b in range(bsz)]
         wavs: list[np.ndarray | None] = [None] * bsz
         live = [b for b in range(bsz) if nfr[b] > 0]
         if live:
-            fb = max(8, -(-max(nfr[b] for b in live) // 8) * 8)
-            codes = np.zeros((len(live), fb, cfg.num_code_groups), np.int32)
-            for i, b in enumerate(live):
-                codes[i, : nfr[b]] = frames[b, : nfr[b]]
-            wav = np.asarray(self._codec_fn(fb)(self.codec_params,
-                                                jnp.asarray(codes)))
+            fb = min(max(8, -(-max(nfr[b] for b in live) // 8) * 8),
+                     self.dcfg.max_frames)
+            wav = np.asarray(self._codec_dev_fn(fb, len(live))(
+                self.codec_params, frames, np.asarray(live, np.int32),
+                np.asarray(nfr, np.int32)[np.asarray(live)]))
             up = self.codec_cfg.total_upsample
             for i, b in enumerate(live):
                 wavs[b] = wav[i, : nfr[b] * up]
