@@ -162,6 +162,30 @@ def test_kani_pipeline_beam_smoke():
     assert stats["tokens"] <= 16
 
 
+def test_per_call_cap_matches_static_config():
+    """synthesize_ids(max_new_tokens=N) must decode exactly like a pipeline
+    whose static config caps at N: the cap rides as a dynamic arg into the
+    bucketed fused program, so the same bucket serves both."""
+    from tts_tpu.models.nanocodec import init_params as nc_init
+    from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+
+    params = init_params(TINY, jax.random.key(3))
+    cparams = nc_init(TINY_CODEC, jax.random.key(4))
+    big = KaniPipeline(params, TINY, cparams, TINY_CODEC,
+                       KaniDecodeConfig(max_new_tokens=200))
+    small = KaniPipeline(params, TINY, cparams, TINY_CODEC,
+                         KaniDecodeConfig(max_new_tokens=20))
+    ids = np.array([[3, 9, 27, 5]], np.int32)
+    wav_cap, s_cap = big.synthesize_ids(ids, max_new_tokens=20)
+    wav_cfg, s_cfg = small.synthesize_ids(ids)
+    assert s_cap["tokens"] <= 20
+    assert s_cap["tokens"] == s_cfg["tokens"]
+    np.testing.assert_array_equal(wav_cap, wav_cfg)
+
+    wavs, sb = big.synthesize_ids_batch([ids], max_new_tokens=20)
+    np.testing.assert_array_equal(wavs[0], wav_cap)
+
+
 def test_batched_decode_matches_single():
     """Each stream in a left-aligned batch must reproduce its single-stream
     greedy decode exactly: rope attention only sees relative offsets, the

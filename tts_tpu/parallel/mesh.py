@@ -13,7 +13,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_params_tp", "replicate"]
+__all__ = ["make_mesh", "shard_params_tp", "replicate", "dp_shard"]
 
 
 def make_mesh(dp: int = 1, tp: int | None = None,
@@ -47,3 +47,12 @@ def replicate(params, mesh: Mesh):
     """Replicate a pytree across the whole mesh."""
     s = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, s), params)
+
+
+def dp_shard(mesh: Mesh, arr, axis: str = "dp"):
+    """Commit a host (B, ...) batch array to the mesh with its leading axis
+    sharded over `axis` and the rest replicated. Batched-serving entry
+    points use this on their request buffers; with params replicated, jit
+    then compiles the whole decode SPMD with the batch split across chips."""
+    spec = P(axis, *([None] * (np.ndim(arr) - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))

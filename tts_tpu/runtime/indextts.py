@@ -66,7 +66,7 @@ class IndexTTSPipeline:
                  bigvgan_cfg: BigVGANConfig, sample_rate: int = 24000,
                  n_fft: int = 1024, hop: int = 256, seed: int = 0,
                  decode_cfg: IndexTTSDecodeConfig | None = None,
-                 quantize: int | None = None):
+                 quantize: int | None = None, mesh=None):
         if quantize:
             # weight-only int8/int4 on the AR GPT stack — the decode loop is
             # HBM-bandwidth-bound (the reference ships Q8 ONNX variants of
@@ -89,6 +89,13 @@ class IndexTTSPipeline:
             params = {**params,
                       "gpt": {**gpt, "layers": layers,
                               "lm_head": q(gpt["lm_head"])}}
+        if mesh is not None:
+            # data-parallel serving: params replicated, batched entry
+            # points shard their request batch over the mesh "dp" axis
+            from ..parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.dcfg = decode_cfg or IndexTTSDecodeConfig()
@@ -416,10 +423,22 @@ class IndexTTSPipeline:
             tlens[b] = t.shape[1]
             conds_latent.append(np.asarray(ref[0])[0])
 
+        if self.mesh is not None:
+            from ..parallel.mesh import dp_shard
+
+            if bsz % self.mesh.shape["dp"]:
+                raise ValueError(f"batch {bsz} not divisible by "
+                                 f"dp={self.mesh.shape['dp']}")
+            conds_dev = dp_shard(self.mesh, np.stack(conds_latent))
+            ids_dev = dp_shard(self.mesh, ids)
+            tlens_dev = dp_shard(self.mesh, tlens)
+        else:
+            conds_dev = jnp.asarray(np.stack(conds_latent))
+            ids_dev, tlens_dev = jnp.asarray(ids), jnp.asarray(tlens)
+
         t0 = time.perf_counter()
         hiddens, done, _ = self._decode_batch_fn(bsz, tb, max_gen)(
-            self.params, jnp.asarray(np.stack(conds_latent)),
-            jnp.asarray(ids), jnp.asarray(tlens))
+            self.params, conds_dev, ids_dev, tlens_dev)
         done = np.asarray(done)              # (B,) fence picks the bucket
         total_up = self.vcfg.total_upsample
         frames = [max(int(done[b]) - 2, 0) for b in range(bsz)]

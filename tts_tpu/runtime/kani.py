@@ -80,13 +80,23 @@ class KaniPipeline:
                  codec_cfg: NanoCodecConfig,
                  decode_cfg: KaniDecodeConfig | None = None,
                  tokenizer=None, audio_tokens_start: int | None = None,
-                 quantize: int | None = None):
+                 quantize: int | None = None, mesh=None):
         if quantize:
             # weight-only int8/int4 on the LM matmuls; the codec stays
             # float (reference Q8/Q4 Optimize_ONNX policy)
             from ..quant.weight_only import quantize_pytree
 
             params = quantize_pytree(params, bits=quantize)
+        if mesh is not None:
+            # data-parallel serving: params replicated on every chip,
+            # synthesize_ids_batch shards its batch over the mesh "dp"
+            # axis; XLA's only collective is the all-reduced stop
+            # predicate, so throughput scales with chips
+            from ..parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+            codec_params = replicate(codec_params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.codec_params = codec_params
@@ -338,10 +348,23 @@ class KaniPipeline:
         if key not in self._batch_fns:
             self._batch_fns[key] = self._build_decode_batch(bsz, buf, fbuf)
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape["dp"]
+            if bsz % dp:
+                raise ValueError(f"batch {bsz} not divisible by dp={dp}")
+            ids_dev = jax.device_put(
+                ids_buf, NamedSharding(self.mesh, P("dp", None)))
+            pad_dev = jax.device_put(pad_start,
+                                     NamedSharding(self.mesh, P("dp")))
+        else:
+            ids_dev, pad_dev = jnp.asarray(ids_buf), np.asarray(pad_start)
+
         t0 = time.perf_counter()
         wav_dev, done_dev = self._batch_fns[key](
-            self.params, self.codec_params, jnp.asarray(ids_buf),
-            np.asarray(pad_start), np.int32(min(cap, buf)))
+            self.params, self.codec_params, ids_dev,
+            pad_dev, np.int32(min(cap, buf)))
         wav, done = jax.device_get((wav_dev, done_dev))
         g = self.codec_cfg.num_groups
         up = self.codec_cfg.total_upsample

@@ -91,7 +91,7 @@ class QwenTTSPipeline:
                  codec_cfg: QwenCodecDecoderConfig,
                  decode_cfg: QwenDecodeConfig | None = None,
                  output_sample_rate: int = 24000,
-                 quantize: int | None = None):
+                 quantize: int | None = None, mesh=None):
         if quantize:
             # talker + predictor LM matmuls only; the codec decoder and the
             # stacked lm_heads/group_embeds stay float (heads are (15,H,V)
@@ -99,6 +99,14 @@ class QwenTTSPipeline:
             from ..quant.weight_only import quantize_pytree
 
             params = quantize_pytree(params, bits=quantize)
+        if mesh is not None:
+            # data-parallel serving: params replicated, batched entry
+            # points shard their request batch over the mesh "dp" axis
+            from ..parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+            codec_params = replicate(codec_params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.codec_params = codec_params
@@ -698,10 +706,23 @@ class QwenTTSPipeline:
         if key not in self._batch_fns:
             self._batch_fns[key] = self._build_decode_batch(bsz)
 
+        if self.mesh is not None:
+            from ..parallel.mesh import dp_shard
+
+            if bsz % self.mesh.shape["dp"]:
+                raise ValueError(f"batch {bsz} not divisible by "
+                                 f"dp={self.mesh.shape['dp']}")
+            buf_dev = dp_shard(self.mesh, buf)
+            pad_dev = dp_shard(self.mesh, pad_start)
+            tr_dev = dp_shard(self.mesh, tr_buf)
+        else:
+            buf_dev, pad_dev, tr_dev = (jnp.asarray(buf),
+                                        np.asarray(pad_start),
+                                        jnp.asarray(tr_buf))
+
         t0 = time.perf_counter()
         frames, done = self._batch_fns[key](
-            self.params, jnp.asarray(buf), np.asarray(pad_start),
-            jnp.asarray(tr_buf))
+            self.params, buf_dev, pad_dev, tr_dev)
         done = np.asarray(done)             # (B,) fence picks the bucket
         nfr = [int(done[b]) for b in range(bsz)]
         wavs: list[np.ndarray | None] = [None] * bsz

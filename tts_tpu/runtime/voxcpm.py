@@ -53,13 +53,21 @@ class VoxCPMPipeline:
     def __init__(self, params, cfg: VoxCPMConfig, vae_params,
                  decode_cfg: VoxCPMDecodeConfig | None = None,
                  output_sample_rate: int | None = None,
-                 quantize: int | None = None):
+                 quantize: int | None = None, mesh=None):
         if quantize:
             # base/residual/feat-encoder/estimator LM matmuls; the VAE is
             # passed separately and stays float
             from ..quant.weight_only import quantize_pytree
 
             params = quantize_pytree(params, bits=quantize)
+        if mesh is not None:
+            # data-parallel serving: params replicated, synthesize_ids_batch
+            # shards its request batch over the mesh "dp" axis
+            from ..parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+            vae_params = replicate(vae_params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.vae_params = vae_params
@@ -422,11 +430,25 @@ class VoxCPMPipeline:
         if fkey not in self._batch_fns:
             self._batch_fns[fkey] = self._build_decode_batch(bsz, s_buf, buf)
 
+        if self.mesh is not None:
+            from ..parallel.mesh import dp_shard
+
+            if bsz % self.mesh.shape["dp"]:
+                raise ValueError(f"batch {bsz} not divisible by "
+                                 f"dp={self.mesh.shape['dp']}")
+            # feat_cond0 is (2B, ...) pos-then-neg: leading-axis dp split
+            # keeps halves aligned because 2B % dp == 0
+            args = [dp_shard(self.mesh, a) for a in
+                    (text_buf, is_audio, pad_start, fe_buf, feat_cond0,
+                     caps)]
+        else:
+            args = [jnp.asarray(text_buf), jnp.asarray(is_audio),
+                    np.asarray(pad_start), jnp.asarray(fe_buf),
+                    jnp.asarray(feat_cond0), np.asarray(caps)]
+
         t0 = time.perf_counter()
         wav_dev, done_dev = self._batch_fns[fkey](
-            self.params, self.vae_params, jnp.asarray(text_buf),
-            jnp.asarray(is_audio), np.asarray(pad_start),
-            jnp.asarray(fe_buf), jnp.asarray(feat_cond0), np.asarray(caps),
+            self.params, self.vae_params, *args,
             self._get_key(self.dcfg.seed if seed is None else seed))
         wav, done = jax.device_get((wav_dev, done_dev))
         counts = [int(done[bi]) for bi in range(bsz)]
