@@ -233,3 +233,36 @@ def test_dp_sharded_indextts_batch_matches_single_device():
     assert dp_stats["tokens"] == ref_stats["tokens"]
     for a, b in zip(ref_wavs, dp_wavs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_dp_tp_sharded_f5_batch_matches_single_device():
+    """dp x tp composed F5 serving: params tp-sharded (replicated across
+    dp), request batch dp-sharded. Matches the unsharded batch within the
+    TP reduction-order tolerance."""
+    from tts_tpu.models.f5 import F5Config, init_params
+    from tts_tpu.models.vocos import VocosConfig
+    from tts_tpu.models.vocos import init_params as vocos_init
+    from tts_tpu.runtime.f5 import F5Pipeline
+
+    cfg = F5Config(dim=64, depth=2, heads=4, head_dim=16, ff_mult=2,
+                   text_dim=24, conv_layers=1, n_mels=20, vocab_size=16,
+                   nfe_steps=4, max_signal_len=512, freq_embed_dim=16,
+                   sample_rate=8000, n_fft=256, hop=64, win_length=256)
+    vcfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=48,
+                       num_layers=1, n_fft=256, hop=64, sample_rate=8000)
+    params = init_params(cfg, jax.random.key(0))
+    vparams = vocos_init(vcfg, jax.random.key(1))
+    vocab = {" ": 0, "a": 1, "b": 2}
+    rng = np.random.default_rng(0)
+    reqs = [((rng.standard_normal(4000) * 3000).astype(np.int16), "ab", "ba"),
+            ((rng.standard_normal(3500) * 3000).astype(np.int16), "b", "ab")]
+
+    ref_pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg)
+    ref_wavs, _ = ref_pipe.synthesize_batch(reqs, seed=3)
+
+    mesh = make_mesh(dp=2, tp=4)
+    dp_pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg, mesh=mesh)
+    dp_wavs, _ = dp_pipe.synthesize_batch(reqs, seed=3)
+    for a, b in zip(ref_wavs, dp_wavs):
+        np.testing.assert_allclose(b.astype(np.int32), a.astype(np.int32),
+                                   atol=1)

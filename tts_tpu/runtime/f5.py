@@ -64,8 +64,10 @@ class F5Pipeline:
             # tensor-parallel serving: matmul weights shard on their output
             # axis over the mesh's "tp" axis, XLA inserts the collectives
             # over ICI; the same jitted program then runs on every chip.
-            # (Mutually exclusive with quantize — QTensor scales don't
-            # carry a sharding annotation.)
+            # With a dp axis > 1 the params stay replicated across dp and
+            # synthesize_batch also shards its request batch over dp —
+            # dp x tp composes. (Mutually exclusive with quantize —
+            # QTensor scales don't carry a sharding annotation.)
             if quantize:
                 raise ValueError("mesh and quantize are mutually exclusive")
             from ..parallel.mesh import shard_params_tp
@@ -412,10 +414,22 @@ class F5Pipeline:
         if rkey is None:
             rkey = self._key_cache[s] = jax.random.key(s)
 
+        dp = (self.mesh.shape.get("dp", 1)
+              if self.mesh is not None else 1)
+        if dp > 1:
+            from ..parallel.mesh import dp_shard
+
+            if bsz % dp:
+                raise ValueError(f"batch {bsz} not divisible by dp={dp}")
+            args = (dp_shard(self.mesh, audio_p), dp_shard(self.mesh, ids_p),
+                    dp_shard(self.mesh, np.asarray(refs, np.int32)),
+                    dp_shard(self.mesh, np.asarray(durs, np.int32)))
+        else:
+            args = (jnp.asarray(audio_p), jnp.asarray(ids_p),
+                    np.asarray(refs, np.int32), np.asarray(durs, np.int32))
+
         t0 = time.perf_counter()
-        wav = fn(self.params, self.vparams, jnp.asarray(audio_p),
-                 jnp.asarray(ids_p), np.asarray(refs, np.int32),
-                 np.asarray(durs, np.int32), rkey)
+        wav = fn(self.params, self.vparams, *args, rkey)
         wav = np.asarray(wav)
         wall = time.perf_counter() - t0
 
