@@ -92,3 +92,34 @@ def test_bigvgan_loader_end_to_end():
     out = bigvgan_apply(params, mel, SMALL)
     assert out.shape == (1, 12 * 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_checkpoint_dict_diagnostics():
+    """CheckpointDict: a missing key names the closest present keys; unused
+    keys warn unless ignored — the real-checkpoint drift safety net."""
+    import warnings
+
+    import pytest
+
+    from tts_tpu.weights.loaders import CheckpointDict
+
+    sd = CheckpointDict({"model.layers.0.attn.weight": np.zeros(2),
+                         "model.layers.0.mlp.weight": np.zeros(2),
+                         "discriminator.conv.weight": np.zeros(2)}, "fam")
+    with pytest.raises(KeyError) as ei:
+        sd["model.layers.0.attn.wieght"]
+    msg = str(ei.value)
+    assert "fam" in msg and "model.layers.0.attn.weight" in msg
+
+    _ = sd["model.layers.0.attn.weight"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sd.warn_unused(ignore_substrings=("discriminator",))
+    assert len(w) == 1 and "1 checkpoint keys" in str(w[0].message)
+
+    # fully consumed (after ignores) -> silent
+    _ = sd["model.layers.0.mlp.weight"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sd.warn_unused(ignore_substrings=("discriminator",))
+    assert not w

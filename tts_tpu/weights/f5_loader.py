@@ -85,6 +85,9 @@ def f5_params_from_state_dict(
     sd: Mapping[str, np.ndarray], cfg: F5Config, dtype=jnp.float32
 ):
     """Upstream DiT state dict (transformer.* keys) -> f5.py pytree."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "f5")
     scale = cfg.head_dim ** -0.25
     t = "transformer"
 
@@ -171,8 +174,13 @@ def load_f5(safetensors_path: str, vocab_path: str,
     vocab = load_f5_vocab(vocab_path)
     if cfg is None:
         cfg = F5Config(vocab_size=len(vocab))
-    sd = _strip_ema(_load_safetensors(safetensors_path))
-    return f5_params_from_state_dict(sd, cfg, dtype), cfg, vocab
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict(_strip_ema(_load_safetensors(safetensors_path)), "f5")
+    params = f5_params_from_state_dict(sd, cfg, dtype)
+    # mel_spec.* buffers ride along in the upstream checkpoint; not params
+    sd.warn_unused(ignore_substrings=("mel_spec",))
+    return params, cfg, vocab
 
 
 # --------------------------------------------------------------------------
@@ -183,6 +191,9 @@ def vocos_params_from_state_dict(
 ):
     """charactr/vocos-mel-24khz state dict -> vocos.py pytree; folds
     layer-scale gamma into pwconv2 (Export_F5.py:400-402)."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "vocos")
 
     def block(i):
         pre = f"backbone.convnext.{i}"
@@ -213,5 +224,12 @@ def load_vocos(model_dir: str, cfg: VocosConfig | None = None, dtype=jnp.float32
     cfg = cfg or VocosConfig()
     path = os.path.join(model_dir, "pytorch_model.bin")
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    sd = {k: v.numpy() for k, v in obj.items() if hasattr(v, "numpy")}
-    return vocos_params_from_state_dict(sd, cfg, dtype), cfg
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict(
+        {k: v.numpy() for k, v in obj.items() if hasattr(v, "numpy")},
+        "vocos")
+    params = vocos_params_from_state_dict(sd, cfg, dtype)
+    # feature_extractor.* (mel frontend) is replaced by audio/mel.py
+    sd.warn_unused(ignore_substrings=("feature_extractor",))
+    return params, cfg

@@ -50,6 +50,9 @@ def indextts_gpt_from_state_dict(sd: Mapping[str, np.ndarray],
                                  cfg: IndexTTSConfig, dtype=jnp.float32):
     """UnifiedVoice state dict (gpt.*, *_embedding, final_norm, mel_head)
     -> models/indextts.py gpt pytree."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "indextts-gpt")
     scale = cfg.gpt_head_dim ** -0.25
     d = cfg.gpt_dim
 
@@ -103,6 +106,9 @@ def indextts_conformer_from_state_dict(sd: Mapping[str, np.ndarray],
                                        cfg: IndexTTSConfig,
                                        dtype=jnp.float32):
     """conditioning_encoder.* keys -> conformer pytree (scales folded)."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "indextts-conformer")
     h, d = cfg.enc_heads, cfg.enc_dim
     hd = d // h
     scale = hd ** -0.25
@@ -217,6 +223,9 @@ def indextts_perceiver_from_state_dict(sd: Mapping[str, np.ndarray],
 
 def _bn_fold(sd, pre, dtype=jnp.float32, eps: float = 1e-5):
     """BatchNorm1d running stats -> per-channel (scale, shift)."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "indextts-perceiver")
     g = np.asarray(sd[f"{pre}.weight"])
     b = np.asarray(sd[f"{pre}.bias"])
     mean = np.asarray(sd[f"{pre}.running_mean"])

@@ -80,6 +80,9 @@ def _load_hf_state_dict(model_dir: str) -> dict[str, np.ndarray]:
 def kani_params_from_state_dict(
     sd: Mapping[str, np.ndarray], cfg: KaniConfig, dtype=jnp.float32
 ):
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "kani-lm")
     scale = cfg.head_dim ** -0.25
     layers = []
     for i, lt in enumerate(cfg.layer_types):
@@ -133,9 +136,13 @@ def kani_params_from_state_dict(
 
 
 def load_kani_lm(model_dir: str, dtype=jnp.float32):
+    from .loaders import CheckpointDict
+
     cfg = kani_config_from_json(os.path.join(model_dir, "config.json"))
-    sd = _load_hf_state_dict(model_dir)
-    return kani_params_from_state_dict(sd, cfg, dtype), cfg
+    sd = CheckpointDict(_load_hf_state_dict(model_dir), "kani-lm")
+    params = kani_params_from_state_dict(sd, cfg, dtype)
+    sd.warn_unused()
+    return params, cfg
 
 
 # --------------------------------------------------------------------------
@@ -217,6 +224,9 @@ def nanocodec_params_from_state_dict(
     """out_scale: optionally fold the int16 scale into post_conv like the
     reference (Export_Kani_TTS.py:524-526); the runtime pipeline scales
     after clipping instead, so the default keeps weights unscaled."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "nanocodec")
     d = "audio_decoder"
     params = {
         "pre_conv": _wn_conv(sd, f"{d}.pre_conv.conv", dtype=dtype),
@@ -256,6 +266,13 @@ def nanocodec_params_from_state_dict(
 
 
 def load_nanocodec(nemo_path: str, dtype=jnp.float32):
+    from .loaders import CheckpointDict
+
     ycfg, sd = _read_nemo(nemo_path)
     cfg = nanocodec_config_from_yaml(ycfg)
-    return nanocodec_params_from_state_dict(sd, cfg, dtype), cfg
+    sd = CheckpointDict(sd, "nanocodec")
+    params = nanocodec_params_from_state_dict(sd, cfg, dtype)
+    # .nemo checkpoints carry the encoder + discriminator; decode-only here
+    sd.warn_unused(ignore_substrings=("discriminator", "audio_encoder",
+                                      "encoder."))
+    return params, cfg

@@ -51,6 +51,9 @@ def _hf_state_dict(model_dir: str) -> dict[str, np.ndarray]:
 def qwen3_stack_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str,
                                 cfg: Qwen3StackConfig, dtype=jnp.float32):
     """Map `{prefix}.layers.{i}.*` Qwen3 decoder weights with the folds."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, f"qwen3[{prefix}]")
     scale = cfg.head_dim ** -0.25
     layers = []
     for i in range(cfg.num_layers):
@@ -221,6 +224,9 @@ def qwen_codec_from_state_dict(sd: Mapping[str, np.ndarray],
     final norm into output_proj, ConvNeXt LayerNorm affine into pw1 and
     gamma into pw2. SnakeBeta exp/recip precomputed; RVQ codebooks
     normalized by cluster usage."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "qwen-codec")
     d = prefix
     scale = cfg.head_dim ** -0.25
 
@@ -384,6 +390,9 @@ def mimi_encoder_from_state_dict(sd: Mapping[str, np.ndarray],
     affines and per-layer scales are folded into the adjacent linears
     (the export keeps them separate — Export_Qwen_TTS_ONNX.py:555-581 —
     but folding is numerically identical); QKV fused with d^-0.25."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "qwen-encoder")
     from ..models.qwen_encoder import MimiEncoderConfig  # noqa: F401
     from ..nn.rope import rope_table
 

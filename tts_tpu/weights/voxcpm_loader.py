@@ -33,6 +33,9 @@ def llama_stack_from_state_dict(sd: Mapping[str, np.ndarray], prefix: str,
     """Map `{prefix}.layers.{i}` MiniCPM/Llama weights with norm folds.
     residual_scale (MiniCPM scale_depth/sqrt(L)) folds into o_proj/down_proj
     (the v2 muP treatment, reference v2 Export:452-458)."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "voxcpm-lm")
     scale = cfg.head_dim ** -0.25
     layers = []
     for i in range(cfg.num_layers):
@@ -92,6 +95,9 @@ def vae_from_state_dict(sd: Mapping[str, np.ndarray], cfg, dtype=jnp.float32):
     (audio_vae.py:218-269): model.0 = pre conv, model.{1..} =
     CausalDecoderBlock(block = [snake, up, (noise), unit x3]),
     model.{-3,-2} = post snake + conv."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "voxcpm-vae")
     e = "audio_vae.encoder"
     enc_blocks = []
     for i, _ in enumerate(cfg.strides):
