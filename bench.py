@@ -48,6 +48,33 @@ def bench_f5():
     }
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Bounded wait for the TPU backend. The axon tunnel can wedge for tens
+    of minutes after a client dies mid-compile (observed in round 2);
+    jax.devices() then HANGS rather than raising, so probe it in a killable
+    subprocess and only init in-process once a probe succeeds."""
+    import subprocess
+    import sys
+    import time
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True)
+            if proc.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("warning: TPU backend probe failed for "
+                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr)
+            return
+        time.sleep(30)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     result = bench_f5()
     print(json.dumps(result))

@@ -266,3 +266,33 @@ def test_dp_tp_sharded_f5_batch_matches_single_device():
     for a, b in zip(ref_wavs, dp_wavs):
         np.testing.assert_allclose(b.astype(np.int32), a.astype(np.int32),
                                    atol=1)
+
+
+def test_dp_sharded_qwen_beam_batch_matches_single_device():
+    """DP sharding must compose with per-request beam batched serving (the
+    (B*beam) predictor rows follow the dp-sharded batch axis)."""
+    import test_qwen as tq
+    from tts_tpu.models.qwen_codec import init_decoder_params
+    from tts_tpu.models.qwen_tts import (init_predictor_params,
+                                         init_talker_params)
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    params = {**init_talker_params(tq.TINY, jax.random.key(0)),
+              **init_predictor_params(tq.TINY, jax.random.key(1))}
+    cparams = init_decoder_params(tq.TINY_CODEC, jax.random.key(2))
+    dcfg = QwenDecodeConfig(max_frames=4, use_beam=True, beam_size=2,
+                            beam_top_k=2)
+    ref = QwenTTSPipeline(params, tq.TINY, cparams, tq.TINY_CODEC, dcfg)
+    reqs = []
+    for ids, lang in ((np.array([[5, 9, 13, 2]], np.int32), 3),
+                      (np.array([[7, 1, 4]], np.int32), 2)):
+        reqs.append(ref.build_prefill_embeds(ids, lang))
+    ref_wavs, ref_stats = ref.synthesize_from_prefill_batch(reqs)
+
+    mesh = make_mesh(dp=2, tp=1)
+    dp_pipe = QwenTTSPipeline(params, tq.TINY, cparams, tq.TINY_CODEC,
+                              dcfg, mesh=mesh)
+    dp_wavs, dp_stats = dp_pipe.synthesize_from_prefill_batch(reqs)
+    assert dp_stats["frames"] == ref_stats["frames"]
+    for a, b in zip(ref_wavs, dp_wavs):
+        np.testing.assert_array_equal(a, b)
