@@ -55,18 +55,24 @@ class KVCache:
         """Write (B, S, KVH, D) new keys/values at the current length for one
         layer; returns (cache, k_full, v_full) where the full views are
         (B, KVH, max_T, D) for attention. Does NOT advance length — call
-        advance() once after all layers."""
+        advance() once after all layers.
+
+        Layout note: the write is ONE dynamic_update_slice on the stacked
+        5-D buffer. The earlier slice-out / update / re-insert form
+        (`dynamic_update_index_in_dim(self.k, updated_layer, layer, 0)`)
+        defeated XLA's in-place while-loop carry pattern and copied the
+        whole (L, B, KVH, T, D) buffer every layer — measured 3.5 ms/step
+        on the Qwen talker at max_len=2048 vs 1.2 ms at 512 purely from
+        those copies."""
         k_new = jnp.swapaxes(k_new, 1, 2).astype(self.k.dtype)  # (B, KVH, S, D)
         v_new = jnp.swapaxes(v_new, 1, 2).astype(self.v.dtype)
         pos = self.length
-        k = jax.lax.dynamic_update_slice(self.k[layer], k_new, (0, 0, pos, 0))
-        v = jax.lax.dynamic_update_slice(self.v[layer], v_new, (0, 0, pos, 0))
-        cache = dataclasses.replace(
-            self,
-            k=jax.lax.dynamic_update_index_in_dim(self.k, k, layer, 0),
-            v=jax.lax.dynamic_update_index_in_dim(self.v, v, layer, 0),
-        )
-        return cache, k, v
+        k_buf = jax.lax.dynamic_update_slice(
+            self.k, k_new[None], (layer, 0, 0, pos, 0))
+        v_buf = jax.lax.dynamic_update_slice(
+            self.v, v_new[None], (layer, 0, 0, pos, 0))
+        cache = dataclasses.replace(self, k=k_buf, v=v_buf)
+        return cache, k_buf[layer], v_buf[layer]
 
     def advance(self, num_tokens) -> "KVCache":
         return dataclasses.replace(self, length=self.length + num_tokens)

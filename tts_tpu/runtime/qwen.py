@@ -232,8 +232,16 @@ class QwenTTSPipeline:
             dt = params["talker_codec_embed"].dtype
             prefill_buf = prefill_buf.astype(dt)
             trailing = trailing.astype(dt)
+            # KV bucketed to what this program can actually reach (prefill
+            # bucket + frame cap) instead of the full max_seq_len: decode
+            # attention reads the whole static buffer every step, so a
+            # 2048 buffer costs ~0.8 ms/step of pure dead reads at
+            # typical lengths (measured on the 0.6B talker)
+            kv_max = min(t.max_seq_len,
+                         -(-(prefill_buf.shape[1] + dcfg.max_frames + 1)
+                           // 128) * 128)
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
-                                t.max_seq_len, t.head_dim, dt)
+                                kv_max, t.head_dim, dt)
 
             # batched prefill: one pass over the whole padded bucket (the
             # serial loop paid per-position launch overhead); the cache is
@@ -310,9 +318,11 @@ class QwenTTSPipeline:
             s_buf = prefill_buf.shape[1]
             valid = (jnp.arange(s_buf)[None, :] >= pad_start[:, None])
             prefill_buf = prefill_buf * valid[..., None]
+            kv_max = min(t.max_seq_len,
+                         -(-(s_buf + dcfg.max_frames + 1) // 128) * 128)
             kv = KVCache.create(t.num_layers, bsz, t.num_kv_heads,
-                                t.max_seq_len, t.head_dim, dt)
-            kv_idx = jnp.arange(t.max_seq_len)[None, :]
+                                kv_max, t.head_dim, dt)
+            kv_idx = jnp.arange(kv_max)[None, :]
             kv_valid = kv_idx >= pad_start[:, None]          # (B, maxT)
 
             hid_all, kv = qwen3_stack_step(

@@ -149,10 +149,16 @@ class VoxCPMPipeline:
             dt = params["embed"].dtype
             feat_embed_buf = feat_embed_buf.astype(dt)
             feat_cond0 = feat_cond0.astype(dt)
+            # KV bucketed to the reachable length (prefill bucket + latent
+            # cap; each latent step appends one position) — decode attention
+            # reads the whole static buffer every step, so dead buffer width
+            # is pure HBM waste (see kv/cache.py layout note)
+            kv_max = min(b.max_seq_len,
+                         -(-(text_buf.shape[1] + buf + 1) // 128) * 128)
             base_kv = KVCache.create(b.num_layers, 1, b.num_kv_heads,
-                                     b.max_seq_len, b.head_dim, dt)
+                                     kv_max, b.head_dim, dt)
             res_kv = KVCache.create(cfg.residual.num_layers, 1,
-                                    cfg.residual.num_kv_heads, b.max_seq_len,
+                                    cfg.residual.num_kv_heads, kv_max,
                                     cfg.residual.head_dim, dt)
 
             # batched prefill: the per-position kind mask IS the segment
@@ -227,13 +233,15 @@ class VoxCPMPipeline:
             dt = params["embed"].dtype
             feat_embed_buf = feat_embed_buf.astype(dt)
             feat_cond0 = feat_cond0.astype(dt)
+            kv_max = min(b.max_seq_len,
+                         -(-(s_buf + buf + 1) // 128) * 128)
             base_kv = KVCache.create(b.num_layers, bsz, b.num_kv_heads,
-                                     b.max_seq_len, b.head_dim, dt)
+                                     kv_max, b.head_dim, dt)
             res_kv = KVCache.create(cfg.residual.num_layers, bsz,
-                                    cfg.residual.num_kv_heads, b.max_seq_len,
+                                    cfg.residual.num_kv_heads, kv_max,
                                     cfg.residual.head_dim, dt)
             valid = jnp.arange(s_buf)[None, :] >= pad_start[:, None]
-            kv_valid = (jnp.arange(b.max_seq_len)[None, :]
+            kv_valid = (jnp.arange(kv_max)[None, :]
                         >= pad_start[:, None])
 
             h = jnp.where(is_audio[..., None], feat_embed_buf,
