@@ -525,8 +525,14 @@ class QwenTTSPipeline:
         def run(params, prefill_buf, prefill_len):
             dt = params["talker_codec_embed"].dtype
             prefill_buf = prefill_buf.astype(dt)
+            # bucket to the reachable length: this cache feeds the chunked
+            # streaming decode, which appends at most max_frames positions
+            # after the prefill (see _build_decode bucketing note)
+            kv_max = min(t.max_seq_len,
+                         -(-(prefill_buf.shape[1] + self.dcfg.max_frames + 1)
+                           // 128) * 128)
             kv = KVCache.create(t.num_layers, 1, t.num_kv_heads,
-                                t.max_seq_len, t.head_dim, dt)
+                                kv_max, t.head_dim, dt)
 
             # batched prefill: one pass over the whole padded bucket (the
             # serial loop paid per-position launch overhead); the cache is
