@@ -66,7 +66,8 @@ def _mk_state():
     return (kv, hid, jnp.zeros((), jnp.int32))
 
 
-def body(params, c, *, use_talker=True, use_pred=True, use_logits=True):
+def body(params, c, *, use_talker=True, use_pred=True, use_logits=True,
+         use_ntl=True, fused=False, pfused=False):
     kv, hid, num = c
     if use_logits:
         logits = talker_logits(params, hid, cfg)
@@ -74,26 +75,31 @@ def body(params, c, *, use_talker=True, use_pred=True, use_logits=True):
     else:
         tok0 = (num % 7)[None] + 1
     if use_pred:
-        frame_ids, ce0 = predictor_frame(params, hid[:, None], tok0, cfg)
+        frame_ids, ce0 = predictor_frame(params, hid[:, None], tok0, cfg,
+                                         fused=pfused)
     else:
         frame_ids = jnp.tile(tok0, (cfg.num_code_groups,)) \
             + jnp.arange(cfg.num_code_groups)
         ce0 = params["talker_codec_embed"][tok0][:, None]
-    nxt = next_talker_input(params, frame_ids, ce0, TRAILING,
-                            jnp.minimum(num, 62), cfg)
+    if not use_ntl:
+        nxt = ce0 + 0.0 * jnp.sum(frame_ids).astype(dtype)
+    else:
+        nxt = next_talker_input(params, frame_ids, ce0, TRAILING,
+                                jnp.minimum(num, 62), cfg)
     if use_talker:
         pos = kv.length
         rc = jax.lax.dynamic_slice(params["rope_cos"], (pos, 0),
                                    (1, t.head_dim))
         rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
                                    (1, t.head_dim))
-        hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t, rc, rs)
+        hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t, rc, rs,
+                                   fused=fused)
     else:
         hid = nxt[:, 0] + 0.0 * hid
     return (kv, hid, num + 1)
 
 
-def _time_scan(fn, n_iters):
+def _compile_scan(fn, n_iters):
     @jax.jit
     def run(params, state):
         def sbody(c, _):
@@ -103,18 +109,26 @@ def _time_scan(fn, n_iters):
         return jnp.sum(out[1].astype(jnp.float32))
 
     state = _mk_state()
-    s = run(PARAMS, state)
-    float(s)   # fetch fence: block_until_ready acks early over the tunnel
+    float(run(PARAMS, state))   # compile + warm (fetch fence: see NOTES.md)
+    return run, state
+
+
+def _time_scan(run, state):
     t0 = time.perf_counter()
-    s = run(PARAMS, state)
-    float(s)
+    float(run(PARAMS, state))
     return time.perf_counter() - t0
 
 
-def measure(name, fn):
-    t_a = _time_scan(fn, N1)
-    t_b = _time_scan(fn, N2)
-    per = (t_b - t_a) / (N2 - N1) * 1000
+def measure(name, fn, passes: int = 4):
+    """Best-of-N interleaved short/long scans: the tunnel timing is noisy
+    (±0.5 ms swings between processes) so a single pair is unreliable.
+    Compiles each scan length once, then repeats the timed passes."""
+    run_a, st_a = _compile_scan(fn, N1)
+    run_b, st_b = _compile_scan(fn, N2)
+    per = min(
+        (_time_scan(run_b, st_b) - _time_scan(run_a, st_a))
+        / (N2 - N1) * 1000
+        for _ in range(passes))
     print(f"{name:<30} {per:8.3f} ms/iter")
     return per
 
@@ -125,6 +139,31 @@ VARIANTS = {
     "no_talker": lambda p, c: body(p, c, use_talker=False),
     "no_logits": lambda p, c: body(p, c, use_logits=False),
     "pred_only": lambda p, c: body(p, c, use_talker=False, use_logits=False),
+    # isolated components (vs `base`): cleaner decomposition than the
+    # pairwise marginals when costs interact
+    "base": lambda p, c: body(p, c, use_talker=False, use_pred=False,
+                              use_logits=False, use_ntl=False),
+    "talker_only": lambda p, c: body(p, c, use_pred=False, use_logits=False,
+                                     use_ntl=False),
+    "predf_only": lambda p, c: body(p, c, use_talker=False, use_logits=False,
+                                    use_ntl=False),
+    "ntl_only": lambda p, c: body(p, c, use_talker=False, use_pred=False,
+                                  use_logits=False),
+    "logits_only": lambda p, c: body(p, c, use_talker=False, use_pred=False,
+                                     use_ntl=False),
+    "predf_fused": lambda p, c: body(p, c, use_talker=False,
+                                     use_logits=False, use_ntl=False,
+                                     pfused=True),
+    # Pallas fused decode-layer kernels (ops/decode_qkv + ops/decode_mlp)
+    "talker_fused": lambda p, c: body(p, c, use_pred=False, use_logits=False,
+                                      use_ntl=False, fused=True),
+    "talker_fqkv": lambda p, c: body(p, c, use_pred=False, use_logits=False,
+                                     use_ntl=False, fused="qkv"),
+    "talker_fmlp": lambda p, c: body(p, c, use_pred=False, use_logits=False,
+                                     use_ntl=False, fused="mlp"),
+    "talker_fattn": lambda p, c: body(p, c, use_pred=False, use_logits=False,
+                                      use_ntl=False, fused="attn"),
+    "full_fused": lambda p, c: body(p, c, fused=True, pfused=True),
 }
 
 if __name__ == "__main__":

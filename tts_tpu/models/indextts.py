@@ -290,7 +290,8 @@ def gpt_embed_mel(params, mel_ids: jax.Array, gen_len) -> jax.Array:
 
 
 def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
-             cfg: IndexTTSConfig, kv_valid: jax.Array | None = None):
+             cfg: IndexTTSConfig, kv_valid: jax.Array | None = None,
+             fused: bool = False):
     """graph E: one GPT-2 pass over S new positions.
     hidden (B, S, D); penalty_vec (B, vocab) multiplies the logits
     (Export_IndexTTS.py:283-288). kv_valid bool optionally masks out
@@ -303,13 +304,28 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
     mask = combine_kv_valid(
         attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
     x = hidden
+    fuse = fused and s == 1
     for i, p in enumerate(params["layers"]):
-        h = layer_norm(x, p["ln1"]["w"], p["ln1"]["b"], eps=1e-5)
-        qkv = dense(h, p["wqkv"]) + p["bqkv"]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
-        k = k.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
-        v = v.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
+        if fuse:
+            # fused LN + qkv matvec head (ops/decode_qkv.py); GPT-2 here
+            # has no rope and no q/k norms
+            from ..ops.decode_qkv import fused_qkv_rope
+
+            qf, kf, vf = fused_qkv_rope(
+                x[:, 0], p["wqkv"], heads=cfg.gpt_heads,
+                kv_heads=cfg.gpt_heads, head_dim=cfg.gpt_head_dim,
+                bqkv=p["bqkv"], norm="ln", ln_weight=p["ln1"]["w"],
+                ln_bias=p["ln1"]["b"], eps=1e-5)
+            q = qf.reshape(b, 1, cfg.gpt_heads, cfg.gpt_head_dim)
+            k = kf.reshape(b, 1, cfg.gpt_heads, cfg.gpt_head_dim)
+            v = vf.reshape(b, 1, cfg.gpt_heads, cfg.gpt_head_dim)
+        else:
+            h = layer_norm(x, p["ln1"]["w"], p["ln1"]["b"], eps=1e-5)
+            qkv = dense(h, p["wqkv"]) + p["bqkv"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
+            k = k.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
+            v = v.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
         kv, k_full, v_full = kv.update_layer(i, k, v)
         from ..nn.attention import gqa_attention
 

@@ -95,22 +95,36 @@ def init_state(cfg: KaniConfig, batch: int = 1, kv_dtype=jnp.bfloat16) -> KaniSt
 
 
 def _attn_layer(p, x, state: KaniState, layer_idx: int, cfg: KaniConfig,
-                rope_cos, rope_sin, mask):
+                rope_cos, rope_sin, mask, fused: bool = False):
     """GQA attention with per-head q/k RMSNorm (scale folded into the norm
-    weights) and static-buffer KV append."""
+    weights) and static-buffer KV append. fused=True routes the decode
+    (S=1) qkv head through the Pallas kernel (ops/decode_qkv.py)."""
     b, s, _ = x.shape
-    h = rms_norm(x, eps=cfg.rms_eps)            # weight absorbed into wqkv
-    qkv = dense(h, p["wqkv"])
     q_sz = cfg.num_heads * cfg.head_dim
     kv_sz = cfg.num_kv_heads * cfg.head_dim
-    q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = qkv[..., q_sz:q_sz + kv_sz].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = qkv[..., q_sz + kv_sz:].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    if fused:
+        from ..ops.decode_qkv import fused_qkv_rope
 
-    q = rms_norm(q, p["q_norm"], eps=cfg.rms_eps)
-    k = rms_norm(k, p["k_norm"], eps=cfg.rms_eps)
-    q = apply_rope(q, rope_cos, rope_sin)
-    k = apply_rope(k, rope_cos, rope_sin)
+        qf, kf, vf = fused_qkv_rope(
+            x[:, 0], p["wqkv"], rope_cos, rope_sin, heads=cfg.num_heads,
+            kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+            q_norm=p["q_norm"], k_norm=p["k_norm"], eps=cfg.rms_eps)
+        q = qf.reshape(b, 1, cfg.num_heads, cfg.head_dim)
+        k = kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        h = rms_norm(x, eps=cfg.rms_eps)        # weight absorbed into wqkv
+        qkv = dense(h, p["wqkv"])
+        q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = qkv[..., q_sz:q_sz + kv_sz].reshape(b, s, cfg.num_kv_heads,
+                                                cfg.head_dim)
+        v = qkv[..., q_sz + kv_sz:].reshape(b, s, cfg.num_kv_heads,
+                                            cfg.head_dim)
+
+        q = rms_norm(q, p["q_norm"], eps=cfg.rms_eps)
+        k = rms_norm(k, p["k_norm"], eps=cfg.rms_eps)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
 
     kv, k_full, v_full = state.kv.update_layer(layer_idx, k, v)
     state = KaniState(kv, state.conv)
@@ -161,7 +175,7 @@ def _ffn(p, x, cfg: KaniConfig):
 
 
 def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
-              valid_len=None, key_valid_from=None
+              valid_len=None, key_valid_from=None, fused: bool = False
               ) -> tuple[jax.Array, KaniState]:
     """One LM step over S new tokens. hidden: (B, S, H) embedded inputs.
     Returns (logits (B, vocab), new state with kv.length advanced).
@@ -187,10 +201,11 @@ def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
 
     x = hidden
     attn_i = conv_i = 0
+    fuse = fused and s == 1
     for lt, p in zip(cfg.layer_types, params["layers"]):
         if lt == "attn":
             out, state = _attn_layer(p, x, state, attn_i, cfg,
-                                     rope_cos, rope_sin, mask)
+                                     rope_cos, rope_sin, mask, fused=fuse)
             attn_i += 1
         else:
             out, state = _conv_layer(p, x, state, conv_i, cfg, valid_len)

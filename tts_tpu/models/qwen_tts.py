@@ -100,39 +100,91 @@ class QwenTTSConfig:
 def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
                      cfg: Qwen3StackConfig, rope_cos, rope_sin,
                      kv_valid: jax.Array | None = None,
-                     causal: bool = True, return_all: bool = False):
+                     causal: bool = True, return_all: bool = False,
+                     fused: bool = False, _interpret: bool = False):
     """One pass over S new positions. hidden (B, S, H). Norm weights are
     absorbed into qkv/gate_up at load; q/k per-head norms (scale-folded) are
-    applied inline. Returns (final_hidden (B, H) pre-head-normed, kv)."""
+    applied inline. Returns (final_hidden (B, H) pre-head-normed, kv).
+
+    fused=True routes the decode (S=1) qkv head through the Pallas
+    fused rms+matvec+norms+rope kernel (ops/decode_qkv.py) — same math,
+    talker step 1.56 -> 1.27 ms int8. "mlp"/"attn"/"all" opt into the
+    other fused stages (both measured slower at 0.6B shapes — see the
+    flag block below and the kernel docstrings); attention and the
+    in-place KV append stay in XLA."""
     b, s, _ = hidden.shape
     pos = kv.length
     mask = combine_kv_valid(
         attention_mask(s, kv.max_len, pos, pos + s, causal=causal), kv_valid)
+    if fused and s != 1:
+        raise ValueError("fused decode path requires S == 1")
 
+    q_sz = cfg.num_heads * cfg.head_dim
+    kv_sz = cfg.num_kv_heads * cfg.head_dim
+    # fused=True enables the measured-win kernel only (the qkv head:
+    # talker step 1.56 -> 1.27 ms int8, benchmarks/qwen_profile.py
+    # talker_fqkv). The other two fused stages are opt-in, both measured
+    # NET SLOWER at the 0.6B talker shapes and kept as tested levers:
+    #   "mlp"/"all": out+MLP tail (+0.35 ms — the in-kernel s8->bf16
+    #     casts of 11 MB/layer rate-limit vs XLA's convert-in-matvec);
+    #   "attn"/"all": clamped-read decode attention (+0.3 ms — ~8
+    #     mostly-idle grid steps/layer cost more than the dense-bucket
+    #     read they save once the pipeline buckets KV snugly).
+    fuse_qkv = fused in (True, "all", "qkv")
+    fuse_mlp = fused in ("all", "mlp")
+    # clamped-read decode attention needs a shared kv_len (no per-row
+    # validity masks) and a block-divisible bucket
+    fuse_attn = (fused in ("all", "attn") and kv_valid is None
+                 and causal and kv.max_len % min(256, kv.max_len) == 0)
     x = hidden
     for i, p in enumerate(params["layers"]):
-        h = rms_norm(x, eps=cfg.rms_eps)
-        qkv = dense(h, p["wqkv"])
-        if "bqkv" in p:
-            qkv = qkv + p["bqkv"]
-        q_sz = cfg.num_heads * cfg.head_dim
-        kv_sz = cfg.num_kv_heads * cfg.head_dim
-        q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = qkv[..., q_sz:q_sz + kv_sz].reshape(b, s, cfg.num_kv_heads,
+        if fuse_qkv:
+            from ..ops.decode_qkv import fused_qkv_rope
+
+            qf, kf, vf = fused_qkv_rope(
+                x[:, 0], p["wqkv"], rope_cos, rope_sin,
+                heads=cfg.num_heads, kv_heads=cfg.num_kv_heads,
+                head_dim=cfg.head_dim, q_norm=p["q_norm"],
+                k_norm=p["k_norm"], bqkv=p.get("bqkv"),
+                eps=cfg.rms_eps, interpret=_interpret)
+            q = qf.reshape(b, 1, cfg.num_heads, cfg.head_dim)
+            k = kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        else:
+            h = rms_norm(x, eps=cfg.rms_eps)
+            qkv = dense(h, p["wqkv"])
+            if "bqkv" in p:
+                qkv = qkv + p["bqkv"]
+            q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
+            k = qkv[..., q_sz:q_sz + kv_sz].reshape(b, s, cfg.num_kv_heads,
+                                                    cfg.head_dim)
+            v = qkv[..., q_sz + kv_sz:].reshape(b, s, cfg.num_kv_heads,
                                                 cfg.head_dim)
-        v = qkv[..., q_sz + kv_sz:].reshape(b, s, cfg.num_kv_heads,
-                                            cfg.head_dim)
-        q = rms_norm(q, p["q_norm"], eps=cfg.rms_eps)
-        k = rms_norm(k, p["k_norm"], eps=cfg.rms_eps)
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
+            q = rms_norm(q, p["q_norm"], eps=cfg.rms_eps)
+            k = rms_norm(k, p["k_norm"], eps=cfg.rms_eps)
+            q = apply_rope(q, rope_cos, rope_sin)
+            k = apply_rope(k, rope_cos, rope_sin)
         kv, k_full, v_full = kv.update_layer(i, k, v)
-        out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
-        x = x + dense(out, p["wo"])
-        h = rms_norm(x, eps=cfg.rms_eps)
-        gu = dense(h, p["w_gate_up"])
-        gate, up = jnp.split(gu, 2, axis=-1)
-        x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
+        if fuse_attn:
+            from ..ops.decode_attention import decode_gqa_attention
+
+            out = decode_gqa_attention(
+                q.reshape(b, cfg.num_heads, cfg.head_dim), k_full, v_full,
+                pos + 1, interpret=_interpret).reshape(b, 1, -1)
+        else:
+            out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
+        if fuse_mlp:
+            from ..ops.decode_mlp import fused_out_mlp
+
+            x = fused_out_mlp(x[:, 0], out[:, 0], p["wo"], p["w_gate_up"],
+                              p["w_down"], eps=cfg.rms_eps,
+                              interpret=_interpret)[:, None]
+        else:
+            x = x + dense(out, p["wo"])
+            h = rms_norm(x, eps=cfg.rms_eps)
+            gu = dense(h, p["w_gate_up"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
     kv = kv.advance(s)
     # final norm weight is folded into the downstream head(s)
     if return_all:
@@ -165,7 +217,7 @@ def make_suppress_bias(vocab_size: int, eos_id: int,
 
 def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
                     cfg: QwenTTSConfig, repeat_penalty: float = 1.0,
-                    penalty_range: int = 10):
+                    penalty_range: int = 10, fused=False):
     """Generate one frame's remaining 15 RVQ groups.
 
     talker_hidden: (B, 1, talker_H) last hidden from the talker step;
@@ -214,7 +266,8 @@ def predictor_frame(params, talker_hidden: jax.Array, codec_token0: jax.Array,
         pos = kv.length
         rc = jax.lax.dynamic_slice(rope_cos, (pos, 0), (1, pcfg.head_dim))
         rs = jax.lax.dynamic_slice(rope_sin, (pos, 0), (1, pcfg.head_dim))
-        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs)
+        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs,
+                                 fused=fused)
         return (h, kv, save), None
 
     save = jnp.zeros((bsz, cfg.num_code_groups - 1), jnp.int32)
@@ -231,7 +284,7 @@ def predictor_frame_beam(params, talker_hidden: jax.Array,
                          codec_token0: jax.Array, cfg: QwenTTSConfig,
                          beam_size: int, top_k: int,
                          repeat_penalty: float = 1.0,
-                         penalty_range: int = 10):
+                         penalty_range: int = 10, fused=False):
     """Beam-search variant of predictor_frame — the reference's
     USE_BEAM_SEARCH predictor path (Export_Qwen_TTS_ONNX.py:2528-2552:
     FIRST_BEAM expands the first group's logits into beam_size rows with the
@@ -275,7 +328,8 @@ def predictor_frame_beam(params, talker_hidden: jax.Array,
         pos = kv.length
         rc = jax.lax.dynamic_slice(rope_cos, (pos, 0), (1, pcfg.head_dim))
         rs = jax.lax.dynamic_slice(rope_sin, (pos, 0), (1, pcfg.head_dim))
-        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs)
+        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs,
+                                 fused=fused)
         logits = jnp.matmul(h, params["lm_heads"][g])         # (beam, Vg)
         if repeat_penalty != 1.0:
             logits = apply_repetition_penalty(logits, save, g,
@@ -297,7 +351,7 @@ def predictor_frame_beam_batch(params, talker_hidden: jax.Array,
                                codec_token0: jax.Array, cfg: QwenTTSConfig,
                                beam_size: int, top_k: int,
                                repeat_penalty: float = 1.0,
-                               penalty_range: int = 10):
+                               penalty_range: int = 10, fused=False):
     """Per-request beam search for batched serving: B independent beams run
     as (B*beam) predictor rows — one stack step per group for the whole
     fleet, per-row joint top-k pruning and KV reorder. Row b reproduces
@@ -347,7 +401,8 @@ def predictor_frame_beam_batch(params, talker_hidden: jax.Array,
         pos = kv.length
         rc = jax.lax.dynamic_slice(rope_cos, (pos, 0), (1, pcfg.head_dim))
         rs = jax.lax.dynamic_slice(rope_sin, (pos, 0), (1, pcfg.head_dim))
-        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs)
+        h, kv = qwen3_stack_step(params["predictor"], emb, kv, pcfg, rc, rs,
+                                 fused=fused)
         logits = jnp.matmul(h, params["lm_heads"][g])         # (rows, Vg)
         if repeat_penalty != 1.0:
             logits = apply_repetition_penalty(logits, save, g,

@@ -168,30 +168,46 @@ def voxcpm_v2_config() -> "VoxCPMConfig":
 
 def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
                      cfg: LlamaStackConfig, rope_cos, rope_sin,
-                     kv_valid=None):
+                     kv_valid=None, fused: bool = False):
     """Causal cached step over S new positions; returns (full hidden
     sequence (B, S, H) pre-final-norm, kv). Input/post norms folded into
     qkv/gate_up at load. kv_valid: (max_T,) shared or (B, max_T) per
-    batch row (batched serving)."""
+    batch row (batched serving). fused=True routes the decode (S=1) qkv
+    head through the Pallas kernel (ops/decode_qkv.py — same math, see
+    its docstring for the measured win)."""
     b, s, _ = hidden.shape
     pos = kv.length
     mask = combine_kv_valid(
         attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
+    if fused and s != 1:
+        raise ValueError("fused decode path requires S == 1")
     x = hidden
+    q_sz = cfg.num_heads * cfg.head_dim
+    kv_sz = cfg.num_kv_heads * cfg.head_dim
     for i, p in enumerate(params["layers"]):
-        h = rms_norm(x, eps=cfg.rms_eps)
-        qkv = dense(h, p["wqkv"])
-        if "bqkv" in p:
-            qkv = qkv + p["bqkv"]
-        q_sz = cfg.num_heads * cfg.head_dim
-        kv_sz = cfg.num_kv_heads * cfg.head_dim
-        q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
-        k = qkv[..., q_sz:q_sz + kv_sz].reshape(b, s, cfg.num_kv_heads,
+        if fused:
+            from ..ops.decode_qkv import fused_qkv_rope
+
+            qf, kf, vf = fused_qkv_rope(
+                x[:, 0], p["wqkv"], rope_cos, rope_sin,
+                heads=cfg.num_heads, kv_heads=cfg.num_kv_heads,
+                head_dim=cfg.head_dim, bqkv=p.get("bqkv"),
+                eps=cfg.rms_eps)
+            q = qf.reshape(b, 1, cfg.num_heads, cfg.head_dim)
+            k = kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        else:
+            h = rms_norm(x, eps=cfg.rms_eps)
+            qkv = dense(h, p["wqkv"])
+            if "bqkv" in p:
+                qkv = qkv + p["bqkv"]
+            q = qkv[..., :q_sz].reshape(b, s, cfg.num_heads, cfg.head_dim)
+            k = qkv[..., q_sz:q_sz + kv_sz].reshape(b, s, cfg.num_kv_heads,
+                                                    cfg.head_dim)
+            v = qkv[..., q_sz + kv_sz:].reshape(b, s, cfg.num_kv_heads,
                                                 cfg.head_dim)
-        v = qkv[..., q_sz + kv_sz:].reshape(b, s, cfg.num_kv_heads,
-                                            cfg.head_dim)
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
+            q = apply_rope(q, rope_cos, rope_sin)
+            k = apply_rope(k, rope_cos, rope_sin)
         kv, k_full, v_full = kv.update_layer(i, k, v)
         out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
         x = x + dense(out, p["wo"])
@@ -433,7 +449,8 @@ def fsq_layer(params, x: jax.Array, cfg: VoxCPMConfig) -> jax.Array:
 
 def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
                      concat_text_len, base_kv: KVCache, res_kv: KVCache,
-                     cfg: VoxCPMConfig, valid_len=None, kv_valid=None):
+                     cfg: VoxCPMConfig, valid_len=None, kv_valid=None,
+                     fused: bool = False):
     """One dual-LM pass over S positions. hidden (B, S, base_H).
     concat_text_len marks audio positions: a scalar boundary (positions
     >= it are audio — the v1.5 layout), a (S,) bool mask (the v2 modes
@@ -456,8 +473,10 @@ def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
     rope_sin = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
                                      (s, b.head_dim))
 
+    fused = fused and s == 1
     x, base_kv = llama_stack_step(params["base"], hidden, base_kv, b,
-                                  rope_cos, rope_sin, kv_valid=kv_valid)
+                                  rope_cos, rope_sin, kv_valid=kv_valid,
+                                  fused=fused)
     x = rms_norm(x, params["base_norm"], eps=b.rms_eps)
 
     ctl = jnp.asarray(concat_text_len)
@@ -473,7 +492,7 @@ def voxcpm_main_step(params, hidden: jax.Array, feat_embed: jax.Array,
 
     r, res_kv = llama_stack_step(params["residual"], res_in, res_kv,
                                  cfg.residual, rope_cos, rope_sin,
-                                 kv_valid=kv_valid)
+                                 kv_valid=kv_valid, fused=fused)
 
     def at_last(t):
         if valid_len is None:

@@ -45,6 +45,9 @@ class IndexTTSDecodeConfig:
 
     repeat_penalty: float = 0.9
     penalty_range: int = 10
+    # Pallas fused decode qkv head (ops/decode_qkv.py); None = auto
+    # (on for TPU backends, off on CPU)
+    fused_decode: bool | None = None
 
 
 @dataclass
@@ -99,6 +102,8 @@ class IndexTTSPipeline:
         self.params = params
         self.cfg = cfg
         self.dcfg = decode_cfg or IndexTTSDecodeConfig()
+        fd = self.dcfg.fused_decode
+        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
         self.vcfg = bigvgan_cfg
         self.sample_rate = sample_rate
         self.melspec = MelSpectrogram(sample_rate, n_fft, hop, n_fft,
@@ -219,7 +224,8 @@ class IndexTTSPipeline:
                     h = (gpt["mel_embed"][tok] + gpt["mel_pos"][gen_len]
                          )[None, None]
                     logits, last_h, kv = gpt_step(gpt, h, kv, vec, cfg,
-                                                  kv_valid)
+                                                  kv_valid,
+                                                  fused=self._fused)
                     ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
                     save = save.at[num].set(ntok)
                     hiddens = hiddens.at[num].set(last_h[0])
@@ -308,7 +314,8 @@ class IndexTTSPipeline:
                     h = (gpt["mel_embed"][tok]
                          + gpt["mel_pos"][num][None])[:, None]
                     logits, last_h, kv = gpt_step(gpt, h, kv, vec, cfg,
-                                                  kv_valid)
+                                                  kv_valid,
+                                                  fused=self._fused)
                     ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     ntok = jnp.where(fin, cfg.stop_token, ntok)
                     save = save.at[:, num].set(ntok)

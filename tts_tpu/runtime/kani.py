@@ -61,6 +61,9 @@ class KaniDecodeConfig:
     top_k: int = 5
     repeat_penalty: float = 0.8
     penalty_range: int = 10
+    # Pallas fused decode qkv head (ops/decode_qkv.py); None = auto
+    # (on for TPU backends, off on CPU)
+    fused_decode: bool | None = None
 
 
 def _prefill_loop(params, ids_buf, prompt_len, state, cfg: KaniConfig):
@@ -102,6 +105,8 @@ class KaniPipeline:
         self.codec_params = codec_params
         self.codec_cfg = codec_cfg
         self.dcfg = decode_cfg or KaniDecodeConfig()
+        fd = self.dcfg.fused_decode
+        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
         self.tokenizer = tokenizer
         # audio tokens start at tokenizer_length + 10 (Export_Kani_TTS.py:491)
         self.audio_tokens_start = (
@@ -156,7 +161,8 @@ class KaniPipeline:
             def body(c):
                 state, save_ids, num, last, _ = c
                 h = embed_tokens(params, last[:, None])
-                logits, state = kani_step(params, h, state, cfg)
+                logits, state = kani_step(params, h, state, cfg,
+                                          fused=self._fused)
                 tok = greedy(penalized(logits, save_ids, num))
                 save_ids = jax.lax.dynamic_update_slice(
                     save_ids, tok[:, None], (0, num))
@@ -187,7 +193,8 @@ class KaniPipeline:
             def body(c):
                 state, bs, save_ids, num, _ = c
                 h = embed_tokens(params, bs.tokens[:, None])
-                logits, state = kani_step(params, h, state, cfg)
+                logits, state = kani_step(params, h, state, cfg,
+                                          fused=self._fused)
                 nbs = beam_step(penalized(logits, save_ids, num),
                                 bs.log_probs, beam, dcfg.top_k)
                 state = KaniState(state.kv.select_batch(nbs.parent),
@@ -249,7 +256,8 @@ class KaniPipeline:
                 state, save, num, last, fin, done = c
                 h = embed_tokens(params, last[:, None])
                 logits, state = kani_step(params, h, state, cfg,
-                                          key_valid_from=pad_start)
+                                          key_valid_from=pad_start,
+                                          fused=self._fused)
                 if use_penalty:
                     logits = apply_repetition_penalty(
                         logits, save, num, dcfg.repeat_penalty,

@@ -80,6 +80,10 @@ class QwenDecodeConfig:
     use_beam: bool = False
     beam_size: int = 3
     beam_top_k: int = 3
+    # Pallas fused decode-layer qkv head (ops/decode_qkv.py): same math,
+    # talker step 1.56 -> 1.27 ms int8. None = auto (on for TPU backends,
+    # off on CPU where the kernel would need interpret mode).
+    fused_decode: bool | None = None
 
 
 class QwenTTSPipeline:
@@ -124,6 +128,8 @@ class QwenTTSPipeline:
             self.dcfg = QwenDecodeConfig(
                 **{**self.dcfg.__dict__, "use_beam": False})
         self.output_sample_rate = output_sample_rate
+        fd = self.dcfg.fused_decode
+        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
         self._decode_fn = None
         self._codec_cache: dict = {}
 
@@ -136,10 +142,10 @@ class QwenTTSPipeline:
             return predictor_frame_beam(
                 params, hid, tok0, cfg, self.dcfg.beam_size,
                 self.dcfg.beam_top_k, self.dcfg.repeat_penalty,
-                self.dcfg.penalty_range)
+                self.dcfg.penalty_range, fused=self._fused)
         return predictor_frame(params, hid, tok0, cfg,
                                self.dcfg.repeat_penalty,
-                               self.dcfg.penalty_range)
+                               self.dcfg.penalty_range, fused=self._fused)
 
     def _predictor_batch(self, params, hid, tok0, cfg, bsz: int):
         """Batched predictor: greedy scan, or per-request beams as (B*beam)
@@ -151,10 +157,11 @@ class QwenTTSPipeline:
             return predictor_frame_beam_batch(
                 params, hid, tok0, cfg, self.dcfg.beam_size,
                 self.dcfg.beam_top_k, self.dcfg.repeat_penalty,
-                self.dcfg.penalty_range)
+                self.dcfg.penalty_range, fused=self._fused)
         frame_ids, ce0 = predictor_frame(params, hid, tok0, cfg,
                                          self.dcfg.repeat_penalty,
-                                         self.dcfg.penalty_range)
+                                         self.dcfg.penalty_range,
+                                         fused=self._fused)
         # predictor_frame squeezes to (16,) at B=1; keep (B, 16)
         return frame_ids.reshape(bsz, cfg.num_code_groups), ce0
 
@@ -291,7 +298,7 @@ class QwenTTSPipeline:
                 rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
                                            (1, t.head_dim))
                 hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t,
-                                           rc, rs)
+                                           rc, rs, fused=self._fused)
                 return kv, hid, frames, save0, num + 1, fin
 
             init = (kv, hid, frames, save0, jnp.zeros((), jnp.int32),
@@ -369,7 +376,8 @@ class QwenTTSPipeline:
                 rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
                                            (1, t.head_dim))
                 hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t,
-                                           rc, rs, kv_valid=kv_valid)
+                                           rc, rs, kv_valid=kv_valid,
+                                           fused=self._fused)
                 return kv, hid, frames, save0, num + 1, fin, done
 
             done0 = jnp.full((bsz,), dcfg.max_frames, jnp.int32)
@@ -591,7 +599,7 @@ class QwenTTSPipeline:
                 rs = jax.lax.dynamic_slice(params["rope_sin"], (pos, 0),
                                            (1, t.head_dim))
                 hid, kv = qwen3_stack_step(params["talker"], nxt, kv, t,
-                                           rc, rs)
+                                           rc, rs, fused=self._fused)
                 return kv, hid, frames, save0, n_in + 1, num + 1, fin
 
             init = (kv, hid, frames, save0, jnp.zeros((), jnp.int32), num,

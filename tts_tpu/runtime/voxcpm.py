@@ -47,6 +47,9 @@ class VoxCPMDecodeConfig:
     # retry with a fresh seed when generation hits the length cap without a
     # stop token (upstream bad-case retry, modeling_modified/core.py:140-142)
     retry_badcase: int = 0
+    # Pallas fused decode qkv head (ops/decode_qkv.py); None = auto
+    # (on for TPU backends, off on CPU)
+    fused_decode: bool | None = None
 
 
 class VoxCPMPipeline:
@@ -72,6 +75,8 @@ class VoxCPMPipeline:
         self.cfg = cfg
         self.vae_params = vae_params
         self.dcfg = decode_cfg or VoxCPMDecodeConfig()
+        fd = self.dcfg.fused_decode
+        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
         self.output_sample_rate = output_sample_rate or cfg.output_sample_rate
         self._enc_cache: dict = {}
         self._dec_cache = {}
@@ -195,7 +200,8 @@ class VoxCPMPipeline:
                 feat_cond = feat_cond.astype(dt)
                 h = feat_embed[:, :1].astype(dt)
                 dit, stop, base_kv, res_kv = voxcpm_main_step(
-                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
+                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg,
+                    fused=self._fused)
                 # stop token honored only after min_latents (the reference's
                 # MIN_SEQ_LEN guard, v2 Export:99)
                 fin = (stop == 1) & (num + 1 >= dcfg.min_latents)
@@ -274,7 +280,7 @@ class VoxCPMPipeline:
                 h2 = feat_embed.astype(dt)
                 dit, stop, base_kv, res_kv = voxcpm_main_step(
                     params, h2, h2, jnp.int32(0), base_kv, res_kv, cfg,
-                    kv_valid=kv_valid)
+                    kv_valid=kv_valid, fused=self._fused)
                 newly = (((stop == 1) & (num + 1 >= dcfg.min_latents))
                          | (num + 1 >= caps)) & (~fin)
                 done = jnp.where(newly, num + 1, done)
@@ -527,7 +533,8 @@ class VoxCPMPipeline:
                 feat_cond = feat_cond.astype(dt)
                 h = feat_embed[:, :1].astype(dt)
                 dit, stop, base_kv, res_kv = voxcpm_main_step(
-                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg)
+                    params, h, h, jnp.int32(0), base_kv, res_kv, cfg,
+                    fused=self._fused)
                 fin = (stop == 1) & (num + 1 >= dcfg.min_latents)
                 return (base_kv, res_kv, dit, feat_cond, latents, key,
                         n_in + 1, num + 1, fin)
