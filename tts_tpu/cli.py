@@ -367,6 +367,53 @@ def cmd_voxcpm(args) -> None:
     _write(args.out, wav, sr, rep)
 
 
+def cmd_serve(args) -> None:
+    """HTTP micro-batching server over the KaniTTS batched decode (the
+    family whose request body is plain token ids; other families serve
+    programmatically via serving.TTSServer.for_pipeline)."""
+    import jax
+
+    from .models.kani import KaniConfig, init_params
+    from .models.nanocodec import NanoCodecConfig, init_params as codec_init
+    from .runtime.kani import KaniDecodeConfig, KaniPipeline
+    from .serving import TTSServer, serve_http
+
+    if args.ckpt:
+        from .weights.kani_loader import load_kani_lm, load_nanocodec
+
+        params, cfg = load_kani_lm(args.ckpt)
+        cparams, ccfg = load_nanocodec(args.codec)
+    else:
+        cfg = KaniConfig(hidden_size=64, num_heads=4, num_kv_heads=2,
+                         head_dim=16, ffn_dim=128, vocab_size=80538,
+                         max_seq_len=256)
+        ccfg = NanoCodecConfig()
+        params = init_params(cfg, jax.random.key(0))
+        cparams = codec_init(ccfg, jax.random.key(1))
+        print("note: random weights (no --ckpt) — audio will be noise")
+    pipe = KaniPipeline(params, cfg, cparams, ccfg,
+                        KaniDecodeConfig(max_new_tokens=args.max_tokens),
+                        quantize=args.quantize)
+    pad = np.array([[3, 9, 5]], np.int32)
+    srv = TTSServer.for_pipeline(
+        pipe, pad, sample_rate=ccfg.sample_rate,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        batch_sizes=tuple(
+            s for s in (1, 2, 4, 8) if s <= args.max_batch))
+    httpd = serve_http(srv, host=args.host, port=args.port)
+    host, port = httpd.server_address
+    print(f"serving on http://{host}:{port}  "
+          f"(POST /synthesize {{\"ids\": [[...]]}}, GET /stats)")
+    try:
+        import time as _t
+
+        while True:
+            _t.sleep(3600)
+    except KeyboardInterrupt:
+        httpd.shutdown()
+        srv.close()
+
+
 def cmd_bench(args) -> None:
     import json
 
@@ -440,6 +487,17 @@ def main(argv=None) -> int:
 
     be = sub.add_parser("bench", help="run the driver benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    sv = sub.add_parser("serve", help="HTTP micro-batching TTS server")
+    sv.add_argument("--ckpt", help="KaniTTS LM checkpoint dir")
+    sv.add_argument("--codec", help=".nemo codec path")
+    sv.add_argument("--quantize", type=int, choices=(4, 8))
+    sv.add_argument("--max-tokens", type=int, default=256)
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--max-wait-ms", type=float, default=10.0)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8700)
+    sv.set_defaults(fn=cmd_serve)
 
     for p in (f5, ka, it, vc, qw):
         p.add_argument("--quantize", type=int, choices=(4, 8),

@@ -1,0 +1,135 @@
+"""Serving front-end: a pipeline-agnostic engine over MicroBatcher and a
+dependency-free HTTP endpoint (stdlib http.server).
+
+`TTSServer.for_pipeline` adapts any of the four AR family pipelines'
+batched entry points (synthesize_ids_batch / synthesize_from_prefill_batch
+— each takes an order-preserving list of per-request inputs and returns
+(list of int16 waveforms, stats)); `TTSServer` itself only needs a
+`batch_fn: list[request] -> list[waveform]`, so custom request shapes
+(voice cloning tuples, prefill embeddings) pass through untouched.
+
+HTTP surface (serve_http):
+  POST /synthesize   {"ids": [[...int...]], ...}  -> audio/wav bytes
+  GET  /stats        -> JSON BatchStats snapshot
+The JSON request body is decoded into the server's `request_from_json`
+(default: np.int32 array of ids) so family-specific adapters can accept
+richer payloads.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .batcher import MicroBatcher
+
+__all__ = ["TTSServer", "serve_http"]
+
+
+class TTSServer:
+    """Synchronous-future serving engine: submit() returns a
+    concurrent.futures.Future resolving to an int16 waveform."""
+
+    def __init__(self, batch_fn, *, sample_rate: int, pad_request=None,
+                 max_batch: int = 8, max_wait_ms: float = 10.0,
+                 batch_sizes: tuple[int, ...] = (1, 2, 4, 8),
+                 request_from_json=None):
+        self.sample_rate = sample_rate
+        self.request_from_json = request_from_json or (
+            lambda body: np.asarray(body["ids"], np.int32))
+        self.batcher = MicroBatcher(
+            batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            batch_sizes=batch_sizes, pad_request=pad_request)
+
+    @classmethod
+    def for_pipeline(cls, pipeline, pad_request, *, sample_rate=None,
+                     **kw):
+        """Adapt a family pipeline: routes through its batched entry point
+        (synthesize_from_prefill_batch for Qwen, synthesize_ids_batch
+        otherwise). pad_request must be a valid minimal request for that
+        pipeline (used to round batches up to the size ladder)."""
+        entry = getattr(pipeline, "synthesize_ids_batch", None)
+        if entry is None:
+            entry = getattr(pipeline, "synthesize_from_prefill_batch", None)
+        if entry is None:
+            raise TypeError(f"{type(pipeline).__name__} has no batched "
+                            "synthesis entry point")
+        sr = sample_rate or getattr(pipeline, "output_sample_rate", None) \
+            or getattr(pipeline, "sample_rate", None)
+        if sr is None:
+            raise ValueError("pass sample_rate= (pipeline does not expose "
+                             "one)")
+        return cls(lambda reqs: entry(list(reqs))[0], sample_rate=sr,
+                   pad_request=pad_request, **kw)
+
+    def submit(self, request):
+        return self.batcher.submit(request)
+
+    def synthesize(self, request, timeout: float = 300.0) -> np.ndarray:
+        return self.batcher.submit(request).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        return self.batcher.stats.snapshot()
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+def _wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.asarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def serve_http(server: TTSServer, host: str = "127.0.0.1", port: int = 0,
+               ) -> ThreadingHTTPServer:
+    """Start the HTTP front-end on a background thread; returns the
+    ThreadingHTTPServer (its .server_address carries the bound port;
+    call .shutdown() to stop). One handler thread per connection, all
+    funneling into the shared MicroBatcher."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # quiet; stats carry the signal
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/stats":
+                body = json.dumps(server.stats()).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                request = server.request_from_json(payload)
+                wav = server.synthesize(request)
+                self._send(200, _wav_bytes(wav, server.sample_rate),
+                           "audio/wav")
+            except Exception as e:
+                body = json.dumps({"error": str(e)[:500]}).encode()
+                self._send(500, body, "application/json")
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True,
+                     name="tts-http").start()
+    return httpd
