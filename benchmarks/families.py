@@ -70,7 +70,7 @@ def bench_kani(quantize=None):
     t0 = time.perf_counter()
     wav, stats = pipe.synthesize_ids(ids)
     tok_s = stats["tokens"] / (time.perf_counter() - t0)
-    return {"metric": f"kani_370m decode{' int8' if quantize else ''}",
+    return {"metric": f"kani_370m decode{f' int{quantize}' if quantize else ''}",
             "value": round(tok_s, 0), "unit": "tok/s",
             "vs_baseline": None}
 
@@ -144,7 +144,7 @@ def bench_indextts(quantize=None):
     t0 = time.perf_counter()
     wav, stats = pipe.synthesize_ids(ids, ref, max_gen=200)
     tok_s = stats.tokens / (time.perf_counter() - t0)
-    return {"metric": f"indextts_1.5 decode{' int8' if quantize else ''}",
+    return {"metric": f"indextts_1.5 decode{f' int{quantize}' if quantize else ''}",
             "value": round(tok_s, 0), "unit": "tok/s",
             "vs_baseline": None}
 
@@ -223,7 +223,7 @@ def bench_qwen(quantize=None):
     wall = time.perf_counter() - t0
     fps = stats["frames"] / wall
     rtf = wall / (stats["frames"] / 12.0)          # 12 Hz codec
-    return {"metric": f"qwen3_tts_0.6b decode{' int8' if quantize else ''}",
+    return {"metric": f"qwen3_tts_0.6b decode{f' int{quantize}' if quantize else ''}",
             "value": round(fps, 1), "unit": "frames/s",
             "rtf": round(rtf, 4), "vs_baseline": round(3.1 / rtf, 1)}
 
@@ -286,7 +286,7 @@ def _bench_voxcpm(v2: bool, quantize=None):
     rtf = wall / max(audio_s, 1e-9)
     name = "voxcpm_2" if v2 else "voxcpm_1.5"
     base = 0.34 if v2 else 0.17                    # reference GPU RTFs
-    return {"metric": f"{name} end-to-end{' int8' if quantize else ''}",
+    return {"metric": f"{name} end-to-end{f' int{quantize}' if quantize else ''}",
             "value": round(rtf, 4), "unit": "rtf",
             "vs_baseline": round(base / rtf, 1)}
 

@@ -88,7 +88,8 @@ def test_quantized_kani_decode():
 
 def test_int4_roundtrip_and_dense():
     from tts_tpu.quant.weight_only import (
-        QTensor4, _unpack_int4, quantize_int4, quantize_pytree)
+        QTensor4, QTensorG, _unpack_int4, dense, quantize_int4,
+        quantize_pytree)
 
     rng = np.random.default_rng(2)
     w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
@@ -98,10 +99,25 @@ def test_int4_roundtrip_and_dense():
     amax = np.abs(np.asarray(w)).reshape(2, 32, 32).max(1)
     bound = np.repeat(amax / 7.0 * 0.51, 32, axis=0) + 1e-6
     assert (np.abs(deq - np.asarray(w)) <= bound).all()
-    # pytree pass with bits=4 packs eligible 2-D weights
+    # pytree pass with bits=4 quantizes eligible 2-D weights into the
+    # RUNTIME form (int8-container values + post-dot group scales — the
+    # packed nibbles stream 4 bytes/param through decode loops otherwise:
+    # XLA can't keep the unpack fused at model sizes, measured 98 vs
+    # 1128 tok/s on Kani); the packed QTensor4 stays the artifact format
     params = {"lm_head": jnp.ones((512, 1024))}
     q = quantize_pytree(params, min_size=1024, bits=4)
-    assert isinstance(q["lm_head"], QTensor4)
+    assert isinstance(q["lm_head"], QTensorG)
+    # runtime <-> storage round trip is lossless
+    rt = q["lm_head"]
+    np.testing.assert_array_equal(np.asarray(rt.pack().unpack_runtime().q),
+                                  np.asarray(rt.q))
+    # dense on runtime form == dense on dequantized weights
+    x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    qt4 = quantize_int4(w, 32)
+    ref = jnp.matmul(x, _unpack_int4(qt4))
+    out = dense(x, qt4.unpack_runtime())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_f5_pipeline_quantized_smoke():

@@ -129,6 +129,35 @@ def test_tts_server_matches_direct_batch(kani_pipe):
         np.testing.assert_array_equal(o, d)
 
 
+def test_http_streaming_endpoint():
+    """Chunked audio/L16 streaming with TTFA measurement (generator-level
+    contract — the Qwen pipeline plugs in via stream_fn)."""
+    def stream_fn(request):
+        for i in range(3):
+            time.sleep(0.01)
+            yield np.full((160,), i + 1, np.int16)
+
+    srv = TTSServer(_echo_batch, sample_rate=24000, batch_sizes=(1,),
+                    max_batch=1, stream_fn=stream_fn)
+    httpd = serve_http(srv)
+    host, port = httpd.server_address
+    try:
+        body = json.dumps({"ids": [[1, 2]]}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/stream", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("audio/L16")
+            assert float(r.headers["X-TTFA-MS"]) >= 10.0
+            pcm = np.frombuffer(r.read(), np.int16)
+        assert pcm.shape == (480,)
+        assert list(np.unique(pcm)) == [1, 2, 3]
+        assert srv.stats()["mean_ttfa_ms"] >= 10.0
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
 def test_http_round_trip(kani_pipe):
     pipe, _ = kani_pipe
     pad = np.array([[1, 2]], np.int32)

@@ -304,6 +304,10 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
     mask = combine_kv_valid(
         attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
     x = hidden
+    if fused:
+        from ..ops.decode_qkv import fusable_weight
+
+        fused = all(fusable_weight(p["wqkv"]) for p in params["layers"])
     fuse = fused and s == 1
     for i, p in enumerate(params["layers"]):
         if fuse:

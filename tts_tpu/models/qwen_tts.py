@@ -130,7 +130,9 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
     #   "attn"/"all": clamped-read decode attention (+0.3 ms — ~8
     #     mostly-idle grid steps/layer cost more than the dense-bucket
     #     read they save once the pipeline buckets KV snugly).
-    fuse_qkv = fused in (True, "all", "qkv")
+    from ..ops.decode_qkv import fusable_weight
+    fuse_qkv = fused in (True, "all", "qkv") and all(
+        fusable_weight(p["wqkv"]) for p in params["layers"])
     fuse_mlp = fused in ("all", "mlp")
     # clamped-read decode attention needs a shared kv_len (no per-row
     # validity masks) and a block-divisible bucket

@@ -181,6 +181,10 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
         attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
     if fused and s != 1:
         raise ValueError("fused decode path requires S == 1")
+    if fused:
+        from ..ops.decode_qkv import fusable_weight
+
+        fused = all(fusable_weight(p["wqkv"]) for p in params["layers"])
     x = hidden
     q_sz = cfg.num_heads * cfg.head_dim
     kv_sz = cfg.num_kv_heads * cfg.head_dim

@@ -37,10 +37,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant.weight_only import QTensor
+from ..quant.weight_only import QTensor, QTensor4, QTensorG
 from .decode_mlp import _pick_block
 
-__all__ = ["fused_qkv_rope", "qkv_rope_reference"]
+__all__ = ["fused_qkv_rope", "fusable_weight", "qkv_rope_reference"]
+
+
+def fusable_weight(w) -> bool:
+    """int4 forms stay on the XLA dense() path: the kernel has no
+    group-scale epilogue (QTensorG), and an in-kernel nibble unpack
+    (QTensor4) would be cast-rate-bound at ~2x the ops of the s8 cast
+    (NOTES.md); plain arrays and int8 QTensors fuse."""
+    return not isinstance(w, (QTensor4, QTensorG))
 
 
 def _norm_rope(seg, w, cos, sin, heads, head_dim, eps):

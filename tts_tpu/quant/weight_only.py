@@ -19,8 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QTensor", "QTensor4", "quantize_int8", "quantize_int4",
-           "dequantize", "dense", "quantize_pytree"]
+__all__ = ["QTensor", "QTensor4", "QTensorG", "quantize_int8",
+           "quantize_int4", "dequantize", "dense", "quantize_pytree"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -48,7 +48,13 @@ class QTensor:
 class QTensor4:
     """Group-wise symmetric int4, two nibbles packed per int8 along the
     input axis: w[2g] in the low nibble, w[2g+1] in the high nibble.
-    q: (in//2, out) int8 packed; scale: (in//group_size, out) float32."""
+    q: (in//2, out) int8 packed; scale: (in//group_size, out) float32.
+
+    This is the STORAGE form (artifacts at 0.5 byte/param). The decode
+    hot loops run the unpacked QTensorG form — XLA cannot keep the
+    nibble unpack fused into real-size matvec reads (the unpacked
+    intermediate spills to HBM per step; measured 98 vs 1128 tok/s on
+    the Kani decode), so quantize_pytree unpacks at load."""
 
     q: jax.Array
     scale: jax.Array
@@ -57,6 +63,40 @@ class QTensor4:
     @property
     def dtype(self):
         return self.scale.dtype
+
+    def unpack_runtime(self) -> "QTensorG":
+        return QTensorG(q=_unpack_int4_int8(self), scale=self.scale,
+                        group_size=self.group_size)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["q", "scale"], meta_fields=["group_size"])
+@dataclasses.dataclass
+class QTensorG:
+    """Group-wise symmetric int4 in RUNTIME form: values unpacked to an
+    int8 container (1 byte/param streamed per decode step — int8-speed),
+    scales applied per group AFTER the contraction. q: (in, out) int8 in
+    [-7, 7]; scale: (in//group_size, out) float32. Re-packs losslessly
+    to QTensor4 for artifacts (weights/save.py)."""
+
+    q: jax.Array
+    scale: jax.Array
+    group_size: int = 32
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.scale.dtype
+
+    def pack(self) -> QTensor4:
+        q = jnp.asarray(self.q, jnp.int8)
+        lo = q[0::2] & 0x0F
+        hi = (q[1::2] & 0x0F) << 4
+        return QTensor4(q=(lo | hi).astype(jnp.int8), scale=self.scale,
+                        group_size=self.group_size)
 
 
 def quantize_int8(w: jax.Array) -> QTensor:
@@ -87,8 +127,14 @@ def quantize_int4(w: jax.Array, group_size: int = 32) -> QTensor4:
                     group_size=group_size)
 
 
-def _unpack_int4(qt: QTensor4) -> jax.Array:
-    """Packed (in//2, out) -> dequantized fp32 (in, out)."""
+def _unpack_int4_int8(qt: QTensor4) -> jax.Array:
+    """Packed (in//2, out) -> integer (in, out) int8 (values in [-7, 7],
+    scales NOT applied). Pure integer ops: XLA hoists this out of decode
+    while_loops as a loop-invariant, so the in-loop weight traffic is
+    1 byte/param — the int8-speed path. (The old form multiplied the
+    fp32 group scales into the unpacked matrix; that multiply stayed
+    INSIDE the decode loop and streamed 4 bytes/param every token —
+    measured 98 tok/s vs 1128 int8 on the Kani decode.)"""
     raw = qt.q.astype(jnp.int32)
     lo = (raw & 0x0F)
     hi = ((raw >> 4) & 0x0F)
@@ -96,10 +142,17 @@ def _unpack_int4(qt: QTensor4) -> jax.Array:
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
     cin2, cout = qt.q.shape
-    q = jnp.stack([lo, hi], axis=1).reshape(2 * cin2, cout)
+    return jnp.stack([lo, hi], axis=1).reshape(2 * cin2, cout
+                                               ).astype(jnp.int8)
+
+
+def _unpack_int4(qt: QTensor4) -> jax.Array:
+    """Packed (in//2, out) -> dequantized fp32 (in, out)."""
     g = qt.group_size
+    q = _unpack_int4_int8(qt)
+    cout = q.shape[1]
     return (q.reshape(-1, g, cout).astype(jnp.float32)
-            * qt.scale[:, None]).reshape(2 * cin2, cout)
+            * qt.scale[:, None]).reshape(q.shape[0], cout)
 
 
 def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
@@ -120,7 +173,20 @@ def dense(x: jax.Array, w) -> jax.Array:
         y = jnp.matmul(x, w.q.astype(x.dtype))
         return y * w.scale.astype(x.dtype)
     if isinstance(w, QTensor4):
-        return jnp.matmul(x, _unpack_int4(w).astype(x.dtype))
+        w = w.unpack_runtime()    # storage form reached a matmul directly
+    if isinstance(w, QTensorG):
+        # group-partial dots with the scales applied AFTER the contraction:
+        # y = sum_g scale[g] * (x_g @ q_g) — same math as
+        # dequantize-then-matmul (reassociated); only int8 values stream.
+        cin, cout = w.q.shape
+        g = w.group_size
+        xg = x.reshape(*x.shape[:-1], cin // g, g)
+        partial = jnp.einsum(
+            "...gk,gkn->...gn", xg.astype(x.dtype),
+            w.q.reshape(cin // g, g, cout).astype(x.dtype),
+            preferred_element_type=jnp.float32)       # (..., G, out)
+        y = jnp.sum(partial * w.scale, axis=-2)
+        return y.astype(x.dtype)
     return jnp.matmul(x, w)
 
 
@@ -142,7 +208,10 @@ def quantize_pytree(params, keys: tuple[str, ...] = _DEFAULT_KEYS,
 
     def quant(v):
         if bits == 4 and v.ndim == 2 and v.shape[0] % group_size == 0:
-            return quantize_int4(v, group_size)
+            # runtime form: int8-container values + group scales (the
+            # packed QTensor4 is the artifact format; weights/save.py
+            # re-packs on save)
+            return quantize_int4(v, group_size).unpack_runtime()
         return quantize_int8(v)
 
     def walk(node):

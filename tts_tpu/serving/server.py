@@ -10,10 +10,19 @@ batched entry points (synthesize_ids_batch / synthesize_from_prefill_batch
 
 HTTP surface (serve_http):
   POST /synthesize   {"ids": [[...int...]], ...}  -> audio/wav bytes
-  GET  /stats        -> JSON BatchStats snapshot
+  POST /stream       same body -> chunked audio/L16 PCM (when the server
+                     was built with a stream_fn, e.g. Qwen's
+                     synthesize_streaming generator); the first chunk
+                     flushes as soon as the model emits it, and the
+                     response header X-TTFA-MS carries the measured
+                     time-to-first-audio
+  GET  /stats        -> JSON BatchStats snapshot (+ streaming TTFA)
 The JSON request body is decoded into the server's `request_from_json`
 (default: np.int32 array of ids) so family-specific adapters can accept
-richer payloads.
+richer payloads. Streamed requests bypass the micro-batcher (a generator
+holds its decode loop for the whole utterance); JAX dispatch is
+thread-safe, so concurrent batch traffic stays correct and merely shares
+the chip.
 """
 from __future__ import annotations
 
@@ -37,10 +46,12 @@ class TTSServer:
     def __init__(self, batch_fn, *, sample_rate: int, pad_request=None,
                  max_batch: int = 8, max_wait_ms: float = 10.0,
                  batch_sizes: tuple[int, ...] = (1, 2, 4, 8),
-                 request_from_json=None):
+                 request_from_json=None, stream_fn=None):
         self.sample_rate = sample_rate
         self.request_from_json = request_from_json or (
             lambda body: np.asarray(body["ids"], np.int32))
+        self.stream_fn = stream_fn   # request -> iterator of int16 chunks
+        self.ttfa_ms: list[float] = []
         self.batcher = MicroBatcher(
             batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
             batch_sizes=batch_sizes, pad_request=pad_request)
@@ -73,7 +84,12 @@ class TTSServer:
         return self.batcher.submit(request).result(timeout=timeout)
 
     def stats(self) -> dict:
-        return self.batcher.stats.snapshot()
+        s = self.batcher.stats.snapshot()
+        if self.ttfa_ms:
+            s["streams"] = len(self.ttfa_ms)
+            s["mean_ttfa_ms"] = round(
+                sum(self.ttfa_ms) / len(self.ttfa_ms), 3)
+        return s
 
     def close(self) -> None:
         self.batcher.close()
@@ -115,19 +131,48 @@ def serve_http(server: TTSServer, host: str = "127.0.0.1", port: int = 0,
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            if self.path != "/synthesize":
-                self._send(404, b"not found", "text/plain")
-                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 request = server.request_from_json(payload)
-                wav = server.synthesize(request)
-                self._send(200, _wav_bytes(wav, server.sample_rate),
-                           "audio/wav")
+                if self.path == "/synthesize":
+                    wav = server.synthesize(request)
+                    self._send(200, _wav_bytes(wav, server.sample_rate),
+                               "audio/wav")
+                elif self.path == "/stream" and server.stream_fn is not None:
+                    self._stream(request)
+                else:
+                    self._send(404, b"not found", "text/plain")
             except Exception as e:
                 body = json.dumps({"error": str(e)[:500]}).encode()
                 self._send(500, body, "application/json")
+
+        def _stream(self, request) -> None:
+            import time
+
+            t0 = time.perf_counter()
+            chunks = server.stream_fn(request)
+            first = next(chunks, None)       # block until first audio
+            ttfa = (time.perf_counter() - t0) * 1e3
+            server.ttfa_ms.append(ttfa)
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"audio/L16; rate={server.sample_rate}")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("X-TTFA-MS", f"{ttfa:.1f}")
+            self.end_headers()
+
+            def emit(chunk) -> None:
+                data = np.asarray(chunk, np.int16).tobytes()
+                self.wfile.write(f"{len(data):x}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+                self.wfile.flush()
+
+            if first is not None:
+                emit(first)
+            for chunk in chunks:
+                emit(chunk)
+            self.wfile.write(b"0\r\n\r\n")
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=httpd.serve_forever, daemon=True,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..quant.weight_only import QTensor, QTensor4
+from ..quant.weight_only import QTensor, QTensor4, QTensorG
 
 __all__ = ["save_params", "load_params", "config_to_dict", "config_from_dict"]
 
@@ -28,6 +28,13 @@ def _flatten(node, prefix, out):
     elif isinstance(node, QTensor):
         out[f"{prefix}{_SEP}q8.q"] = np.asarray(node.q)
         out[f"{prefix}{_SEP}q8.scale"] = np.asarray(node.scale)
+    elif isinstance(node, QTensorG):
+        # runtime int4 re-packs to nibbles for the artifact (0.5 B/param);
+        # load_params unpacks back to the runtime form
+        packed = node.pack()
+        out[f"{prefix}{_SEP}q4r.q"] = np.asarray(packed.q)
+        out[f"{prefix}{_SEP}q4r.scale"] = np.asarray(packed.scale)
+        out[f"{prefix}{_SEP}q4r.group"] = np.asarray(packed.group_size)
     elif isinstance(node, QTensor4):
         out[f"{prefix}{_SEP}q4.q"] = np.asarray(node.q)
         out[f"{prefix}{_SEP}q4.scale"] = np.asarray(node.scale)
@@ -95,6 +102,11 @@ def load_params(path: str, device: bool = True):
         if "q8.q" in fields:
             val = QTensor(q=jnp.asarray(fields["q8.q"]),
                           scale=jnp.asarray(fields["q8.scale"]))
+        elif "q4r.q" in fields:
+            val = QTensor4(q=jnp.asarray(fields["q4r.q"]),
+                           scale=jnp.asarray(fields["q4r.scale"]),
+                           group_size=int(fields["q4r.group"])
+                           ).unpack_runtime()
         else:
             val = QTensor4(q=jnp.asarray(fields["q4.q"]),
                            scale=jnp.asarray(fields["q4.scale"]),
