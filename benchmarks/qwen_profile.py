@@ -163,6 +163,9 @@ VARIANTS = {
                                      use_ntl=False, fused="mlp"),
     "talker_fattn": lambda p, c: body(p, c, use_pred=False, use_logits=False,
                                       use_ntl=False, fused="attn"),
+    # W8A8 tail + fused qkv head (--q8 weights required; output-changing)
+    "talker_fq8": lambda p, c: body(p, c, use_pred=False, use_logits=False,
+                                    use_ntl=False, fused="mlp_q8"),
     "full_fused": lambda p, c: body(p, c, fused=True, pfused=True),
 }
 

@@ -38,6 +38,44 @@ def test_fused_out_mlp_matches_chain(quant, b, a, h, f):
                                atol=3e-5, rtol=2e-4)
 
 
+def test_fused_out_mlp_q8_matches_w8a8_reference():
+    """W8A8 tail vs an op-for-op numpy-level W8A8 reference (per-row
+    activation quantization, s8 x s8 int32 dots, group rescales)."""
+    from tts_tpu.ops.decode_mlp import fused_out_mlp_q8
+
+    b, a, h, f = 2, 512, 256, 384
+    keys = jax.random.split(jax.random.key(11), 5)
+    x = _rand(keys[0], (b, h), 0.1)
+    att = _rand(keys[1], (b, a), 0.1)
+    wo = quantize_int8(_rand(keys[2], (a, h)))
+    wgu = quantize_int8(_rand(keys[3], (h, 2 * f)))
+    wd = quantize_int8(_rand(keys[4], (f, h)))
+
+    def rowq(v):
+        s = jnp.maximum(jnp.max(jnp.abs(v), -1, keepdims=True), 1e-8) / 127.
+        return jnp.clip(jnp.round(v / s), -127, 127).astype(jnp.int8), s
+
+    aq, ats = rowq(att.astype(jnp.float32))
+    y = jnp.matmul(aq.astype(jnp.int32), wo.q.astype(jnp.int32)
+                   ).astype(jnp.float32) * ats * wo.scale
+    x2 = x + y.astype(x.dtype)
+    xf = x2.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + 1e-6)
+    hq, hs = rowq(n)
+    gu = jnp.matmul(hq.astype(jnp.int32), wgu.q.astype(jnp.int32)
+                    ).astype(jnp.float32) * hs * wgu.scale
+    g, u = gu[:, :f], gu[:, f:]
+    av = jax.nn.silu(g) * u
+    vq, vs = rowq(av)   # single F block at this size -> per-row == per-block
+    y2 = jnp.matmul(vq.astype(jnp.int32), wd.q.astype(jnp.int32)
+                    ).astype(jnp.float32) * vs
+    ref = x2 + (y2 * wd.scale).astype(x2.dtype)
+
+    out = fused_out_mlp_q8(x, att, wo, wgu, wd, eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_fused_out_mlp_rejects_mixed_quantization():
     from tts_tpu.ops.decode_mlp import fused_out_mlp
 

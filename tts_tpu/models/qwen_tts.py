@@ -131,9 +131,17 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
     #     mostly-idle grid steps/layer cost more than the dense-bucket
     #     read they save once the pipeline buckets KV snugly).
     from ..ops.decode_qkv import fusable_weight
-    fuse_qkv = fused in (True, "all", "qkv") and all(
+    fuse_qkv = fused in (True, "all", "qkv", "mlp_q8") and all(
         fusable_weight(p["wqkv"]) for p in params["layers"])
     fuse_mlp = fused in ("all", "mlp")
+    # W8A8 tail (fused="mlp_q8"): s8 x s8 MXU dots, no weight casts —
+    # OUTPUT-CHANGING (activations quantize per row; the reference's ORT
+    # dynamic-quant Q8 analog), so never on by default; needs int8
+    # QTensor weights
+    from ..quant.weight_only import QTensor
+    fuse_mlp_q8 = fused == "mlp_q8" and all(
+        isinstance(p["wo"], QTensor) and isinstance(p["w_gate_up"], QTensor)
+        and isinstance(p["w_down"], QTensor) for p in params["layers"])
     # clamped-read decode attention needs a shared kv_len (no per-row
     # validity masks) and a block-divisible bucket
     fuse_attn = (fused in ("all", "attn") and kv_valid is None
@@ -175,7 +183,14 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
                 pos + 1, interpret=_interpret).reshape(b, 1, -1)
         else:
             out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
-        if fuse_mlp:
+        if fuse_mlp_q8:
+            from ..ops.decode_mlp import fused_out_mlp_q8
+
+            x = fused_out_mlp_q8(x[:, 0], out[:, 0], p["wo"],
+                                 p["w_gate_up"], p["w_down"],
+                                 eps=cfg.rms_eps,
+                                 interpret=_interpret)[:, None]
+        elif fuse_mlp:
             from ..ops.decode_mlp import fused_out_mlp
 
             x = fused_out_mlp(x[:, 0], out[:, 0], p["wo"], p["w_gate_up"],

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.weight_only import QTensor
 
-__all__ = ["fused_out_mlp", "out_mlp_reference"]
+__all__ = ["fused_out_mlp", "fused_out_mlp_q8", "out_mlp_reference"]
 
 
 def _pick_block(dim: int, target: int = 512, mult: int = 128) -> int:
@@ -219,6 +219,142 @@ def _no_scale_kernel(x_ref, att_ref, wo_ref, wg_ref, wu_ref, wd_ref,
     _kernel(x_ref, att_ref, wo_ref, wg_ref, wu_ref, wd_ref,
             None, None, None, None, o_ref, acc_ref, x2_ref, h2_ref,
             nb_o=nb_o, nb_f=nb_f, eps=eps)
+
+
+def _kernel_q8(x_ref, attq_ref, ats_ref, wo_ref, wg_ref, wu_ref, wd_ref,
+               so_ref, sg_ref, su_ref, sd_ref, o_ref,
+               acc_ref, accf_ref, x2_ref, h2q_ref, hs_ref,
+               *, nb_o, nb_f, eps):
+    """W8A8 tail: weights stay s8 in VMEM and every dot runs s8 x s8
+    with int32 accumulation — no per-block s8->bf16 weight casts.
+    Activations quantize per row (att on the XLA side — the row spans
+    blocks; h2 in-kernel at the boundary; the silu product per F-block).
+    Output-changing (the reference's ORT dynamic-quant Q8 analog), so
+    opt-in via fused="mlp_q8".
+
+    Status: ALSO a measured net loss at M=1 (Qwen talker step 1.24 ms
+    with the fused qkv head alone -> 1.68 ms adding this tail) — so the
+    weight-cast theory does not explain the whole weight-only-kernel
+    gap; at single-row occupancy the s8 dots apparently lower to
+    VPU-integer multiply-reduce, which is slower than XLA's
+    convert-in-matvec fp chain. The decode MLP tail stays on XLA; this
+    kernel remains a tested lever for batched (M >= 8) serving where the
+    int8 MXU path engages."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        accf_ref[...] = jnp.zeros_like(accf_ref)
+
+    @pl.when(j < nb_o)
+    def _():
+        acc_ref[...] += jax.lax.dot_general(
+            attq_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    @pl.when(j == nb_o - 1)
+    def _():
+        x = x_ref[...]
+        y = acc_ref[...].astype(jnp.float32) * ats_ref[..., :1] \
+            * so_ref[...]
+        x2 = x + y.astype(x.dtype)
+        x2_ref[...] = x2
+        xf = x2.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        n = xf * jax.lax.rsqrt(var + eps)
+        amax = jnp.max(jnp.abs(n), axis=-1, keepdims=True)
+        hs = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        h2q_ref[...] = jnp.clip(jnp.round(n / hs), -127, 127
+                                ).astype(jnp.int8)
+        hs_ref[...] = jnp.broadcast_to(hs, hs_ref.shape)
+
+    @pl.when(j >= nb_o)
+    def _():
+        h2q = h2q_ref[...]
+        hs = hs_ref[..., :1]
+        g = jax.lax.dot_general(
+            h2q, wg_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * hs * sg_ref[...]
+        u = jax.lax.dot_general(
+            h2q, wu_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * hs * su_ref[...]
+        a = jax.nn.silu(g) * u                          # (B, Fb) fp32
+        amax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+        as_ = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        aq = jnp.clip(jnp.round(a / as_), -127, 127).astype(jnp.int8)
+        accf_ref[...] += jax.lax.dot_general(
+            aq, wd_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * as_
+
+    @pl.when(j == nb_o + nb_f - 1)
+    def _():
+        x2 = x2_ref[...]
+        o_ref[...] = x2 + (accf_ref[...] * sd_ref[...]).astype(x2.dtype)
+
+
+def fused_out_mlp_q8(x: jax.Array, att: jax.Array, wo, w_gate_up, w_down,
+                     *, eps: float = 1e-6, interpret: bool = False
+                     ) -> jax.Array:
+    """W8A8 decode tail (see _kernel_q8). All three weights must be int8
+    QTensors. att is quantized per row here (XLA fuses the amax/scale into
+    the producing ops)."""
+    b, hd = x.shape
+    a_dim = att.shape[1]
+    if not (isinstance(wo, QTensor) and isinstance(w_gate_up, QTensor)
+            and isinstance(w_down, QTensor)):
+        raise ValueError("fused_out_mlp_q8 needs int8 QTensor weights")
+    f_dim = w_down.q.shape[0]
+    ab = _pick_block(a_dim)
+    fb = _pick_block(f_dim)
+    nb_o, nb_f = a_dim // ab, f_dim // fb
+
+    af = att.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(af), axis=-1, keepdims=True)
+    ats = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)       # (B, 1)
+    attq = jnp.clip(jnp.round(af / ats), -127, 127).astype(jnp.int8)
+    ats = jnp.broadcast_to(ats, (b, 128))
+
+    wg_w, wu_w = w_gate_up.q[:, :f_dim], w_gate_up.q[:, f_dim:]
+    specs = [
+        pl.BlockSpec((b, hd), lambda j: (0, 0)),                  # x
+        pl.BlockSpec((b, ab), lambda j: (0, jnp.minimum(j, nb_o - 1))),
+        pl.BlockSpec((b, 128), lambda j: (0, 0)),                 # ats
+        pl.BlockSpec((ab, hd), lambda j: (jnp.minimum(j, nb_o - 1), 0)),
+        pl.BlockSpec((hd, fb), lambda j: (0, jnp.maximum(j - nb_o, 0))),
+        pl.BlockSpec((hd, fb), lambda j: (0, jnp.maximum(j - nb_o, 0))),
+        pl.BlockSpec((fb, hd), lambda j: (jnp.maximum(j - nb_o, 0), 0)),
+        pl.BlockSpec((1, hd), lambda j: (0, 0)),                  # so
+        pl.BlockSpec((1, fb), lambda j: (0, jnp.maximum(j - nb_o, 0))),
+        pl.BlockSpec((1, fb), lambda j: (0, jnp.maximum(j - nb_o, 0))),
+        pl.BlockSpec((1, hd), lambda j: (0, 0)),                  # sd
+    ]
+    args = [x, attq, ats, wo.q, wg_w, wu_w, w_down.q,
+            wo.scale.reshape(1, hd),
+            w_gate_up.scale[:f_dim].reshape(1, f_dim),
+            w_gate_up.scale[f_dim:].reshape(1, f_dim),
+            w_down.scale.reshape(1, hd)]
+
+    return pl.pallas_call(
+        functools.partial(_kernel_q8, nb_o=nb_o, nb_f=nb_f, eps=eps),
+        grid=(nb_o + nb_f,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((b, hd), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hd), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b, hd), jnp.int32),       # int32 out-proj accum
+            pltpu.VMEM((b, hd), jnp.float32),     # fp32 down accum
+            pltpu.VMEM((b, hd), x.dtype),         # x2
+            pltpu.VMEM((b, hd), jnp.int8),        # quantized h2
+            pltpu.VMEM((b, 128), jnp.float32),    # h2 row scale
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*args)
 
 
 def out_mlp_reference(x, att, wo, w_gate_up, w_down, *, eps=1e-6):
