@@ -158,6 +158,52 @@ def test_http_streaming_endpoint():
         srv.close()
 
 
+def test_http_streaming_real_qwen_pipeline():
+    """End-to-end: the tiny Qwen pipeline's synthesize_streaming generator
+    through the chunked HTTP endpoint — streamed PCM must equal the
+    concatenated generator chunks (greedy decode is deterministic)."""
+    import jax
+
+    from tests.test_qwen import TINY, TINY_CODEC
+    from tts_tpu.models.qwen_codec import init_decoder_params
+    from tts_tpu.models.qwen_tts import (init_predictor_params,
+                                         init_talker_params)
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    params = {**init_talker_params(TINY, jax.random.key(0)),
+              **init_predictor_params(TINY, jax.random.key(1))}
+    cparams = init_decoder_params(TINY_CODEC, jax.random.key(2))
+    pipe = QwenTTSPipeline(params, TINY, cparams, TINY_CODEC,
+                           QwenDecodeConfig(max_frames=8))
+    ids = np.array([[5, 9, 13, 2]], np.int32)
+    prefill, trailing = pipe.build_prefill_embeds(ids, language_id=3)
+    ref = np.concatenate(list(pipe.synthesize_streaming(
+        prefill, trailing, chunk_frames=3, window=4, left_context=2)))
+
+    def stream_fn(request):
+        p, t = request
+        return pipe.synthesize_streaming(p, t, chunk_frames=3, window=4,
+                                         left_context=2)
+
+    srv = TTSServer(_echo_batch, sample_rate=24000, batch_sizes=(1,),
+                    max_batch=1, stream_fn=stream_fn,
+                    request_from_json=lambda body: (prefill, trailing))
+    httpd = serve_http(srv)
+    host, port = httpd.server_address
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/stream", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            ttfa = float(r.headers["X-TTFA-MS"])
+            pcm = np.frombuffer(r.read(), np.int16)
+        np.testing.assert_array_equal(pcm, ref)
+        assert ttfa > 0
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
 def test_http_round_trip(kani_pipe):
     pipe, _ = kani_pipe
     pad = np.array([[1, 2]], np.int32)
