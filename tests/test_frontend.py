@@ -188,15 +188,18 @@ def test_indextts_tokenizer_raises_without_model():
         IndexTTSTokenizer()
 
 
-def test_indextts_tokenizer_missing_sp_package_raises(tmp_path):
+def test_indextts_tokenizer_invalid_model_raises(tmp_path):
+    """Without the sentencepiece wheel the self-contained reader
+    (frontend/spm.py) handles real .model files; an unparseable one must
+    still fail loudly rather than silently degrade."""
     try:
         import sentencepiece  # noqa: F401
-        pytest.skip("sentencepiece installed — degraded path unreachable")
+        pytest.skip("sentencepiece installed — reader path unreachable")
     except ImportError:
         pass
     fake = tmp_path / "bpe.model"
     fake.write_bytes(b"")
-    with pytest.raises(RuntimeError, match="sentencepiece"):
+    with pytest.raises(ValueError, match="ModelProto"):
         IndexTTSTokenizer(str(fake))
 
 

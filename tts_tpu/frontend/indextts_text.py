@@ -8,10 +8,11 @@ is normalized through a replacement map (:596+), token sequences are split
 into sentences at punctuation tokens with a max-length bound and short
 sentences merged (:924-1010).
 
-sentencepiece is optional in this environment. Without the BPE model the
-char-level fallback produces DIFFERENT token ids than the upstream
-tokenizer, so it is opt-in (`allow_degraded=True`) and warns; the default
-raises so real checkpoints never silently get garbage ids.
+The sentencepiece wheel is optional: given a real `.model` file the
+self-contained reader (`frontend/spm.py`) produces the exact upstream
+token ids without it. Only the no-model-at-all path degrades to a
+char-level vocabulary, which is opt-in (`allow_degraded=True`) and warns;
+the default raises so real checkpoints never silently get garbage ids.
 """
 from __future__ import annotations
 
@@ -126,10 +127,11 @@ def normalize_text(text: str) -> str:
 class IndexTTSTokenizer:
     """sentencepiece BPE with CJK pre-tokenization.
 
-    Degradation policy: without a loadable BPE model (no path, or
-    sentencepiece missing) and without an explicit `vocab`, token ids
-    cannot match the upstream tokenizer (reference
-    Export_IndexTTS.py:809-1010) — that path raises unless
+    Model loading order: the sentencepiece library if importable, else the
+    self-contained reader (`frontend/spm.py`) — both give exact upstream
+    ids from a real `.model` file (reference Export_IndexTTS.py:809-1010).
+    Degradation policy: with no model and no explicit `vocab`, token ids
+    cannot match the upstream tokenizer — that path raises unless
     `allow_degraded=True`, which warns and uses a char-level vocabulary
     (pipeline mechanics identical, ids different)."""
 
@@ -145,14 +147,13 @@ class IndexTTSTokenizer:
                 self.sp = spm.SentencePieceProcessor()
                 self.sp.Load(bpe_model_path)
             except ImportError:
-                if not allow_degraded:
-                    raise RuntimeError(
-                        "sentencepiece is not installed but a BPE model path"
-                        f" was given ({bpe_model_path!r}); token ids would"
-                        " silently differ from the upstream tokenizer."
-                        " Install sentencepiece, or pass allow_degraded=True"
-                        " for a char-level fallback."
-                    ) from None
+                # the library is optional: the self-contained reader
+                # (frontend/spm.py) parses the .model protobuf and encodes
+                # with the same BPE/unigram algorithms — exact ids, not a
+                # degraded path.
+                from .spm import SentencePieceModel
+
+                self.sp = SentencePieceModel.load(bpe_model_path)
         if self.sp is None and self.vocab is None:
             if not allow_degraded:
                 raise RuntimeError(
