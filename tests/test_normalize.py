@@ -195,3 +195,37 @@ def test_zh_long_ids_digit_wise():
 
 def test_zh_no_digits_untouched():
     assert zh_normalize_numbers("你好，世界！") == "你好，世界！"
+
+
+def test_year_range_not_read_as_phone():
+    from tts_tpu.frontend.normalize import normalize_numbers
+
+    out = normalize_numbers("The 1980-1990 era")
+    assert out == "The nineteen eighty to nineteen ninety era"
+    # adjacent independent 4-digit numbers are not a phone either
+    out2 = normalize_numbers("In 1999 2000 people came")
+    assert "nine, two" not in out2 and "zero" not in out2
+
+
+def test_phone_shapes_still_read_as_digits():
+    from tts_tpu.frontend.normalize import normalize_numbers
+
+    assert normalize_numbers("call 555-123-4567") == (
+        "call five five five, one two three, four five six seven")
+    assert normalize_numbers("dial +86 138 1234 5678").startswith("dial plus")
+    assert normalize_numbers("(212) 555-0199") == (
+        "two one two, five five five, zero one nine nine")
+    assert normalize_numbers("call 555-0199") == (
+        "call five five five, zero one nine nine")
+
+
+def test_large_currency_beats_digit_string():
+    from tts_tpu.frontend.normalize import normalize_numbers
+
+    out = normalize_numbers("It cost $1234567 total")
+    assert "$" not in out
+    assert out == ("It cost one million two hundred thirty four thousand"
+                   " five hundred sixty seven dollars total")
+    # bare long digit strings still read digit-by-digit
+    assert normalize_numbers("id 12345678") == (
+        "id one two three four five six seven eight")

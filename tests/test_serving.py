@@ -238,3 +238,90 @@ def test_http_round_trip(kani_pipe):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_http_streaming_is_http11():
+    """Chunked transfer-encoding requires HTTP/1.1: an HTTP/1.0 status
+    line makes conforming clients ignore chunk framing and deliver the
+    hex size lines as audio bytes."""
+    def stream_fn(request):
+        yield np.full((16,), 7, np.int16)
+
+    srv = TTSServer(_echo_batch, sample_rate=24000, batch_sizes=(1,),
+                    max_batch=1, stream_fn=stream_fn)
+    httpd = serve_http(srv)
+    host, port = httpd.server_address
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("POST", "/stream",
+                     body=json.dumps({"ids": [[1]]}).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.version == 11, "response must be HTTP/1.1 for chunked"
+        assert resp.headers["Transfer-Encoding"] == "chunked"
+        pcm = np.frombuffer(resp.read(), np.int16)
+        np.testing.assert_array_equal(pcm, np.full((16,), 7, np.int16))
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_http_stream_error_midway_truncates_not_injects():
+    """A generator failure after audio has been sent must surface as a
+    truncated chunked stream (protocol error at the client), never as a
+    500 status line spliced into the PCM bytes."""
+    def stream_fn(request):
+        yield np.full((16,), 3, np.int16)
+        raise RuntimeError("device fell over")
+
+    srv = TTSServer(_echo_batch, sample_rate=24000, batch_sizes=(1,),
+                    max_batch=1, stream_fn=stream_fn)
+    httpd = serve_http(srv)
+    host, port = httpd.server_address
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("POST", "/stream",
+                     body=json.dumps({"ids": [[1]]}).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200          # headers were already committed
+        with pytest.raises(http.client.HTTPException):
+            resp.read()                     # truncated chunk stream
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_stats_do_not_grow_memory_per_batch():
+    """occupancy/ttfa are running sums, not unbounded lists."""
+    srv = TTSServer(_echo_batch, sample_rate=24000, batch_sizes=(1,),
+                    max_batch=1)
+    try:
+        for _ in range(5):
+            srv.synthesize(np.array([1]))
+        for _ in range(4):
+            srv.record_ttfa(10.0)
+        s = srv.stats()
+        assert s["batches"] == 5 and s["mean_occupancy"] == 1.0
+        assert s["streams"] == 4 and s["mean_ttfa_ms"] == 10.0
+        assert not any(isinstance(v, list)
+                       for v in vars(srv.batcher.stats).values())
+    finally:
+        srv.close()
+
+
+def test_cli_ladder_includes_max_batch():
+    """--max-batch values off the power-of-two ladder must still build a
+    valid MicroBatcher (regression: --max-batch 6 crashed at startup)."""
+    for mb in (1, 2, 3, 5, 6, 7, 8):
+        sizes = tuple(sorted({s for s in (1, 2, 4, 8) if s < mb} | {mb}))
+        b = MicroBatcher(_echo_batch, max_batch=mb, batch_sizes=sizes,
+                         pad_request=0)
+        assert b.submit(21).result(timeout=10) == 42
+        b.close()

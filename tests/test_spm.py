@@ -253,3 +253,18 @@ def test_invalid_model_bytes_raise(tmp_path):
         SentencePieceModel.from_bytes(b"")          # no pieces
     with pytest.raises(ValueError, match="ModelProto"):
         SentencePieceModel.from_bytes(b"\xff\xff\xff\xff\x0f garbage")
+
+
+def test_text_cannot_inject_control_tokens():
+    """A surface spelling a CONTROL piece ('</s>') must resolve to unk,
+    never to the control id — otherwise user text injects EOS and stops
+    downstream AR decode early."""
+    pieces = [UNK, ("<s>", 0.0, 3), ("</s>", 0.0, 3), ("a", -1.0, 1),
+              ("b", -1.0, 1)]
+    for mt in (1, 2):   # unigram and BPE
+        m = SentencePieceModel.from_bytes(build_model(
+            pieces, model_type=mt, add_dummy_prefix=False))
+        ids = m.encode("a</s>b")
+        assert 2 not in ids and 1 not in ids
+        assert ids[0] == 3 and ids[-1] == 4
+        assert m.unk_id in ids

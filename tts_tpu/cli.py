@@ -398,8 +398,11 @@ def cmd_serve(args) -> None:
     srv = TTSServer.for_pipeline(
         pipe, pad, sample_rate=ccfg.sample_rate,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        batch_sizes=tuple(
-            s for s in (1, 2, 4, 8) if s <= args.max_batch))
+        # the ladder must contain max_batch itself (MicroBatcher contract),
+        # so --max-batch 6 yields (1, 2, 4, 6)
+        batch_sizes=tuple(sorted(
+            {s for s in (1, 2, 4, 8) if s < args.max_batch}
+            | {args.max_batch})))
     httpd = serve_http(srv, host=args.host, port=args.port)
     host, port = httpd.server_address
     print(f"serving on http://{host}:{port}  "

@@ -215,21 +215,31 @@ def _en_degrees(m) -> str:
 
 def normalize_numbers(text: str) -> str:
     """Expand numeric patterns to words (English). Precedence: dates >
-    times > phones > currency > percent > fractions > units > ordinals >
-    years > ranges > thousands-grouped > plain numbers."""
+    times > phones > currency > long digit strings > percent > fractions >
+    units > ordinals > year ranges > years > ranges > thousands-grouped >
+    plain numbers."""
     text = re.sub(r"\b(\d{4})[/-](\d{1,2})[/-](\d{1,2})\b", _en_date, text)
     text = re.sub(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b", _en_date_mdy, text)
     text = re.sub(
         r"\b(\d{1,2}):(\d{2})(?::(\d{2}))?\s*([ap]\.?m\.?)?\b",
         _en_time, text, flags=re.IGNORECASE)
+    # phone shapes only: leading + (international), >= 3 separated groups,
+    # or the US 3-3-4 — a bare pair like "1980-1990" is a year range /
+    # adjacent numbers, NOT a phone (it used to match here and be read as
+    # digit strings)
     text = re.sub(
-        r"(?<![\d\w])\+?\d{1,4}(?:[-. ]\d{3,4}){1,3}(?!\d)", _en_phone, text)
-    text = re.sub(r"(?<!\d)(\d{7,})(?!\d)",
-                  lambda m: _digits_words(m.group(1)), text)
+        r"(?<![\d\w])(?:\+\d{1,4}(?:[-. ]\d{2,4}){1,4}"
+        r"|\d{1,4}(?:[-. ]\d{3,4}){2,3}"
+        r"|\(\d{3}\)\s*\d{3}[-. ]\d{4}"
+        r"|\d{3}[-.]\d{4})(?!\d)", _en_phone, text)
     text = re.sub(
         r"([$€£¥￥])([\d,]+(?:\.\d+)?)"
         r"(?:\s*(trillion|billion|million|thousand))?",
         _en_currency, text)
+    # bare long digit strings (ids, account numbers) — after currency so
+    # $1234567 reads as an amount, not digits with a stranded '$'
+    text = re.sub(r"(?<!\d)(\d{7,})(?!\d)",
+                  lambda m: _digits_words(m.group(1)), text)
     text = re.sub(r"(\d+(?:\.\d+)?)%",
                   lambda m: _num_token_to_words(m.group(1)) + " percent",
                   text)
@@ -246,6 +256,11 @@ def normalize_numbers(text: str) -> str:
                   lambda m: "number " + _int_to_words(int(m.group(1))), text)
     text = re.sub(r"\b(\d+)(?:st|nd|rd|th)\b",
                   lambda m: _ordinal_words(int(m.group(1))), text)
+    # year ranges before single years, so "1980-1990" gets a spoken "to"
+    text = re.sub(
+        r"\b(1[1-9]\d{2}|20\d{2})\s*[-–]\s*(1[1-9]\d{2}|20\d{2})\b",
+        lambda m: f"{_year_words(int(m.group(1)))} to "
+                  f"{_year_words(int(m.group(2)))}", text)
     text = re.sub(r"\b(1[1-9]\d{2}|20\d{2})\b",
                   lambda m: _year_words(int(m.group(1))), text)
     text = re.sub(

@@ -315,11 +315,18 @@ class SentencePieceModel:
         raise ValueError(f"unsupported model_type {self.model_type}")
 
     def _finalize(self, segs: list[str]) -> list[int]:
-        """Surface strings -> ids, applying byte fallback for unknowns."""
+        """Surface strings -> ids, applying byte fallback for unknowns.
+
+        Only NORMAL/USER_DEFINED pieces are reachable from raw text —
+        a surface that happens to spell a CONTROL piece (user typing
+        '</s>') must NOT resolve to that id, or text could inject EOS
+        into the stream (matching sentencepiece, where control pieces
+        are never matched by the trie)."""
         ids: list[int] = []
         for s in segs:
             idx = self._piece_to_id.get(s)
-            if idx is not None and self.pieces[idx][2] not in (_UNKNOWN,):
+            if idx is not None and self.pieces[idx][2] in (_NORMAL,
+                                                           _USER_DEFINED):
                 ids.append(idx)
             elif self.byte_fallback:
                 for b in s.encode("utf-8"):

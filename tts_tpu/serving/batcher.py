@@ -17,7 +17,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = ["MicroBatcher", "BatchStats"]
 
@@ -32,11 +32,13 @@ class BatchStats:
     failures: int = 0
     total_queue_s: float = 0.0      # admission -> batch start
     total_batch_s: float = 0.0      # batch_fn wall
-    occupancy: list = field(default_factory=list)   # live rows per batch
+    # occupancy as a running sum (not a per-batch list): long-lived
+    # servers must not grow memory per batch
+    occupancy_sum: int = 0          # live rows summed over batches
 
     @property
     def mean_occupancy(self) -> float:
-        return sum(self.occupancy) / max(len(self.occupancy), 1)
+        return self.occupancy_sum / max(self.batches, 1)
 
     def snapshot(self) -> dict:
         return {
@@ -161,7 +163,7 @@ class MicroBatcher:
                 self.stats.requests += live
                 self.stats.padded_rows += target - live
                 self.stats.total_batch_s += wall
-                self.stats.occupancy.append(live)
+                self.stats.occupancy_sum += live
                 for (_, fut, t_in), res in zip(group, results):
                     self.stats.total_queue_s += start - t_in
                     fut.set_result(res)

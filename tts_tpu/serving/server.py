@@ -51,7 +51,11 @@ class TTSServer:
         self.request_from_json = request_from_json or (
             lambda body: np.asarray(body["ids"], np.int32))
         self.stream_fn = stream_fn   # request -> iterator of int16 chunks
-        self.ttfa_ms: list[float] = []
+        # running sum/count (not a list): a long-lived server must not
+        # grow memory per stream
+        self._ttfa_sum = 0.0
+        self._ttfa_n = 0
+        self._ttfa_lock = threading.Lock()
         self.batcher = MicroBatcher(
             batch_fn, max_batch=max_batch, max_wait_ms=max_wait_ms,
             batch_sizes=batch_sizes, pad_request=pad_request)
@@ -83,12 +87,16 @@ class TTSServer:
     def synthesize(self, request, timeout: float = 300.0) -> np.ndarray:
         return self.batcher.submit(request).result(timeout=timeout)
 
+    def record_ttfa(self, ttfa_ms: float) -> None:
+        with self._ttfa_lock:
+            self._ttfa_sum += ttfa_ms
+            self._ttfa_n += 1
+
     def stats(self) -> dict:
         s = self.batcher.stats.snapshot()
-        if self.ttfa_ms:
-            s["streams"] = len(self.ttfa_ms)
-            s["mean_ttfa_ms"] = round(
-                sum(self.ttfa_ms) / len(self.ttfa_ms), 3)
+        if self._ttfa_n:
+            s["streams"] = self._ttfa_n
+            s["mean_ttfa_ms"] = round(self._ttfa_sum / self._ttfa_n, 3)
         return s
 
     def close(self) -> None:
@@ -113,6 +121,11 @@ def serve_http(server: TTSServer, host: str = "127.0.0.1", port: int = 0,
     funneling into the shared MicroBatcher."""
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer-encoding (the /stream path) is an HTTP/1.1
+        # feature; the BaseHTTPRequestHandler default is HTTP/1.0, on
+        # which conforming clients ignore chunk framing and read to close
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):   # quiet; stats carry the signal
             pass
 
@@ -131,7 +144,8 @@ def serve_http(server: TTSServer, host: str = "127.0.0.1", port: int = 0,
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            try:
+            self._stream_started = False   # per-request (keep-alive reuses
+            try:                           # the handler instance)
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 request = server.request_from_json(payload)
@@ -144,6 +158,13 @@ def serve_http(server: TTSServer, host: str = "127.0.0.1", port: int = 0,
                 else:
                     self._send(404, b"not found", "text/plain")
             except Exception as e:
+                if getattr(self, "_stream_started", False):
+                    # headers + chunks already on the wire: a 500 status
+                    # line would be injected into the chunk stream. Drop
+                    # the connection without the terminating 0-chunk so
+                    # the client sees a truncated (= failed) stream.
+                    self.close_connection = True
+                    return
                 body = json.dumps({"error": str(e)[:500]}).encode()
                 self._send(500, body, "application/json")
 
@@ -154,7 +175,8 @@ def serve_http(server: TTSServer, host: str = "127.0.0.1", port: int = 0,
             chunks = server.stream_fn(request)
             first = next(chunks, None)       # block until first audio
             ttfa = (time.perf_counter() - t0) * 1e3
-            server.ttfa_ms.append(ttfa)
+            server.record_ttfa(ttfa)
+            self._stream_started = True
             self.send_response(200)
             self.send_header("Content-Type",
                              f"audio/L16; rate={server.sample_rate}")

@@ -187,6 +187,9 @@ def _rel_pos_table(d: int, max_len: int) -> np.ndarray:
 def indextts_perceiver_from_state_dict(sd: Mapping[str, np.ndarray],
                                        cfg: IndexTTSConfig,
                                        dtype=jnp.float32):
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "indextts-perceiver")
     h, hd = cfg.perceiver_heads, cfg.perceiver_dim_head
     scale = hd ** -0.25
     p = "perceiver_encoder"
@@ -223,9 +226,6 @@ def indextts_perceiver_from_state_dict(sd: Mapping[str, np.ndarray],
 
 def _bn_fold(sd, pre, dtype=jnp.float32, eps: float = 1e-5):
     """BatchNorm1d running stats -> per-channel (scale, shift)."""
-    from .loaders import CheckpointDict
-
-    sd = CheckpointDict.wrap(sd, "indextts-perceiver")
     g = np.asarray(sd[f"{pre}.weight"])
     b = np.asarray(sd[f"{pre}.bias"])
     mean = np.asarray(sd[f"{pre}.running_mean"])
@@ -238,6 +238,9 @@ def _bn_fold(sd, pre, dtype=jnp.float32, eps: float = 1e-5):
 def indextts_ecapa_from_state_dict(sd: Mapping[str, np.ndarray],
                                    cfg: IndexTTSConfig, dtype=jnp.float32):
     """speaker_encoder.* (speechbrain ECAPA-TDNN layout) -> ecapa pytree."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "indextts-ecapa")
     p = "speaker_encoder"
 
     def tdnn(pre):
