@@ -229,3 +229,12 @@ def test_large_currency_beats_digit_string():
     # bare long digit strings still read digit-by-digit
     assert normalize_numbers("id 12345678") == (
         "id one two three four five six seven eight")
+
+
+def test_zh_year_range_not_phone():
+    from tts_tpu.frontend.normalize import zh_normalize_numbers
+
+    out = zh_normalize_numbers("1980-1990期间")
+    assert out == "一千九百八十到一千九百九十期间"
+    # real grouped phone (>=3 groups) still reads 幺-style digits
+    assert zh_normalize_numbers("拨打400-123-4567") == "拨打四零零幺二三四五六七"

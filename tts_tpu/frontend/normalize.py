@@ -382,8 +382,10 @@ def zh_normalize_numbers(text: str) -> str:
     # phone numbers: 11-digit mobile / grouped digits, 幺 reading
     text = re.sub(r"(?<!\d)(1[3-9]\d{9})(?!\d)",
                   lambda m: _zh_digits(m.group(1), phone=True), text)
+    # grouped phones need >= 3 groups (or the 3-4 local shape): a bare
+    # 4-4 pair like 1980-1990 is a range, not a phone
     text = re.sub(
-        r"(?<!\d)(\d{3,4}(?:[- ]\d{3,4}){1,3})(?!\d)",
+        r"(?<!\d)(\d{3,4}(?:[- ]\d{3,4}){2,3}|\d{3}-\d{4})(?!\d)",
         lambda m: _zh_digits(re.sub(r"\D", "", m.group(1)), phone=True)
         if len(re.sub(r"\D", "", m.group(1))) >= 7 else m.group(0), text)
     # currency: ¥12.5 / $8 / 12.5元
