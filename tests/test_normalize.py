@@ -238,3 +238,58 @@ def test_zh_year_range_not_phone():
     assert out == "一千九百八十到一千九百九十期间"
     # real grouped phone (>=3 groups) still reads 幺-style digits
     assert zh_normalize_numbers("拨打400-123-4567") == "拨打四零零幺二三四五六七"
+
+
+# ----------------------------------------------------- round-3 edge families
+
+def test_ellipsis_folds_reference_order():
+    """The reference applies its char_rep_map as a single-pass ordered
+    alternation (Export_IndexTTS.py:593-628, :709-710): ',,,' and '……'
+    fold to '…', while '，，，' folds to ',,,' because the single-char
+    '，' key precedes it in the map."""
+    from tts_tpu.frontend.indextts_text import normalize_text
+
+    assert normalize_text("wait,,, ok") == "wait… ok"
+    assert normalize_text("等等……好") == "等等…好"
+    assert normalize_text("wait... ok") == "wait… ok"
+    assert normalize_text("等等，，，好") == "等等,,,好"
+
+
+def test_email_routes_to_zh_normalizer():
+    from tts_tpu.frontend.indextts_text import match_email, use_chinese
+
+    assert match_email("abc123@qq.com")
+    assert not match_email("not an email")
+    assert not match_email("a@b")          # needs a dotted tld
+    assert use_chinese("abc123@qq.com")    # email-only -> zh route
+    assert use_chinese("你好 world")
+    assert use_chinese("12345")            # no alpha -> zh route
+    assert use_chinese("xuan4 sound")      # pinyin tone -> zh route
+    assert not use_chinese("plain english 5 words")
+
+
+def test_email_verbalized_en():
+    from tts_tpu.frontend.normalize import normalize_numbers
+
+    out = normalize_numbers("mail john.doe@example.com today")
+    assert out == "mail john dot doe at example dot com today"
+    out = normalize_numbers("user42@site.co.uk")
+    assert out == "user four two at site dot co dot uk"
+
+
+def test_url_verbalized_en():
+    from tts_tpu.frontend.normalize import normalize_numbers
+
+    assert normalize_numbers("visit www.example.com now") == \
+        "visit www dot example dot com now"
+    assert normalize_numbers("see https://docs.foo.io/guide/intro") == \
+        "see docs dot foo dot io slash guide slash intro"
+    assert normalize_numbers("open example.com/a-b") == \
+        "open example dot com slash a dash b"
+
+
+def test_email_verbalized_zh():
+    from tts_tpu.frontend.normalize import zh_normalize_numbers
+
+    out = zh_normalize_numbers("发邮件到 ab12@qq.com 吧")
+    assert out == "发邮件到 ab 幺二 at qq dot com 吧" or "at qq dot com" in out

@@ -29,15 +29,45 @@ _CJK_RANGE = (
     r"︰-﹏･-ￜ\U00020000-\U0002FFFF])"
 )
 
+# Punctuation replacement map in the REFERENCE's exact key order
+# (Export_IndexTTS.py:593-628): the map is applied as a single-pass regex
+# alternation, and re picks the first (not longest) alternative, so order
+# is behavior — "，" precedes "，，，", meaning "，，，" folds to ",,," in
+# one pass while ",,," and "……" fold to "…".
 _CHAR_REP = {
     "：": ",", "；": ",", ";": ",", "，": ",", "。": ".", "！": "!",
-    "？": "?", "\n": " ", "·": "-", "、": ",", "...": "…", "$": ".",
+    "？": "?", "\n": " ", "·": "-", "、": ",",
+    "...": "…", ",,,": "…", "，，，": "…", "……": "…",
     "“": "'", "”": "'", '"': "'", "‘": "'", "’": "'", "（": "'",
     "）": "'", "(": "'", ")": "'", "《": "'", "》": "'", "【": "'",
     "】": "'", "[": "'", "]": "'", "—": "-", "～": "-", "~": "-",
     "「": "'", "」": "'", ":": ",",
 }
+# "$" is replaced only on the Chinese path (zh_char_rep_map :630-633); the
+# EN path leaves it for the number normalizer's currency expansion.
+_ZH_CHAR_REP = {"$": ".", **_CHAR_REP}
 _REP_PATTERN = re.compile("|".join(re.escape(p) for p in _CHAR_REP))
+_ZH_REP_PATTERN = re.compile("|".join(re.escape(p) for p in _ZH_CHAR_REP))
+
+# email shape 数字英文@数字英文.英文 (reference match_email :635-638); an
+# email-only string routes to the ZH normalizer like the reference's
+# use_chinese (:655-663)
+_EMAIL = re.compile(r"^[a-zA-Z0-9]+@[a-zA-Z0-9]+\.[a-zA-Z]+$")
+
+
+def match_email(text: str) -> bool:
+    return _EMAIL.match(text) is not None
+
+
+def use_chinese(text: str) -> bool:
+    """Route to the ZH normalizer: any CJK char, no alpha at all, an
+    email-shaped string, or pinyin-tone syllables (reference use_chinese
+    :655-663)."""
+    if re.search(r"[一-鿿]", text) or not re.search(r"[a-zA-Z]", text):
+        return True
+    if match_email(text):
+        return True
+    return _PINYIN_TONE.search(text) is not None
 
 
 def tokenize_by_cjk_char(line: str, do_upper_case: bool = True) -> str:
@@ -79,6 +109,7 @@ def normalize_text(text: str) -> str:
     from .normalize import normalize_numbers, normalize_text as _norm
 
     text = text.replace("嗯", "恩").replace("呣", "母")
+    is_zh = use_chinese(text)
     text = _CONTRACTION.sub(r"\1 is", text)
 
     # protect via per-MATCH regex substitution (str.replace would corrupt a
@@ -109,8 +140,7 @@ def normalize_text(text: str) -> str:
 
     text = _ZH_NAME.sub(_save_name, text)
 
-    has_cjk = re.search(_CJK_RANGE, text) is not None
-    if has_cjk:
+    if is_zh:
         text = _norm(text, language="zh")
     else:
         text = normalize_numbers(text)
@@ -120,7 +150,10 @@ def normalize_text(text: str) -> str:
     for i, py in enumerate(pinyins):
         text = text.replace(f"<pinyin_{chr(ord('a') + i)}>",
                             _correct_pinyin(py))
-    text = _REP_PATTERN.sub(lambda m: _CHAR_REP[m.group()], text)
+    if is_zh:
+        text = _ZH_REP_PATTERN.sub(lambda m: _ZH_CHAR_REP[m.group()], text)
+    else:
+        text = _REP_PATTERN.sub(lambda m: _CHAR_REP[m.group()], text)
     return re.sub(r"\s+", " ", text).strip()
 
 

@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["normalize_numbers", "normalize_text", "zh_normalize_numbers"]
+__all__ = ["normalize_numbers", "normalize_text", "zh_normalize_numbers",
+           "verbalize_emails_urls"]
 
 # ----------------------------------------------------------------- English
 
@@ -107,6 +108,52 @@ def _num_token_to_words(tok: str) -> str:
 
 def _digits_words(digits: str) -> str:
     return " ".join(_ONES[int(c)] for c in digits if c.isdigit())
+
+
+# --------------------------------------------------------- email / URL
+
+_EMAIL_RE = re.compile(
+    r"\b([a-zA-Z0-9][a-zA-Z0-9._%+-]*)@([a-zA-Z0-9][a-zA-Z0-9.-]*\.[a-zA-Z]{2,})\b")
+_URL_RE = re.compile(
+    r"\b(?:https?://)?(www\.[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}|"
+    r"(?:[a-zA-Z0-9-]+\.)+(?:com|org|net|io|ai|gov|edu|cn)\b)((?:/[\w.-]*)*)")
+
+
+def _spell_host(host: str) -> str:
+    """'example.co.uk' -> 'example dot co dot uk', digits read out."""
+    parts = []
+    for label in host.split("."):
+        label = re.sub(r"\d+", lambda m: " " + _digits_words(m.group(0)) + " ",
+                       label)
+        parts.append(label.strip())
+    return " dot ".join(parts)
+
+
+def _verbalize_email(m) -> str:
+    local = m.group(1).replace(".", " dot ").replace("_", " underscore ")
+    local = local.replace("-", " dash ").replace("+", " plus ")
+    local = re.sub(r"\d+", lambda g: " " + _digits_words(g.group(0)) + " ",
+                   local)
+    return re.sub(r"\s+", " ",
+                  f"{local.strip()} at {_spell_host(m.group(2))}")
+
+
+def _verbalize_url(m) -> str:
+    out = _spell_host(m.group(1))
+    for seg in (m.group(2) or "").split("/"):
+        if seg:
+            out += " slash " + seg.replace(".", " dot ").replace(
+                "-", " dash ")
+    return out
+
+
+def verbalize_emails_urls(text: str) -> str:
+    """Read emails as 'local at host dot tld' and URLs as
+    'host dot tld slash path' — the reference detects email shapes
+    (Export_IndexTTS.py:635-638) and delegates the reading to its tn/wetext
+    dependency; here the reading is self-contained."""
+    text = _EMAIL_RE.sub(_verbalize_email, text)
+    return _URL_RE.sub(_verbalize_url, text)
 
 
 def _plural_unit(unit: str, plural: bool) -> str:
@@ -217,7 +264,9 @@ def normalize_numbers(text: str) -> str:
     """Expand numeric patterns to words (English). Precedence: dates >
     times > phones > currency > long digit strings > percent > fractions >
     units > ordinals > year ranges > years > ranges > thousands-grouped >
-    plain numbers."""
+    plain numbers. Emails/URLs are verbalized first so their digits and
+    dots are not consumed by the numeric rules."""
+    text = verbalize_emails_urls(text)
     text = re.sub(r"\b(\d{4})[/-](\d{1,2})[/-](\d{1,2})\b", _en_date, text)
     text = re.sub(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b", _en_date_mdy, text)
     text = re.sub(
@@ -373,6 +422,8 @@ def zh_normalize_numbers(text: str) -> str:
     """Chinese TN for the reference normalizers' case families: dates,
     times, phones (幺), currency, percents, fractions, temperatures,
     ranges, decimals, value-reading cardinals, digit-string ids."""
+    # emails/URLs first (read with English 'at'/'dot' loanwords)
+    text = verbalize_emails_urls(text)
     # dates: 2024-01-05 / 2024/1/5 and bare year 2024年
     text = re.sub(r"(\d{4})[/-](\d{1,2})[/-](\d{1,2})", _zh_date, text)
     text = re.sub(r"(\d{2,4})年",

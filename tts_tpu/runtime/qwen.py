@@ -68,6 +68,19 @@ def resolve_voice(language: str, speaker: str | None = None
 MAX_PREFILL = 512
 
 
+def _check_special_ids(vocab: int, cfg) -> None:
+    """Fail loudly if the text-embedding table can't hold the special ids.
+
+    A mis-sized table would otherwise silently remap tts_bos/eos/pad onto
+    arbitrary rows (the round-1 silent-fallback failure mode)."""
+    for name in ("tts_bos_token_id", "tts_eos_token_id", "tts_pad_token_id"):
+        tid = getattr(cfg, name)
+        if not 0 <= tid < vocab:
+            raise ValueError(
+                f"{name}={tid} is out of range for the loaded text embedding "
+                f"table (vocab={vocab}); the checkpoint and config disagree")
+
+
 @dataclass(frozen=True)
 class QwenDecodeConfig:
     max_frames: int = 600
@@ -190,10 +203,10 @@ class QwenTTSPipeline:
             return np.asarray(p["talker_codec_embed"])[np.asarray(ids)]
 
         # special TEXT token embeddings (TTS_PREPROCESS :606-607)
-        vocab = np.asarray(p["text_embed"]).shape[0]
-        tts_bos = text_embed(np.array([[cfg.tts_bos_token_id % vocab]]))
-        tts_eos = text_embed(np.array([[cfg.tts_eos_token_id % vocab]]))
-        tts_pad = text_embed(np.array([[cfg.tts_pad_token_id % vocab]]))
+        _check_special_ids(np.asarray(p["text_embed"]).shape[0], cfg)
+        tts_bos = text_embed(np.array([[cfg.tts_bos_token_id]]))
+        tts_eos = text_embed(np.array([[cfg.tts_eos_token_id]]))
+        tts_pad = text_embed(np.array([[cfg.tts_pad_token_id]]))
 
         target = text_embed(text_ids)
         texts = [target, tts_eos]
@@ -485,10 +498,10 @@ class QwenTTSPipeline:
         def codec_embed(ids):
             return np.asarray(p["talker_codec_embed"])[np.asarray(ids)]
 
-        vocab = np.asarray(p["text_embed"]).shape[0]
-        tts_bos = text_embed(np.array([[cfg.tts_bos_token_id % vocab]]))
-        tts_eos = text_embed(np.array([[cfg.tts_eos_token_id % vocab]]))
-        tts_pad = text_embed(np.array([[cfg.tts_pad_token_id % vocab]]))
+        _check_special_ids(np.asarray(p["text_embed"]).shape[0], cfg)
+        tts_bos = text_embed(np.array([[cfg.tts_bos_token_id]]))
+        tts_eos = text_embed(np.array([[cfg.tts_eos_token_id]]))
+        tts_pad = text_embed(np.array([[cfg.tts_pad_token_id]]))
 
         # per-frame ref codec embedding: group-0 talker table + the 15
         # predictor group tables (the reference's Embed_B + Embed_C sum)
