@@ -24,6 +24,33 @@ def _write(path: str, wav: np.ndarray, sr: int, report=None) -> None:
 
 
 
+def _load_tokenizer(ckpt_dir: str):
+    """Checkpoint tokenizer, preferring the self-contained reader.
+
+    Order: frontend/hf_tokenizer.py on the checkpoint's tokenizer.json
+    (exact ids, zero wheels — the reference needs AutoTokenizer here,
+    Kani_TTS/Export_Kani_TTS.py:982-983) -> transformers AutoTokenizer
+    (slow-format checkpoints) -> raise."""
+    import os
+
+    from .frontend.hf_tokenizer import HFTokenizer
+
+    if os.path.exists(os.path.join(ckpt_dir, "tokenizer.json")):
+        try:
+            return HFTokenizer.from_pretrained(ckpt_dir)
+        except ValueError as e:
+            print(f"note: self-contained tokenizer reader declined "
+                  f"({e}); trying transformers")
+    try:
+        from transformers import AutoTokenizer
+    except ImportError:
+        raise SystemExit(
+            f"no readable tokenizer.json under {ckpt_dir} and the "
+            "transformers wheel is unavailable — token ids cannot match "
+            "the upstream tokenizer")
+    return AutoTokenizer.from_pretrained(ckpt_dir)
+
+
 def _save_bundle(path: str, arrays: dict, configs: dict,
                  extra: dict | None = None) -> None:
     """Persist fused param pytrees + their configs (the reference's
@@ -120,9 +147,7 @@ def cmd_kani(args) -> None:
 
         params, cfg = load_kani_lm(args.ckpt)
         cparams, ccfg = load_nanocodec(args.codec)
-        from transformers import AutoTokenizer
-
-        tok = AutoTokenizer.from_pretrained(args.ckpt)
+        tok = _load_tokenizer(args.ckpt)
     else:
         cfg = KaniConfig(hidden_size=64, num_heads=4, num_kv_heads=2,
                          head_dim=16, ffn_dim=128, vocab_size=80538,
@@ -211,7 +236,11 @@ def cmd_indextts(args) -> None:
     ref = pipe.encode_reference(audio)
     from .frontend.indextts_text import IndexTTSTokenizer
 
-    # demo mode without a checkpoint tokenizer: char-level fallback, warns
+    if tok_path is None and not args.allow_degraded:
+        raise SystemExit(
+            "no checkpoint tokenizer: the char-level fallback produces ids "
+            "that do NOT match the upstream tokenizer — pass "
+            "--allow-degraded to run the demo anyway")
     tok = IndexTTSTokenizer(tok_path, allow_degraded=tok_path is None)
     wav, stats = pipe.synthesize(args.text, ref, tokenizer=tok,
                                  max_gen=args.max_tokens)
@@ -240,9 +269,7 @@ def cmd_qwen(args) -> None:
 
         params, cfg = load_qwen_tts(args.ckpt)
         cparams, ccfg = load_qwen_codec(args.ckpt)
-        from transformers import AutoTokenizer
-
-        tok = AutoTokenizer.from_pretrained(args.ckpt)
+        tok = _load_tokenizer(args.ckpt)
         ids = tok(args.text, return_tensors="np")["input_ids"].astype("int32")
     else:
         from .models.qwen_tts import Qwen3StackConfig
@@ -312,13 +339,10 @@ def cmd_voxcpm(args) -> None:
             args.ckpt, cfg=voxcpm_v2_config() if args.v2 else None,
             use_mup=args.v2, scale_emb=12.0 if args.v2 else 1.0,
             scale_depth=1.4 if args.v2 else 1.0)
-        from transformers import AutoTokenizer
-
         from .frontend.voxcpm_text import (mask_multichar_chinese_tokens,
                                            normalize_voxcpm_text)
 
-        ctok = mask_multichar_chinese_tokens(
-            AutoTokenizer.from_pretrained(args.ckpt))
+        ctok = mask_multichar_chinese_tokens(_load_tokenizer(args.ckpt))
         ids = np.asarray([ctok(normalize_voxcpm_text(args.text))], np.int32)
         p_ids = (np.asarray([ctok(normalize_voxcpm_text(args.prompt_text))],
                             np.int32) if args.prompt_text else
@@ -459,6 +483,9 @@ def main(argv=None) -> int:
     it.add_argument("--text", default="Hello from the TPU.")
     it.add_argument("--ckpt", help="IndexTTS-1.5 model dir")
     it.add_argument("--max-tokens", type=int, default=800)
+    it.add_argument("--allow-degraded", action="store_true",
+                    help="permit the char-level tokenizer fallback (ids "
+                         "will not match the upstream tokenizer)")
     it.add_argument("--out", default="generated.wav")
     it.set_defaults(fn=cmd_indextts)
 
