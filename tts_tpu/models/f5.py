@@ -244,6 +244,12 @@ def _text_freqs_cis(text_dim: int, max_pos: int = 4096) -> np.ndarray:
 USE_FUSED_CONV = True
 USE_FUSED_MLP = True
 USE_FUSED_Q8 = True
+# Tests only: route the W8A8 kernels on CPU in Pallas interpret mode so the
+# activation-quantization math of the TPU path can be bounded end-to-end
+# without a chip (tests/test_w8a8_bound.py). Attention runs a plain-jnp
+# softmax in this mode (the flash kernel is TPU-only; it is a
+# reassociation, not a numerics change).
+Q8_INTERPRET = False
 
 
 def _is_q8(w) -> bool:
@@ -335,6 +341,22 @@ def _rope_qkv_flat(qkv: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
              + rot.astype(jnp.float32) * sin3).astype(qkv.dtype)
     qkvh = roped.reshape(b, t, 3 * heads, hd).transpose(0, 2, 1, 3)
     return (qkvh[:, :heads], qkvh[:, heads:2 * heads], qkvh[:, 2 * heads:])
+
+
+def _plain_packed(q: jax.Array, k: jax.Array, v: jax.Array, kv_len
+                  ) -> jax.Array:
+    """Plain-jnp packed attention (Q8_INTERPRET CPU path): same math as
+    the flash kernel (scale pre-folded into weights, keys >= kv_len
+    masked), different summation association only."""
+    b, h, t, d = q.shape
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    if kv_len is not None:
+        mask = jnp.arange(t)[None, None, None, :] < jnp.reshape(
+            jnp.asarray(kv_len), (-1, 1, 1, 1))
+        scores = jnp.where(mask, scores, -jnp.inf)
+    w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    return o.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
 
 def _flash_packed(q: jax.Array, k: jax.Array, v: jax.Array, kv_len,
@@ -438,26 +460,31 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
     # rescale/bias(/gated-residual) epilogues each stay in ONE Pallas
     # kernel, so the int8 dot's ~1.4x MXU advantage is not eaten by fusion
     # breaks (the round-1 standalone-kernel failure, ops/quant_matmul.py).
-    attn_q8 = (USE_FUSED_Q8 and on_tpu and t % 128 == 0 and t <= 4096
-               and cfg.head_dim % 64 == 0
+    interp = Q8_INTERPRET and not on_tpu
+    attn_q8 = (USE_FUSED_Q8 and (on_tpu or interp) and t % 128 == 0
+               and t <= 4096 and cfg.head_dim % 64 == 0
                and _is_q8(p["attn"]["wqkv"]) and _is_q8(p["attn"]["wo"]))
     if attn_q8:
         from ..ops.quant_matmul import ln_qkv_q8, out_proj_residual_q8
 
         wqkv, wo = p["attn"]["wqkv"], p["attn"]["wo"]
         mods_a = jnp.concatenate([shift_msa[0], scale_msa[0]], axis=0)
-        qkv = ln_qkv_q8(x, mods_a, wqkv.q, wqkv.scale, p["attn"]["bqkv"])
+        qkv = ln_qkv_q8(x, mods_a, wqkv.q, wqkv.scale, p["attn"]["bqkv"],
+                        interpret=interp)
         q, k, v = _rope_qkv_flat(qkv, rope_cos, rope_sin, cfg.heads,
                                  cfg.head_dim)
-        o = _flash_packed(q, k, v, kv_len, cfg.head_dim)     # (B, T, H*D)
+        if interp:
+            o = _plain_packed(q, k, v, kv_len)               # (B, T, H*D)
+        else:
+            o = _flash_packed(q, k, v, kv_len, cfg.head_dim)  # (B, T, H*D)
         x = out_proj_residual_q8(o, wo.q, wo.scale, p["attn"]["bo"],
-                                 gate_msa.reshape(-1), x)
+                                 gate_msa.reshape(-1), x, interpret=interp)
     else:
         norm = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
         x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos,
                                           rope_sin, cfg.heads, cfg.head_dim,
                                           kv_len)
-    if (USE_FUSED_Q8 and on_tpu and t % 32 == 0
+    if (USE_FUSED_Q8 and (on_tpu or interp) and t % 32 == 0
             and _is_q8(p["ff1"]["w"]) and _is_q8(p["ff2"]["w"])):
         from ..ops.dit_mlp import mlp_block_fused_q8
 
@@ -465,7 +492,8 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
                                axis=0)
         return mlp_block_fused_q8(
             x, mods, p["ff1"]["w"].q, p["ff1"]["w"].scale, p["ff1"]["b"],
-            p["ff2"]["w"].q, p["ff2"]["w"].scale, p["ff2"]["b"])
+            p["ff2"]["w"].q, p["ff2"]["w"].scale, p["ff2"]["b"],
+            interpret=interp)
     if (USE_FUSED_MLP and on_tpu and t % 8 == 0
             and not hasattr(p["ff1"]["w"], "scale")):
         # fused LN+modulate -> ff1 -> gelu -> ff2 -> gated residual: one

@@ -75,6 +75,13 @@ class F5Pipeline:
             f5_params = shard_params_tp(f5_params, mesh)
             vocos_params = shard_params_tp(vocos_params, mesh)
         self.mesh = mesh
+        if quantize == "w8a8":
+            # explicit name for the int8-activation path: same int8 weights
+            # as quantize=8 — on TPU the DiT routes through the block-fused
+            # W8A8 kernels (ops/dit_mlp.mlp_block_fused_q8 +
+            # ops/quant_matmul.ln_qkv_q8/out_proj_residual_q8), whose
+            # output delta is bounded by tests/test_w8a8_bound.py
+            quantize = 8
         if quantize:
             from ..quant.weight_only import quantize_int4, quantize_int8
 
