@@ -1,0 +1,138 @@
+"""Slot-based continuous batching (serving/continuous.KaniSlotServer).
+
+Key property under test: a request admitted MID-DECODE completes without
+waiting for the rest of the batch — the VERDICT r2 item 5 acceptance.
+Also: single-request output parity with the pipeline path, and drain/
+reset correctness when the shared position counter runs out of headroom.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_tpu.models.kani import KaniConfig, init_params
+from tts_tpu.models.nanocodec import NanoCodecConfig
+from tts_tpu.models.nanocodec import init_params as codec_init
+from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+from tts_tpu.serving.continuous import KaniSlotServer
+
+# stop_token -1 is unreachable: random-weight greedy rows always run to
+# their caps, making the mid-decode ordering assertions deterministic
+CFG = KaniConfig(
+    hidden_size=32, num_heads=2, num_kv_heads=1, head_dim=16, ffn_dim=64,
+    vocab_size=128, layer_types=("conv", "attn", "conv", "attn"),
+    max_seq_len=512, stop_token=-1,
+)
+CODEC = NanoCodecConfig(
+    base_channels=16, up_sample_rates=(2, 2), kernel_sizes=(3,),
+    dilations=(1, 3), activation="half_snake",
+)
+
+
+def _pipeline(max_new_tokens=40, penalty=1.0):
+    params = init_params(CFG, jax.random.key(0))
+    cparams = codec_init(CODEC, jax.random.key(1))
+    dcfg = KaniDecodeConfig(max_new_tokens=max_new_tokens,
+                            repeat_penalty=penalty)
+    return KaniPipeline(params, CFG, cparams, CODEC, dcfg)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return _pipeline()
+
+
+def test_single_request_matches_pipeline(pipe):
+    ids = np.array([[5, 17, 99, 3]], np.int32)
+    wav_ref, stats = pipe.synthesize_ids(ids, max_new_tokens=40)
+
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+    try:
+        wav, n = srv.submit(ids, max_new_tokens=40).result(timeout=300)
+    finally:
+        srv.close()
+    assert n == stats["tokens"]
+    assert wav.shape == wav_ref.shape
+    # right-justified offset prefill vs left-justified pipeline prefill:
+    # same tokens (greedy), so the causal codec output matches exactly
+    np.testing.assert_array_equal(wav, wav_ref)
+
+
+def test_mid_decode_admission_overtakes(pipe):
+    """B admitted while A is mid-decode must finish long before A."""
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+    try:
+        fut_a = srv.submit(np.array([[5, 17, 99]], np.int32),
+                           max_new_tokens=40)
+        # wait until A is actually decoding (some chunks ran)
+        deadline = time.time() + 120
+        while srv.stats.chunks < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv.stats.chunks >= 1, "A never started decoding"
+        fut_b = srv.submit(np.array([[8, 9]], np.int32), max_new_tokens=8)
+        wav_b, n_b = fut_b.result(timeout=300)
+        assert not fut_a.done() or srv.stats.admissions_mid_decode >= 1
+        wav_a, n_a = fut_a.result(timeout=300)
+        assert n_b == 8 and n_a == 40
+        assert srv.stats.admissions_mid_decode >= 1
+        snap = srv.stats.snapshot()
+        assert snap["completed"] == 2
+    finally:
+        srv.close()
+
+
+def test_mid_decode_output_matches_solo(pipe):
+    """The offset prefill + row splice must not change a request's tokens:
+    B decoded mid-batch == B decoded alone (rope relative-offset
+    invariance)."""
+    ids_b = np.array([[8, 9, 11]], np.int32)
+    wav_solo, stats = pipe.synthesize_ids(ids_b, max_new_tokens=12)
+
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+    try:
+        srv.submit(np.array([[5, 17, 99]], np.int32), max_new_tokens=40)
+        deadline = time.time() + 120
+        while srv.stats.chunks < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        wav_b, n_b = srv.submit(ids_b, max_new_tokens=12).result(timeout=300)
+    finally:
+        srv.close()
+    assert n_b == stats["tokens"]
+    np.testing.assert_array_equal(wav_b, wav_solo)
+
+
+def test_drain_and_reset():
+    """When the shared position runs out of headroom the server drains,
+    resets, and keeps serving — requests queued across the wrap all
+    complete."""
+    pipe = _pipeline(max_new_tokens=40)
+    # max_seq_len 512, bucket 16, cap 40, chunk 8: each generation moves
+    # the shared counter by 40, so the 13th serial request cannot fit
+    # (16 + 13*40 + 8 > 512) and must force a drain+reset
+    srv = KaniSlotServer(pipe, slots=1, chunk=8, prompt_bucket=16)
+    try:
+        futs = [srv.submit(np.array([[5 + i, 7]], np.int32),
+                           max_new_tokens=40) for i in range(16)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        srv.close()
+    assert all(n == 40 for _, n in outs)
+    assert srv.stats.drains >= 1
+    assert srv.stats.snapshot()["completed"] == 16
+
+
+def test_queue_past_slots_all_complete(pipe):
+    """More requests than slots: the queue drains through slot reuse."""
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+    try:
+        futs = [srv.submit(np.array([[10 + i]], np.int32),
+                           max_new_tokens=12) for i in range(6)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        srv.close()
+    assert all(n == 12 for _, n in outs)
+    lat = srv.stats.snapshot()
+    assert lat["completed"] == 6
+    assert lat["p99_ms"] >= lat["p50_ms"] > 0
