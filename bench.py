@@ -48,6 +48,52 @@ def bench_f5():
     }
 
 
+def bench_qwen_secondary():
+    """Secondary driver-verified metric: Qwen3-TTS-0.6B two-level decode
+    (talker + 15-group predictor + 12 Hz codec) frames/s -> RTF at the
+    reference table row (/root/reference/README.md:37, Q8F32 RTF 3.1 on
+    i3-12300). int8 weight-only — the reference row is Q8."""
+    import time
+
+    import numpy as np
+
+    from tts_tpu.models.qwen_codec import (QwenCodecDecoderConfig,
+                                           init_decoder_params)
+    from tts_tpu.models.qwen_tts import (QwenTTSConfig,
+                                         init_predictor_params,
+                                         init_talker_params)
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    cfg = QwenTTSConfig()
+    ccfg = QwenCodecDecoderConfig()
+    params = {
+        **jax.jit(lambda k: init_talker_params(cfg, k, dt))(jax.random.key(0)),
+        **jax.jit(lambda k: init_predictor_params(cfg, k, dt))(
+            jax.random.key(1)),
+    }
+    cparams = jax.jit(lambda k: init_decoder_params(ccfg, k, dt))(
+        jax.random.key(2))
+    pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
+                           QwenDecodeConfig(max_frames=120),
+                           quantize=8 if on_tpu else None)
+    ids = np.arange(5, 37, dtype=np.int32)[None]
+    pipe.synthesize_ids(ids, language_id=3)        # compile
+    t0 = time.perf_counter()
+    _wav, stats = pipe.synthesize_ids(ids, language_id=3)
+    wall = time.perf_counter() - t0
+    fps = stats["frames"] / wall
+    rtf = wall / (stats["frames"] / 12.0)          # 12 Hz codec
+    return {
+        "secondary_metric": "qwen3_tts_0.6b int8 two-level decode",
+        "secondary_value": round(fps, 1),
+        "secondary_unit": "frames/s",
+        "secondary_rtf": round(rtf, 4),
+        "secondary_vs_baseline": round(3.1 / max(rtf, 1e-9), 1),
+    }
+
+
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
     """Bounded wait for the TPU backend. The axon tunnel can wedge for tens
     of minutes after a client dies mid-compile (observed in round 2);
@@ -77,4 +123,8 @@ def _wait_for_backend(max_wait_s: float = 900.0) -> None:
 if __name__ == "__main__":
     _wait_for_backend()
     result = bench_f5()
+    try:
+        result.update(bench_qwen_secondary())
+    except Exception as e:  # the secondary metric must not sink the primary
+        result["secondary_error"] = repr(e)[:200]
     print(json.dumps(result))
