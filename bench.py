@@ -45,6 +45,75 @@ def bench_f5():
         "unit": "rtf",
         "vs_baseline": round(baseline_rtf / max(rtf, 1e-9), 1),
         "latency_rtf": round(stats["rtf"], 4),
+        # latency decomposition: a trivial dispatch+fetch round trip over
+        # the same output buffer costs fixed_roundtrip_ms — subtracting it
+        # from the latency wall gives compute_rtf, which should match the
+        # sustained number if the latency gap is pure transport
+        "latency_fixed_ms": round(stats.get("fixed_roundtrip_ms", 0.0), 1),
+        "latency_compute_rtf": round(stats.get("compute_rtf", 0.0), 4),
+    }
+
+
+def bench_f5_w8a8_step():
+    """Driver-verified W8A8 evidence: exact bf16 vs block-fused W8A8 F5
+    DiT step time at the bench shape (T=1408, 22 blocks, batch-2 CFG).
+    Timing: (t_N2 - t_N1)/(N2 - N1) around jitted lax.scan with a
+    device->host fetch fence — the tunnel-safe discipline (NOTES.md).
+    Output delta of the W8A8 path is bounded by tests/test_w8a8_bound.py."""
+    import time
+
+    from tts_tpu.models.f5 import F5Config, dit_forward, init_params
+    from tts_tpu.quant.weight_only import quantize_int8
+
+    if jax.devices()[0].platform != "tpu":
+        return {}
+    cfg = F5Config()
+    t = 1408
+    params = jax.jit(lambda k: init_params(cfg, k, jnp.bfloat16))(
+        jax.random.key(0))
+    noise = jax.random.normal(jax.random.key(1), (1, t, cfg.n_mels),
+                              jnp.float32)
+    cond = jax.random.normal(jax.random.key(2),
+                             (1, t, cfg.n_mels + cfg.text_dim),
+                             jnp.bfloat16) * 0.1
+    dur = jnp.int32(t - 15)
+
+    def step(params, carry):
+        pred, pred1 = dit_forward(
+            params, carry.astype(jnp.bfloat16), cond, jnp.zeros_like(cond),
+            params["time_table"][0], params["rope_cos"][:t],
+            params["rope_sin"][:t], cfg, kv_len=dur, step_idx=0)
+        upd = (pred + (pred - pred1) * cfg.cfg_strength).astype(jnp.float32)
+        return carry + upd * params["delta_t"][0]
+
+    def time_scan(p, n):
+        @jax.jit
+        def run(p, s):
+            out, _ = jax.lax.scan(lambda c, _: (step(p, c), None), s, None,
+                                  length=n)
+            return jnp.sum(out.astype(jnp.float32))
+
+        float(run(p, noise))                   # compile + warm (fetch fence)
+        t0 = time.perf_counter()
+        float(run(p, noise))
+        return time.perf_counter() - t0
+
+    def per_iter(p):
+        return (time_scan(p, 24) - time_scan(p, 8)) / 16.0 * 1e3
+
+    bf16_ms = per_iter(params)
+    qblocks = [
+        {**blk,
+         "attn": {**blk["attn"], "wqkv": quantize_int8(blk["attn"]["wqkv"]),
+                  "wo": quantize_int8(blk["attn"]["wo"])},
+         "ff1": {**blk["ff1"], "w": quantize_int8(blk["ff1"]["w"])},
+         "ff2": {**blk["ff2"], "w": quantize_int8(blk["ff2"]["w"])}}
+        for blk in params["blocks"]]
+    w8a8_ms = per_iter({**params, "blocks": qblocks})
+    return {
+        "f5_bf16_step_ms": round(bf16_ms, 2),
+        "f5_w8a8_step_ms": round(w8a8_ms, 2),
+        "f5_w8a8_speedup": round(bf16_ms / max(w8a8_ms, 1e-9), 3),
     }
 
 
@@ -124,7 +193,11 @@ if __name__ == "__main__":
     _wait_for_backend()
     result = bench_f5()
     try:
+        result.update(bench_f5_w8a8_step())
+    except Exception as e:  # auxiliary metrics must not sink the primary
+        result["w8a8_error"] = repr(e)[:200]
+    try:
         result.update(bench_qwen_secondary())
-    except Exception as e:  # the secondary metric must not sink the primary
+    except Exception as e:
         result["secondary_error"] = repr(e)[:200]
     print(json.dumps(result))

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Admission batching (MicroBatcher) vs continuous batching (KaniSlotServer)
+under the same Poisson-ish request stream: per-request latency p50/p99.
+
+Run on the TPU from the repo root: `python benchmarks/serving_bench.py
+[rate_rps] [n_requests]`. Prints one JSON line per server mode.
+
+The workload mirrors reference-scale Kani requests (~0.6B config is too
+slow to iterate under a CPU fallback; the default here uses the full
+KaniConfig when a TPU is present, a tiny config otherwise so the harness
+stays runnable anywhere).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def build_pipeline(on_tpu: bool):
+    import jax.numpy as jnp
+
+    from tts_tpu.models.kani import KaniConfig, init_params
+    from tts_tpu.models.nanocodec import NanoCodecConfig
+    from tts_tpu.models.nanocodec import init_params as codec_init
+    from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+
+    if on_tpu:
+        # kani-tts-370m shape; max_seq_len raised so the slot server fits
+        # several generations between drains
+        cfg = KaniConfig(max_seq_len=4096, stop_token=-1)
+        gen = 256
+    else:
+        cfg = KaniConfig(hidden_size=32, num_heads=2, num_kv_heads=1,
+                         head_dim=16, ffn_dim=64, vocab_size=128,
+                         layer_types=("conv", "attn"), max_seq_len=1024,
+                         stop_token=-1)
+        gen = 48
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    params = jax.jit(lambda k: init_params(cfg, k, dt))(jax.random.key(0))
+    ccfg = NanoCodecConfig() if on_tpu else NanoCodecConfig(
+        base_channels=16, up_sample_rates=(2, 2), kernel_sizes=(3,),
+        dilations=(1, 3), activation="half_snake")
+    cparams = jax.jit(lambda k: codec_init(ccfg, k, dt))(jax.random.key(1))
+    pipe = KaniPipeline(params, cfg, cparams, ccfg,
+                        KaniDecodeConfig(max_new_tokens=gen,
+                                         repeat_penalty=1.0),
+                        quantize=8 if on_tpu else None)
+    return pipe, gen
+
+
+def drive(submit, n_requests: int, rate_rps: float, gen: int, seed=0):
+    """Submit n requests at exponential inter-arrival gaps; returns
+    sorted per-request latencies (submit -> result)."""
+    rng = np.random.default_rng(seed)
+    futs = []
+    for i in range(n_requests):
+        ids = np.array([[3 + (i % 50), 9, 4 + (i % 7)]], np.int32)
+        t0 = time.perf_counter()
+        futs.append((submit(ids), t0))
+        if i + 1 < n_requests:
+            time.sleep(float(rng.exponential(1.0 / rate_rps)))
+    lats = []
+    for fut, t0 in futs:
+        fut.result(timeout=1200)
+        lats.append(time.perf_counter() - t0)
+    return sorted(lats)
+
+
+def pct(lats, p):
+    return lats[min(int(p * len(lats)), len(lats) - 1)] * 1e3
+
+
+def main():
+    rate = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    on_tpu = jax.devices()[0].platform == "tpu"
+    pipe, gen = build_pipeline(on_tpu)
+
+    # ---- continuous batching
+    from tts_tpu.serving.continuous import KaniSlotServer
+
+    srv = KaniSlotServer(pipe, slots=4, chunk=32 if on_tpu else 8,
+                         prompt_bucket=16)
+    try:
+        srv.submit(np.array([[3, 9, 4]], np.int32)).result(timeout=1200)
+        lats = drive(lambda ids: srv.submit(ids), n, rate, gen, seed=1)
+        print(json.dumps({
+            "metric": f"kani continuous batching, {rate} rps x {n}",
+            "p50_ms": round(pct(lats, 0.5), 1),
+            "p99_ms": round(pct(lats, 0.99), 1),
+            "stats": srv.stats.snapshot()}))
+    finally:
+        srv.close()
+
+    # ---- admission batching baseline
+    from tts_tpu.serving.batcher import MicroBatcher
+
+    def batch_fn(reqs):
+        wavs, _ = pipe.synthesize_ids_batch(list(reqs))
+        return wavs
+
+    mb = MicroBatcher(batch_fn, max_batch=4, max_wait_ms=10.0,
+                      batch_sizes=(1, 2, 4),
+                      pad_request=np.array([[3]], np.int32))
+    try:
+        mb.submit(np.array([[3, 9, 4]], np.int32)).result(timeout=1200)
+        lats = drive(lambda ids: mb.submit(ids), n, rate, gen, seed=1)
+        print(json.dumps({
+            "metric": f"kani admission micro-batching, {rate} rps x {n}",
+            "p50_ms": round(pct(lats, 0.5), 1),
+            "p99_ms": round(pct(lats, 0.99), 1),
+            "stats": mb.stats.snapshot()}))
+    finally:
+        mb.close()
+
+
+if __name__ == "__main__":
+    main()
