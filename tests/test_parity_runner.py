@@ -70,3 +70,45 @@ def test_wav_mode_different_audio_fails(tmp_path, monkeypatch):
     monkeypatch.setattr(tts_tpu.cli, "main", fake_cli)
     res = rr.run_wav_family("qwen", str(art))
     assert res.mode == "wav" and not res.passed
+
+
+def test_session_mode_engages_when_graphs_present(tmp_path, monkeypatch):
+    """run_all prefers per-stage session parity when a family dir carries
+    exported graphs: _collect_sessions maps graph files onto driver keys
+    and the stage diffs aggregate into one ParityResult."""
+    import tts_tpu.parity.run_reference as rr
+    from tts_tpu.parity.sessions import StageDiff
+
+    art = tmp_path / "kani"
+    art.mkdir()
+    for name in ("KaniTTS_Embed.onnx", "KaniTTS_Main.onnx",
+                 "KaniTTS_Codec.onnx"):
+        (art / name).write_bytes(b"onnx")
+    (art / "reference.wav").write_bytes(b"")
+
+    monkeypatch.setattr(rr, "_have_ort", lambda: True)
+    opened = []
+    monkeypatch.setattr(rr, "_session", lambda p: opened.append(p) or p)
+    monkeypatch.setattr(
+        "tts_tpu.weights.kani_loader.load_kani_lm",
+        lambda d: ({}, None))
+    monkeypatch.setattr(
+        "tts_tpu.parity.sessions.kani_session_stages",
+        lambda sessions, params, cfg, cparams, ccfg: [
+            StageDiff("kani/embed", 1e-6),
+            StageDiff("kani/main_step", 2e-5)])
+
+    res = rr.run_session_family("kani", str(art))
+    assert res is not None and res.mode == "session"
+    assert res.passed and res.mel_l1 == 2e-5
+    assert "kani/embed" in res.detail and "kani/main_step" in res.detail
+    assert len(opened) == 3
+
+
+def test_session_mode_absent_graphs_returns_none(tmp_path, monkeypatch):
+    import tts_tpu.parity.run_reference as rr
+
+    art = tmp_path / "qwen"
+    art.mkdir()
+    monkeypatch.setattr(rr, "_have_ort", lambda: True)
+    assert rr.run_session_family("qwen", str(art)) is None

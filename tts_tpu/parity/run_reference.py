@@ -258,6 +258,89 @@ def run_f5(art: str) -> ParityResult:
         detail=f"wav mel_l1={l1_wav:.3e}")
 
 
+# ------------------------------------------------------------- session mode
+# (AR families: per-stage graph comparison — localizes a wav-mode failure)
+
+# graph-file glob -> session-dict key, per family (reference export names,
+# Export_Kani_TTS.py:19-26 / Export_IndexTTS.py A-F /
+# Export_Qwen_TTS_ONNX.py:23-46 / v1.5/Export_VoxCPM_ONNX.py:16-24)
+_SESSION_GRAPHS = {
+    "kani": {"*Embed*.onnx": "embed", "*Main*.onnx": "main",
+             "*Codec*.onnx": "codec"},
+    "indextts": {"*_B.onnx": "b", "*_C.onnx": "c", "*_E.onnx": "e"},
+    "qwen": {"*Main*.onnx": "main", "*Predictor*.onnx": "predictor",
+             "*Decoder*.onnx": "decoder",
+             "*LmHead_*.onnx": "lm_head_{}", "*Embed_D_*.onnx":
+             "embed_d_{}"},
+    "voxcpm": {"*Feat_Encoder*.onnx": "feat_encoder", "*Main*.onnx": "main",
+               "*Feat_Decoder*.onnx": "feat_decoder",
+               "*VAE_Decode*.onnx": "vae_decoder"},
+}
+
+
+def _collect_sessions(family: str, art: str) -> dict:
+    """Map the artifact dir's ONNX graphs onto the session-driver keys.
+    Numbered graphs (LmHead_3.onnx) expand their index into the key."""
+    import re
+
+    sessions = {}
+    for pattern, key in _SESSION_GRAPHS[family].items():
+        for path in glob.glob(os.path.join(art, pattern)):
+            if "{}" in key:
+                m = re.search(r"_(\d+)\.onnx$", path)
+                if m:
+                    sessions[key.format(m.group(1))] = _session(path)
+            else:
+                sessions[key] = _session(path)
+    return sessions
+
+
+def run_session_family(family: str, art: str) -> ParityResult | None:
+    """Per-stage session parity (parity/sessions.py) when the family's
+    exported graphs AND an upstream checkpoint are both present; returns
+    None when the artifact set has no graphs (wav mode only)."""
+    if not _have_ort():
+        return None
+    sessions = _collect_sessions(family, art)
+    if not sessions:
+        return None
+    from . import sessions as S
+
+    if family == "kani":
+        from ..weights.kani_loader import load_kani_lm, load_nanocodec
+
+        params, cfg = load_kani_lm(art)
+        nemo = glob.glob(os.path.join(art, "*.nemo"))
+        cparams = ccfg = None
+        if nemo:
+            cparams, ccfg = load_nanocodec(nemo[0])
+        diffs = S.kani_session_stages(sessions, params, cfg, cparams, ccfg)
+    elif family == "indextts":
+        from ..weights.indextts_loader import load_indextts
+
+        params, cfg, _ = load_indextts(art)
+        diffs = S.indextts_session_stages(sessions, params, cfg)
+    elif family == "qwen":
+        from ..weights.qwen_loader import load_qwen_codec, load_qwen_tts
+
+        params, cfg = load_qwen_tts(art)
+        cparams, ccfg = load_qwen_codec(art)
+        diffs = S.qwen_session_stages(sessions, params, cfg, cparams, ccfg)
+    elif family == "voxcpm":
+        from ..weights.voxcpm_loader import load_voxcpm
+
+        params, vae_params, cfg = load_voxcpm(art)
+        diffs = S.voxcpm_session_stages(
+            sessions, params, cfg,
+            vae_params=vae_params.get("dec", vae_params))
+    else:
+        return None
+    worst = max((d.max_abs for d in diffs), default=0.0)
+    detail = "; ".join(d.line().strip() for d in diffs)
+    return ParityResult(family, "session", worst,
+                        passed=all(d.ok for d in diffs), detail=detail)
+
+
 # ----------------------------------------------------------------- wav mode
 
 def run_wav_family(family: str, art: str) -> ParityResult:
@@ -308,6 +391,9 @@ def run_all(artifacts: str, families=FAMILIES) -> list[ParityResult]:
             elif fam == "f5":
                 results.append(run_f5(art))
             else:
+                sess = run_session_family(fam, art)
+                if sess is not None:
+                    results.append(sess)
                 results.append(run_wav_family(fam, art))
         except Exception as e:  # a broken artifact set must not kill the run
             results.append(ParityResult(fam, "skipped",
