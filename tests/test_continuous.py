@@ -123,6 +123,43 @@ def test_drain_and_reset():
     assert srv.stats.snapshot()["completed"] == 16
 
 
+def test_http_over_slot_server(pipe):
+    """The HTTP front-end serves over the continuous-batching engine
+    (TTSServer.continuous): POST /synthesize returns the same wav bytes
+    the slot server resolves directly."""
+    import http.client
+    import io
+    import json
+    import wave
+
+    from tts_tpu.serving.server import TTSServer, serve_http
+
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+    tts = TTSServer.continuous(srv, sample_rate=8000)
+    httpd = serve_http(tts, port=0)
+    try:
+        ids = np.array([[5, 17, 99, 3]], np.int32)
+        wav_direct, _ = srv.submit(ids).result(timeout=300)
+
+        conn = http.client.HTTPConnection(*httpd.server_address, timeout=300)
+        conn.request("POST", "/synthesize",
+                     json.dumps({"ids": ids.tolist()}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        with wave.open(io.BytesIO(resp.read())) as f:
+            got = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+        np.testing.assert_array_equal(got, wav_direct)
+
+        conn.request("GET", "/stats", headers={})
+        stats = json.loads(conn.getresponse().read())
+        assert stats["completed"] >= 2
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
 def test_queue_past_slots_all_complete(pipe):
     """More requests than slots: the queue drains through slot reuse."""
     srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)

@@ -230,3 +230,34 @@ def test_qwen_stack_step_fused_rejects_prefill():
     with pytest.raises(ValueError):
         qwen3_stack_step(params, x, kv, cfg, jnp.asarray(cos[:2]),
                          jnp.asarray(sin[:2]), fused=True)
+
+
+def test_fused_auto_degrades_on_unpackable_layout():
+    """A head geometry the kernel cannot pack into 128-lane rows (hd=12)
+    must fall back to the XLA path under fused=True — same outputs, no
+    error (ops/decode_qkv.fusable_layout; the auto-on TPU default would
+    otherwise crash tiny configs)."""
+    from tts_tpu.models.qwen_tts import Qwen3StackConfig, init_stack_params, \
+        qwen3_stack_step
+    from tts_tpu.ops.decode_qkv import fusable_layout
+
+    assert not fusable_layout(1, 2, 1, 12)
+    assert fusable_layout(1, 16, 2, 64)       # VoxCPM geometry packs
+    assert fusable_layout(1, 16, 8, 128)      # Qwen talker geometry
+
+    cfg = Qwen3StackConfig(hidden_size=24, num_heads=2, num_kv_heads=1,
+                           head_dim=12, ffn_dim=48, num_layers=1,
+                           max_seq_len=8)
+    params = init_stack_params(cfg, jax.random.key(7))
+    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim)
+    x = _rand(jax.random.key(8), (1, 1, cfg.hidden_size))
+
+    def run(fused):
+        kv = KVCache.create(1, 1, 1, cfg.max_seq_len, cfg.head_dim,
+                            jnp.float32)
+        h, _ = qwen3_stack_step(params, x, kv, cfg, jnp.asarray(cos[:1]),
+                                jnp.asarray(sin[:1]), fused=fused,
+                                _interpret=True)
+        return np.asarray(h)
+
+    np.testing.assert_array_equal(run(True), run(False))

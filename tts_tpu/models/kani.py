@@ -202,10 +202,13 @@ def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
     x = hidden
     attn_i = conv_i = 0
     if fused:
-        from ..ops.decode_qkv import fusable_weight
+        from ..ops.decode_qkv import fusable_layout, fusable_weight
 
-        fused = all(fusable_weight(p["wqkv"]) for lt, p in
-                    zip(cfg.layer_types, params["layers"]) if lt == "attn")
+        fused = (fusable_layout(hidden.shape[0], cfg.num_heads,
+                                cfg.num_kv_heads, cfg.head_dim)
+                 and all(fusable_weight(p["wqkv"]) for lt, p in
+                         zip(cfg.layer_types, params["layers"])
+                         if lt == "attn"))
     fuse = fused and s == 1
     for lt, p in zip(cfg.layer_types, params["layers"]):
         if lt == "attn":

@@ -130,9 +130,12 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
     #   "attn"/"all": clamped-read decode attention (+0.3 ms — ~8
     #     mostly-idle grid steps/layer cost more than the dense-bucket
     #     read they save once the pipeline buckets KV snugly).
-    from ..ops.decode_qkv import fusable_weight
-    fuse_qkv = fused in (True, "all", "qkv", "mlp_q8") and all(
-        fusable_weight(p["wqkv"]) for p in params["layers"])
+    from ..ops.decode_qkv import fusable_layout, fusable_weight
+    fuse_qkv = (fused in (True, "all", "qkv", "mlp_q8")
+                and fusable_layout(b, cfg.num_heads, cfg.num_kv_heads,
+                                   cfg.head_dim)
+                and all(fusable_weight(p["wqkv"])
+                        for p in params["layers"]))
     fuse_mlp = fused in ("all", "mlp")
     # W8A8 tail (fused="mlp_q8"): s8 x s8 MXU dots, no weight casts —
     # OUTPUT-CHANGING (activations quantize per row; the reference's ORT

@@ -182,9 +182,12 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
     if fused and s != 1:
         raise ValueError("fused decode path requires S == 1")
     if fused:
-        from ..ops.decode_qkv import fusable_weight
+        from ..ops.decode_qkv import fusable_layout, fusable_weight
 
-        fused = all(fusable_weight(p["wqkv"]) for p in params["layers"])
+        fused = (fusable_layout(hidden.shape[0], cfg.num_heads,
+                                cfg.num_kv_heads, cfg.head_dim)
+                 and all(fusable_weight(p["wqkv"])
+                         for p in params["layers"]))
     x = hidden
     q_sz = cfg.num_heads * cfg.head_dim
     kv_sz = cfg.num_kv_heads * cfg.head_dim

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.weight_only import QTensor, QTensor4, QTensorG
 from .decode_mlp import _pick_block
 
-__all__ = ["fused_qkv_rope", "fusable_weight", "qkv_rope_reference"]
+__all__ = ["fused_qkv_rope", "fusable_weight", "fusable_layout",
+           "qkv_rope_reference"]
 
 
 def fusable_weight(w) -> bool:
@@ -49,6 +50,21 @@ def fusable_weight(w) -> bool:
     (QTensor4) would be cast-rate-bound at ~2x the ops of the s8 cast
     (NOTES.md); plain arrays and int8 QTensors fuse."""
     return not isinstance(w, (QTensor4, QTensorG))
+
+
+def fusable_layout(batch: int, heads: int, kv_heads: int,
+                   head_dim: int) -> bool:
+    """Whether the (B, heads, head_dim) geometry packs into 128-lane rows
+    (the kernel's epilogue constraint — fused_qkv_rope raises on layouts
+    this returns False for). Models AND this into their auto-fuse gate so
+    `fused_decode=None` degrades to the XLA path on small/tiny configs
+    instead of erroring."""
+    if head_dim >= 128:
+        return True
+    q_sz, kv_sz = heads * head_dim, kv_heads * head_dim
+    return not (128 % head_dim or q_sz % 128 or kv_sz % 128
+                or (batch * heads) % (128 // head_dim)
+                or (batch * kv_heads) % (128 // head_dim))
 
 
 def _norm_rope(seg, w, cos, sin, heads, head_dim, eps):

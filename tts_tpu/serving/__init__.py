@@ -1,5 +1,5 @@
-"""Production serving layer: dynamic micro-batching over the batched
-synthesis pipelines, plus a dependency-free HTTP front-end.
+"""Production serving layer: request batching over the synthesis
+pipelines, plus a dependency-free HTTP front-end.
 
 The reference is a single-stream script bundle (one request at a time per
 ONNX session, SURVEY.md §3); serving is a capability this framework adds.
@@ -7,17 +7,40 @@ Design constraints come from the TPU execution model:
 
   * one dispatch thread owns the chip — batches are formed host-side and
     submitted serially (JAX dispatch is not usefully concurrent);
-  * every jitted program is shape-specialized, so the batcher rounds the
-    batch up to a fixed ladder of sizes (1/2/4/8 by default) with dummy
-    pad requests instead of compiling per occupancy;
-  * admission-time grouping ("dynamic micro-batching"), not mid-decode
-    continuous batching: the decode `lax.while_loop`s run all rows to the
-    slowest stream, which the per-row stop tracking already handles.
-    Joining a running loop would need re-dispatch at a token boundary —
-    measured round trips over the remote-chip transport (~30-70 ms,
-    NOTES.md) make that a net loss at TTS decode lengths.
+  * every jitted program is shape-specialized, so batch shapes are fixed:
+    the MicroBatcher rounds admission-time batches up a ladder of sizes
+    (1/2/4/8) with dummy pad requests; the slot servers decode a FIXED
+    batch of B slots in bounded chunks instead of compiling per occupancy.
+
+Two batching modes:
+
+  * `MicroBatcher` — admission-time grouping: requests that arrive
+    together share one decode while_loop. Minimal dispatch overhead, but
+    a request arriving mid-decode waits for the whole batch — queueing
+    dominates p99 at production rates.
+  * slot servers (`serving/slots.SlotEngine` adapters: `KaniSlotServer`,
+    `QwenSlotServer`, `IndexTTSSlotServer`) — CONTINUOUS batching:
+    chunked jitted decode with mid-decode admission via offset prefill +
+    row splice (byte-equal to solo decode). Measured on-chip at
+    4 rps x 32 requests: p50 6.50 s / p99 10.21 s vs 57.58 / 59.38 s
+    admission batching (benchmarks/serving_bench.py).
 """
 from .batcher import BatchStats, MicroBatcher
+from .continuous import KaniSlotServer
 from .server import TTSServer, serve_http
+from .slots import SlotEngine, SlotStats
 
-__all__ = ["MicroBatcher", "BatchStats", "TTSServer", "serve_http"]
+__all__ = ["MicroBatcher", "BatchStats", "TTSServer", "serve_http",
+           "SlotEngine", "SlotStats", "KaniSlotServer",
+           "QwenSlotServer", "IndexTTSSlotServer"]
+
+
+def __getattr__(name):
+    # lazy: the Qwen/IndexTTS adapters pull in their model stacks
+    if name == "QwenSlotServer":
+        from .continuous_qwen import QwenSlotServer
+        return QwenSlotServer
+    if name == "IndexTTSSlotServer":
+        from .continuous_indextts import IndexTTSSlotServer
+        return IndexTTSSlotServer
+    raise AttributeError(name)

@@ -1,80 +1,39 @@
 """Slot-based continuous batching for the Kani AR decode.
 
-The MicroBatcher (serving/batcher.py) groups requests at admission time:
-a request arriving mid-decode waits for the whole batch's while_loop. At
-production request rates that wait dominates p99. This server decodes a
-FIXED batch of B slots in bounded CHUNKS (a jitted `chunk`-step fori
-body), and between chunks it:
+Family adapter over serving/slots.SlotEngine (the generic continuous-
+batching worker — see that module for the chunked-decode / mid-decode
+admission / drain design and the shared-kv-position argument). Kani
+specifics here:
 
-  1. extracts finished rows (vocoded on device) and resolves futures,
-  2. admits queued requests into free slots — a one-row offset prefill
-     writes the new prompt's KV at the batch's CURRENT shared position
-     and a row-scatter splices it into the live state,
+- One jitted `chunk`-step fori body runs embed -> kani_step (GQA +
+  LFM2 conv carry) -> per-row repetition penalty -> greedy, with dead
+  rows embedding zeros.
+- Admission prefills ONE row at the batch's current shared position
+  (rope sees only relative offsets, so the right-justified offset
+  prefill is byte-equal to a solo decode — tests/test_continuous.py)
+  and splices its KV/conv state into the live batch.
+- Finished rows vocode on device through the causal NanoCodec from the
+  row's saved token buffer.
 
-so a request admitted mid-decode starts on the next chunk boundary
-(~chunk x step-time, not a whole batch generation) and finishes on its
-own schedule.
-
-TPU design notes:
-- All rows share ONE kv position counter (the KVCache writes one
-  dynamic_update_slice per layer on the carried buffer — the round-2
-  lesson; per-row write positions would force scatters). New prompts are
-  right-justified against the shared position and each row masks its own
-  dead prefix via kani_step's `key_valid_from` — rope attention only
-  sees relative offsets, so the shared shift is free (the same argument
-  as the batched prefill layout, runtime/kani.py:227-232).
-- The shared counter grows monotonically; a request is admitted only if
-  its worst-case endpoint (pos + cap + chunk) fits max_seq_len. When no
-  admission fits, the server DRAINS: live rows finish, then the state
-  resets fresh. Utilization dips at the wrap point; p50/p99 still beat
-  admission batching because wraps are rare. Size cfg.max_seq_len for
-  several generations (>= 2-4x max_new_tokens) in production.
-- Chunk size trades admission latency against dispatch overhead: each
-  chunk is one device dispatch of `chunk` fused steps.
-
-The reference has no serving at all (SURVEY.md §2.9) — this extends the
-repo's beyond-reference serving layer.
+Slot KV sizing: production configs need max_seq_len >= bucket + cap +
+chunk with headroom for several generations between drains; the 370m
+config serves with max_seq_len=4096. Measured on-chip (370m int8,
+256-token generations, 4 rps x 32 requests, slots=4/chunk=32):
+continuous p50 6.50 s / p99 10.21 s vs admission batching 57.58 /
+59.38 s (benchmarks/serving_bench.py).
 """
 from __future__ import annotations
-
-import collections
-import queue
-import threading
-import time
-from concurrent.futures import Future
-from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .slots import SlotEngine, SlotStats
+
 __all__ = ["KaniSlotServer", "SlotStats"]
 
 
-@dataclass
-class SlotStats:
-    requests: int = 0
-    completed: int = 0
-    chunks: int = 0
-    drains: int = 0
-    admissions_mid_decode: int = 0
-    latencies_s: list = field(default_factory=list)   # admit -> complete
-
-    def snapshot(self) -> dict:
-        lat = sorted(self.latencies_s)
-
-        def pct(p):
-            if not lat:
-                return 0.0
-            return round(lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3, 1)
-
-        return {"requests": self.requests, "completed": self.completed,
-                "chunks": self.chunks, "drains": self.drains,
-                "admissions_mid_decode": self.admissions_mid_decode,
-                "p50_ms": pct(0.50), "p99_ms": pct(0.99)}
-
-
-class KaniSlotServer:
+class KaniSlotServer(SlotEngine):
     """Continuous-batching server over a KaniPipeline.
 
     submit(ids) -> Future resolving to (int16 wav, n_tokens).
@@ -88,39 +47,33 @@ class KaniSlotServer:
         self.pipe = pipeline
         self.cfg = pipeline.cfg
         self.ccfg = pipeline.codec_cfg
-        self.slots = slots
-        self.chunk = chunk
         self.bucket = prompt_bucket
         dcfg = pipeline.dcfg
         cap, buf, fbuf = pipeline._buf_for(dcfg.max_new_tokens)
         self.cap, self.buf, self.fbuf = min(cap, buf), buf, fbuf
-        if self.bucket + self.cap + self.chunk > self.cfg.max_seq_len:
+        if self.bucket + self.cap + chunk > self.cfg.max_seq_len:
             raise ValueError(
                 f"max_seq_len {self.cfg.max_seq_len} too small for "
                 f"bucket {self.bucket} + cap {self.cap} + chunk "
-                f"{self.chunk}; lower max_new_tokens or raise max_seq_len")
+                f"{chunk}; lower max_new_tokens or raise max_seq_len")
 
         self._init_state = lambda b: init_state(
             self.cfg, batch=b, kv_dtype=pipeline.params["embed"].dtype)
-        self._build_programs()
-
-        self._q: queue.Queue = queue.Queue(maxsize=queue_limit)
-        self._pending: collections.deque = collections.deque()
-        self.stats = SlotStats()
-        self._lock = threading.Lock()
-        self._closed = False
-        self._worker = threading.Thread(target=self._run, daemon=True,
-                                        name="kani-slot-server")
-        self._worker.start()
+        self._slots = slots
+        self._build_programs(slots, chunk)
+        super().__init__(slots=slots, chunk=chunk,
+                         seq_limit=self.cfg.max_seq_len,
+                         start_pos=self.bucket, queue_limit=queue_limit,
+                         name="kani-slot-server")
 
     # ----------------------------------------------------------- programs
 
-    def _build_programs(self):
+    def _build_programs(self, bsz: int, chunk: int):
         from ..decoding.sampling import greedy
         from ..models.kani import KaniState, embed_tokens, kani_step
 
         cfg, dcfg = self.cfg, self.pipe.dcfg
-        bsz, chunk, buf = self.slots, self.chunk, self.buf
+        buf = self.buf
         penalty, prange = dcfg.repeat_penalty, dcfg.penalty_range
         use_penalty = penalty != 1.0
 
@@ -221,34 +174,16 @@ class KaniSlotServer:
     # ------------------------------------------------------------- client
 
     def submit(self, ids: np.ndarray,
-               max_new_tokens: int | None = None) -> Future:
-        if self._closed:
-            raise RuntimeError("KaniSlotServer is closed")
+               max_new_tokens: int | None = None):
         if ids.shape[1] > self.bucket:
             raise ValueError(f"prompt {ids.shape[1]} > bucket {self.bucket}")
-        fut: Future = Future()
         cap = min(max_new_tokens or self.cap, self.cap)
-        self._q.put((np.asarray(ids, np.int32), cap, fut,
-                     time.perf_counter()), timeout=5.0)
-        with self._lock:
-            self.stats.requests += 1
-        return fut
+        return self._submit(np.asarray(ids, np.int32), cap)
 
-    def close(self, timeout: float = 60.0) -> None:
-        self._closed = True
-        self._worker.join(timeout=timeout)
-        for item in self._pending:
-            item[2].cancel()
-        while True:
-            try:
-                self._q.get_nowait()[2].cancel()
-            except queue.Empty:
-                break
-
-    # ------------------------------------------------------------- worker
+    # ------------------------------------------------------ engine hooks
 
     def _fresh(self):
-        bsz, buf = self.slots, self.buf
+        bsz, buf = self._slots, self.buf
         return {
             "state": self._init_state(bsz),
             "save": jnp.zeros((bsz, buf), jnp.int32),
@@ -258,86 +193,37 @@ class KaniSlotServer:
             "done": jnp.zeros((bsz,), jnp.int32),
             "kvf": np.zeros((bsz,), np.int32),
             "cap": np.zeros((bsz,), np.int32),
-            "pos": self.bucket,            # shared kv position counter
-            "reqs": [None] * bsz,          # (future, t_admit) per slot
         }
 
-    def _harvest(self, s) -> None:
-        fin_host, done_host = jax.device_get((s["fin"], s["done"]))
+    def _fin_done(self, s):
+        return jax.device_get((s["fin"], s["done"]))
+
+    def _finalize(self, s, b: int, n: int):
         g = self.ccfg.num_groups
-        for b in range(self.slots):
-            if s["reqs"][b] is not None and fin_host[b]:
-                fut, t_admit = s["reqs"][b]
-                n = int(done_host[b])
-                wav = np.asarray(self._vocode_fn(
-                    self.pipe.codec_params, s["save"][b:b + 1],
-                    np.int32(n)))
-                frames = max((n - 2) // g, 0)
-                fut.set_result(
-                    (wav[0, : frames * self.ccfg.total_upsample], n))
-                s["reqs"][b] = None
-                with self._lock:
-                    self.stats.completed += 1
-                    self.stats.latencies_s.append(
-                        time.perf_counter() - t_admit)
+        wav = np.asarray(self._vocode_fn(
+            self.pipe.codec_params, s["save"][b:b + 1], np.int32(n)))
+        frames = max((n - 2) // g, 0)
+        return wav[0, : frames * self.ccfg.total_upsample], n
 
-    def _admit(self, s) -> None:
-        while True:
-            try:
-                self._pending.append(self._q.get_nowait())
-            except queue.Empty:
-                break
-        live_any = any(r is not None for r in s["reqs"])
-        # drain complete: nothing live and the next admission won't fit
-        if (self._pending and not live_any
-                and s["pos"] + self._pending[0][1] + self.chunk
-                > self.cfg.max_seq_len):
-            with self._lock:
-                self.stats.drains += 1
-            s.update(self._fresh())
-        while self._pending:
-            free = next((b for b in range(self.slots)
-                         if s["reqs"][b] is None), None)
-            if free is None:
-                break
-            ids, cap, fut, t_admit = self._pending[0]
-            if s["pos"] + cap + self.chunk > self.cfg.max_seq_len:
-                break                      # no headroom: drain in progress
-            self._pending.popleft()
-            mid_decode = any(r is not None for r in s["reqs"])
-            ids_buf = np.zeros((1, self.bucket), np.int32)
-            p = ids.shape[1]
-            ids_buf[0, self.bucket - p:] = ids[0]
-            state1, first = self._prefill_fn(
-                self.pipe.params, jnp.asarray(ids_buf),
-                np.int32(self.bucket - p), np.int32(s["pos"]))
-            b = free
-            s["state"] = self._insert_fn(s["state"], state1, np.int32(b))
-            s["save"] = s["save"].at[b].set(0).at[b, 0].set(first)
-            s["cnt"] = s["cnt"].at[b].set(1)
-            s["last"] = s["last"].at[b].set(first)
-            s["fin"] = s["fin"].at[b].set(first == self.cfg.stop_token)
-            s["done"] = s["done"].at[b].set(0)
-            s["kvf"][b] = s["pos"] - p
-            s["cap"][b] = cap
-            s["reqs"][b] = (fut, t_admit)
-            if mid_decode:
-                with self._lock:
-                    self.stats.admissions_mid_decode += 1
+    def _admit_row(self, s, b: int, ids: np.ndarray, cap: int) -> None:
+        ids_buf = np.zeros((1, self.bucket), np.int32)
+        p = ids.shape[1]
+        ids_buf[0, self.bucket - p:] = ids[0]
+        state1, first = self._prefill_fn(
+            self.pipe.params, jnp.asarray(ids_buf),
+            np.int32(self.bucket - p), np.int32(s["pos"]))
+        s["state"] = self._insert_fn(s["state"], state1, np.int32(b))
+        s["save"] = s["save"].at[b].set(0).at[b, 0].set(first)
+        s["cnt"] = s["cnt"].at[b].set(1)
+        s["last"] = s["last"].at[b].set(first)
+        s["fin"] = s["fin"].at[b].set(first == self.cfg.stop_token)
+        s["done"] = s["done"].at[b].set(0)
+        s["kvf"][b] = s["pos"] - p
+        s["cap"][b] = cap
 
-    def _run(self):
-        s = self._fresh()
-        while not self._closed:
-            self._harvest(s)
-            self._admit(s)
-            if not any(r is not None for r in s["reqs"]):
-                time.sleep(0.001)
-                continue
-            (s["state"], s["save"], s["cnt"], s["last"], s["fin"],
-             s["done"]) = self._chunk_fn(
-                self.pipe.params, s["state"], s["save"], s["cnt"],
-                s["last"], s["fin"], s["done"],
-                jnp.asarray(s["kvf"]), jnp.asarray(s["cap"]))
-            s["pos"] += self.chunk
-            with self._lock:
-                self.stats.chunks += 1
+    def _step_chunk(self, s) -> None:
+        (s["state"], s["save"], s["cnt"], s["last"], s["fin"],
+         s["done"]) = self._chunk_fn(
+            self.pipe.params, s["state"], s["save"], s["cnt"],
+            s["last"], s["fin"], s["done"],
+            jnp.asarray(s["kvf"]), jnp.asarray(s["cap"]))
