@@ -160,6 +160,43 @@ def test_http_over_slot_server(pipe):
         srv.close()
 
 
+def test_router_across_devices():
+    """SlotRouter spreads requests over per-device slot servers (one
+    chip = one server, params device_put per device) and every request
+    still matches its solo decode."""
+    import jax
+
+    from tts_tpu.serving.router import SlotRouter
+
+    devices = jax.devices()[:2]
+    if len(devices) < 2:
+        pytest.skip("needs >= 2 devices (virtual CPU mesh)")
+    base = _pipeline()
+    ids = np.array([[5, 17, 99, 3]], np.int32)
+    wav_ref, stats = base.synthesize_ids(ids, max_new_tokens=12)
+
+    def make_server(d):
+        p = jax.device_put(base.params, d)
+        cp = jax.device_put(base.codec_params, d)
+        pipe = KaniPipeline(p, CFG, cp, CODEC,
+                            KaniDecodeConfig(max_new_tokens=40))
+        return KaniSlotServer(pipe, slots=1, chunk=8, prompt_bucket=16)
+
+    router = SlotRouter.for_devices(make_server, devices)
+    try:
+        futs = [router.submit(ids, max_new_tokens=12) for _ in range(4)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        router.close()
+    for wav, n in outs:
+        assert n == stats["tokens"]
+        np.testing.assert_array_equal(wav, wav_ref)
+    agg = router.stats()
+    assert agg["completed"] == 4
+    # least-loaded routing with 1 slot each must use both devices
+    assert all(p["completed"] >= 1 for p in agg["per_server"])
+
+
 def test_queue_past_slots_all_complete(pipe):
     """More requests than slots: the queue drains through slot reuse."""
     srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)

@@ -27,12 +27,13 @@ Two batching modes:
 """
 from .batcher import BatchStats, MicroBatcher
 from .continuous import KaniSlotServer
+from .router import SlotRouter
 from .server import TTSServer, serve_http
-from .slots import SlotEngine, SlotStats
+from .slots import SlotEngine, SlotStats, StreamHandle
 
 __all__ = ["MicroBatcher", "BatchStats", "TTSServer", "serve_http",
-           "SlotEngine", "SlotStats", "KaniSlotServer",
-           "QwenSlotServer", "IndexTTSSlotServer"]
+           "SlotEngine", "SlotStats", "StreamHandle", "SlotRouter",
+           "KaniSlotServer", "QwenSlotServer", "IndexTTSSlotServer"]
 
 
 def __getattr__(name):

@@ -148,6 +148,12 @@ class SlotEngine:
 
     # ------------------------------------------------------------- client
 
+    @property
+    def in_flight(self) -> int:
+        """Requests submitted but not yet completed (queue + live slots)."""
+        with self._lock:
+            return self.stats.requests - self.stats.completed
+
     def _submit(self, payload, cap: int) -> Future:
         if self._closed:
             raise RuntimeError(f"{type(self).__name__} is closed")
