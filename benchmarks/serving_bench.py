@@ -77,9 +77,160 @@ def pct(lats, p):
     return lats[min(int(p * len(lats)), len(lats) - 1)] * 1e3
 
 
+def build_qwen(on_tpu: bool):
+    import jax.numpy as jnp
+
+    from tts_tpu.models.qwen_codec import (QwenCodecDecoderConfig,
+                                           init_decoder_params)
+    from tts_tpu.models.qwen_tts import (QwenTTSConfig,
+                                         init_predictor_params,
+                                         init_talker_params)
+    from tts_tpu.runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+    from tts_tpu.models.qwen_tts import Qwen3StackConfig
+
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+    if on_tpu:
+        cfg = QwenTTSConfig()                    # 0.6B shapes
+        frames = 120                             # 10 s at 12 Hz
+        ccfg = QwenCodecDecoderConfig()
+    else:                                        # tiny harness config
+        cfg = QwenTTSConfig(
+            talker=Qwen3StackConfig(hidden_size=32, num_heads=2,
+                                    num_kv_heads=1, head_dim=16, ffn_dim=64,
+                                    num_layers=2, max_seq_len=1024),
+            predictor=Qwen3StackConfig(hidden_size=24, num_heads=2,
+                                       num_kv_heads=1, head_dim=12,
+                                       ffn_dim=48, num_layers=2,
+                                       max_seq_len=32),
+            codec_vocab=64, group_vocab=32, num_code_groups=4,
+            codec_eos_token_id=-1, codec_bos_id=61, codec_pad_id=60,
+            codec_think_id=59, codec_think_bos_id=58, codec_think_eos_id=57,
+            tts_bos_token_id=97, tts_eos_token_id=98, tts_pad_token_id=99,
+            text_vocab=100, text_hidden=16)
+        frames = 12
+        ccfg = QwenCodecDecoderConfig(
+            num_quantizers=4, codebook_size=32, codebook_dim=16, rvq_dim=8,
+            latent_dim=24, decoder_dim=32, upsampling_ratios=(2,),
+            upsample_rates=(4, 2), hidden_size=24, num_heads=2,
+            num_kv_heads=2, head_dim=12, ffn_dim=48, num_layers=2,
+            max_seq_len=64)
+    params = {
+        **jax.jit(lambda k: init_talker_params(cfg, k, dt))(jax.random.key(0)),
+        **jax.jit(lambda k: init_predictor_params(cfg, k, dt))(
+            jax.random.key(1)),
+    }
+    cparams = jax.jit(lambda k: init_decoder_params(ccfg, k, dt))(
+        jax.random.key(2))
+    pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
+                           QwenDecodeConfig(max_frames=frames),
+                           quantize=8 if on_tpu else None)
+    return pipe, frames
+
+
+def qwen_request(i, hidden, rng):
+    p = 16 + (i % 5)
+    prefill = rng.normal(size=(1, p, hidden)).astype(np.float32) * 0.1
+    trailing = rng.normal(size=(1, 12, hidden)).astype(np.float32) * 0.1
+    return prefill, trailing
+
+
+def main_qwen(rate: float, n: int):
+    on_tpu = jax.devices()[0].platform == "tpu"
+    pipe, frames = build_qwen(on_tpu)
+    hidden = pipe.cfg.talker.hidden_size
+    rng = np.random.default_rng(0)
+
+    from tts_tpu.serving.continuous_qwen import QwenSlotServer
+
+    srv = QwenSlotServer(pipe, slots=4, chunk=16, prompt_bucket=32,
+                         trailing_bucket=16)
+    try:
+        srv.submit(*qwen_request(0, hidden, rng)).result(timeout=1200)
+
+        # per-request latency under a Poisson stream, continuous batching
+        futs = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            futs.append((srv.submit(*qwen_request(i, hidden, rng)), t0))
+            if i + 1 < n:
+                time.sleep(float(rng.exponential(1.0 / rate)))
+        lats = []
+        for fut, t0 in futs:
+            fut.result(timeout=1200)
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        print(json.dumps({
+            "metric": f"qwen continuous batching, {rate} rps x {n}, "
+                      f"{frames} frames/req",
+            "p50_ms": round(pct(lats, 0.5), 1),
+            "p99_ms": round(pct(lats, 0.99), 1),
+            "stats": srv.stats.snapshot()}))
+
+        # concurrent streaming TTFA: 4 streams sharing the slot batch
+        # (window sized to the codec's context; tiny CPU codec has
+        # max_seq_len 64 so the reference 72/24 windows only fit on TPU)
+        import threading
+
+        win, lctx, cfr = (72, 24, 24) if on_tpu else (8, 2, 4)
+        ttfa = [None] * 4
+
+        def one_stream(j):
+            t0 = time.perf_counter()
+            h = srv.submit_stream(*qwen_request(100 + j, hidden, rng),
+                                  window=win, left_context=lctx)
+            for _ in h:
+                if ttfa[j] is None:
+                    ttfa[j] = time.perf_counter() - t0
+
+        threads = [threading.Thread(target=one_stream, args=(j,))
+                   for j in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        print(json.dumps({
+            "metric": "qwen 4 concurrent streams over slots, TTFA",
+            "ttfa_ms": [round(t * 1e3, 1) for t in ttfa if t]}))
+    finally:
+        srv.close()
+
+    # solo-loop streaming baseline: 4 threads each holding its own
+    # synthesize_streaming generator (the /stream bypass), contending for
+    # dispatch
+    import threading
+
+    list(pipe.synthesize_streaming(*qwen_request(0, hidden, rng),
+                                   chunk_frames=cfr, window=win,
+                                   left_context=lctx))           # compile
+    ttfa = [None] * 4
+
+    def solo_stream(j):
+        t0 = time.perf_counter()
+        for _ in pipe.synthesize_streaming(*qwen_request(200 + j, hidden,
+                                                         rng),
+                                           chunk_frames=cfr, window=win,
+                                           left_context=lctx):
+            if ttfa[j] is None:
+                ttfa[j] = time.perf_counter() - t0
+
+    threads = [threading.Thread(target=solo_stream, args=(j,))
+               for j in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    print(json.dumps({
+        "metric": "qwen 4 concurrent solo-loop streams (bypass), TTFA",
+        "ttfa_ms": [round(t * 1e3, 1) for t in ttfa if t]}))
+
+
 def main():
     rate = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    if len(sys.argv) > 3 and sys.argv[3] == "qwen":
+        main_qwen(rate, n)
+        return
     on_tpu = jax.devices()[0].platform == "tpu"
     pipe, gen = build_pipeline(on_tpu)
 

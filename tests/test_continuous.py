@@ -160,6 +160,49 @@ def test_http_over_slot_server(pipe):
         srv.close()
 
 
+def test_finalize_failure_fails_request_not_server(pipe):
+    """A vocode failure is per-row: that request's future raises, the
+    batch keeps serving (slots.py harvest guard)."""
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+    try:
+        good = srv._vocode_fn
+
+        def boom(*a):
+            raise RuntimeError("vocode boom")
+
+        srv._vocode_fn = boom
+        with pytest.raises(RuntimeError, match="vocode boom"):
+            srv.submit(np.array([[5, 9]], np.int32),
+                       max_new_tokens=8).result(timeout=300)
+        srv._vocode_fn = good
+        wav, n = srv.submit(np.array([[5, 9]], np.int32),
+                            max_new_tokens=8).result(timeout=300)
+        assert n == 8 and wav.dtype == np.int16
+    finally:
+        srv.close()
+
+
+def test_worker_failure_fails_all_waiters(pipe):
+    """A decode-path failure must fail every submitted future instead of
+    stranding them until timeout (slots.py worker guard — found when a
+    mis-sized codec window crashed the worker and all clients hung)."""
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+
+    def boom(*a, **k):
+        raise RuntimeError("chunk boom")
+
+    srv._chunk_fn = boom
+    try:
+        futs = [srv.submit(np.array([[5 + i]], np.int32), max_new_tokens=8)
+                for i in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="chunk boom"):
+                f.result(timeout=300)
+    finally:
+        srv._closed = True
+        srv._worker.join(timeout=10)
+
+
 def test_router_across_devices():
     """SlotRouter spreads requests over per-device slot servers (one
     chip = one server, params device_put per device) and every request

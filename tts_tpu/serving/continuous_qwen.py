@@ -218,6 +218,10 @@ class QwenSlotServer(SlotEngine):
         Export_Qwen_TTS_ONNX.py:2706-2726): each codec window carries
         `left_context` frames of already-emitted codes whose audio is
         discarded."""
+        cms = getattr(self.ccfg, "max_seq_len", None)
+        if cms is not None and window > cms:
+            raise ValueError(
+                f"window {window} > codec max_seq_len {cms}")
         (prefill, trailing), cap = self._validate(prefill, trailing,
                                                   max_frames)
         handle = StreamHandle()

@@ -189,7 +189,14 @@ class SlotEngine:
         for b in range(self.slots):
             if s["reqs"][b] is not None and fin[b]:
                 fut, t_admit = s["reqs"][b]
-                fut.set_result(self._finalize(s, b, int(done[b])))
+                try:
+                    result = self._finalize(s, b, int(done[b]))
+                except Exception as e:
+                    # finalize touches only this row — fail this request,
+                    # keep the batch serving
+                    fut.set_exception(e)
+                else:
+                    fut.set_result(result)
                 s["reqs"][b] = None
                 with self._lock:
                     self.stats.completed += 1
@@ -228,17 +235,35 @@ class SlotEngine:
 
     def _run(self):
         s = self._fresh_base()
-        while not self._closed:
-            self._harvest(s)
-            self._admit(s)
-            if not any(r is not None for r in s["reqs"]):
-                time.sleep(0.001)
-                continue
-            self._step_chunk(s)
-            s["pos"] += self.chunk
-            self._post_chunk(s)
-            with self._lock:
-                self.stats.chunks += 1
+        try:
+            while not self._closed:
+                self._harvest(s)
+                self._admit(s)
+                if not any(r is not None for r in s["reqs"]):
+                    time.sleep(0.001)
+                    continue
+                self._step_chunk(s)
+                s["pos"] += self.chunk
+                self._post_chunk(s)
+                with self._lock:
+                    self.stats.chunks += 1
+        except BaseException as e:
+            # a worker failure must FAIL every waiter, not strand them:
+            # live slots, the admission backlog, and anything still queued
+            # all see the exception through their futures (stream handles
+            # re-raise it via their done-callback)
+            self._closed = True
+            for r in s["reqs"]:
+                if r is not None:
+                    r[0].set_exception(e)
+            while self._pending:
+                self._pending.popleft()[2].set_exception(e)
+            while True:
+                try:
+                    self._q.get_nowait()[2].set_exception(e)
+                except queue.Empty:
+                    break
+            raise
         for r in s["reqs"]:          # closed mid-decode: unblock waiters
             if r is not None:
                 r[0].cancel()
