@@ -173,6 +173,11 @@ def main_qwen(rate: float, n: int):
         import threading
 
         win, lctx, cfr = (72, 24, 24) if on_tpu else (8, 2, 4)
+        # warm the streaming path (window codec compile) before timing —
+        # the solo baseline below is warmed the same way
+        for _ in srv.submit_stream(*qwen_request(99, hidden, rng),
+                                   window=win, left_context=lctx):
+            pass
         ttfa = [None] * 4
 
         def one_stream(j):

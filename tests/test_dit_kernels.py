@@ -179,3 +179,26 @@ def test_out_proj_residual_q8_matches_reference_chain():
                                block_rows=32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_mlp_block_fused_per_row_mods():
+    """(B, 3, D) per-row modulation (continuous F5 serving: each request
+    at its own NFE step) matches the per-row XLA chain."""
+    from tts_tpu.ops.dit_mlp import mlp_block_fused
+
+    rng = np.random.default_rng(5)
+    B, T, D, F = 3, 32, 128, 256
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((D, F)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, D)) * 0.05, jnp.float32)
+    mods = jnp.asarray(rng.standard_normal((B, 3, D)) * 0.1, jnp.float32)
+
+    shift, scale, gate = mods[:, 0, None], mods[:, 1, None], mods[:, 2, None]
+    n = layer_norm(x, eps=1e-6) * (1 + scale) + shift
+    h = jax.nn.gelu(jnp.matmul(n, w1), approximate=True)
+    ref = x + gate * jnp.matmul(h, w2)
+
+    out = mlp_block_fused(x, mods, w1, jnp.zeros(F), w2, jnp.zeros(D),
+                          block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

@@ -454,6 +454,10 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
         mod, 6, axis=-1
     )
     t = x.shape[1]
+    # per-row modulation (continuous serving: each request at its own NFE
+    # step) — the fused kernels below take ONE shared mod vector, so they
+    # require mod batch dim 1
+    shared_mod = mod.shape[0] == 1
     on_tpu = jax.default_backend() == "tpu"
     # W8A8 fused attention projections (quantize=8 mode): the LN+modulate
     # prologue, per-row activation quantization, int8 MXU matmul, and the
@@ -461,7 +465,8 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
     # kernel, so the int8 dot's ~1.4x MXU advantage is not eaten by fusion
     # breaks (the round-1 standalone-kernel failure, ops/quant_matmul.py).
     interp = Q8_INTERPRET and not on_tpu
-    attn_q8 = (USE_FUSED_Q8 and (on_tpu or interp) and t % 128 == 0
+    attn_q8 = (USE_FUSED_Q8 and (on_tpu or interp) and shared_mod
+               and t % 128 == 0
                and t <= 4096 and cfg.head_dim % 64 == 0
                and _is_q8(p["attn"]["wqkv"]) and _is_q8(p["attn"]["wo"]))
     if attn_q8:
@@ -484,12 +489,14 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
         x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos,
                                           rope_sin, cfg.heads, cfg.head_dim,
                                           kv_len)
+    # (Bm, 3, D) mods for the fused MLP kernels: Bm=1 shared (NFE scan)
+    # or Bm=2B per row (continuous serving) — the kernel grid indexes the
+    # batch row, so per-row modulation fuses just as well
     if (USE_FUSED_Q8 and (on_tpu or interp) and t % 32 == 0
             and _is_q8(p["ff1"]["w"]) and _is_q8(p["ff2"]["w"])):
         from ..ops.dit_mlp import mlp_block_fused_q8
 
-        mods = jnp.concatenate([shift_mlp[0], scale_mlp[0], gate_mlp[0]],
-                               axis=0)
+        mods = jnp.concatenate([shift_mlp, scale_mlp, gate_mlp], axis=1)
         return mlp_block_fused_q8(
             x, mods, p["ff1"]["w"].q, p["ff1"]["w"].scale, p["ff1"]["b"],
             p["ff2"]["w"].q, p["ff2"]["w"].scale, p["ff2"]["b"],
@@ -501,8 +508,7 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
         # (ops/dit_mlp.py) — removes 3 HBM round-trips over the activations
         from ..ops.dit_mlp import mlp_block_fused
 
-        mods = jnp.concatenate([shift_mlp[0], scale_mlp[0], gate_mlp[0]],
-                               axis=0)
+        mods = jnp.concatenate([shift_mlp, scale_mlp, gate_mlp], axis=1)
         return mlp_block_fused(x, mods, p["ff1"]["w"], p["ff1"]["b"],
                                p["ff2"]["w"], p["ff2"]["b"])
     norm = layer_norm(x, eps=1e-6) * (1 + scale_mlp) + shift_mlp
@@ -590,7 +596,13 @@ def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
 
     Batched serving: noise/cond/cond_drop may carry B>1 requests; pass
     kv_len as a (2B,) vector (per-request length, tiled for the cond and
-    uncond halves) and the CFG pair runs as batch 2B."""
+    uncond halves) and the CFG pair runs as batch 2B.
+
+    Continuous serving (serving/continuous_f5): step_idx may be a (B,)
+    vector with t_emb (B, dim) — each request integrates at its OWN NFE
+    step. Per-row AdaLN vectors then ride as (2B, 1, ·) and the fused
+    MLP/Q8 kernels (which take one shared modulation vector) fall back
+    to the plain path (_dit_block guards on mod.shape[0])."""
     # one batch-2 embedding call for the CFG pair (the convs are
     # batch-parallel, so this is exactly the two-call result at half the
     # dispatch cost — measured 3.5 -> 2.0 ms/step at t=1536)
@@ -599,14 +611,21 @@ def dit_forward(params, noise: jax.Array, cond: jax.Array, cond_drop: jax.Array,
         jnp.concatenate([noise, noise], axis=0),
         jnp.concatenate([cond, cond_drop], axis=0),
     )                                                               # (2, T, dim)
-    t_emb = t_emb.reshape(1, 1, -1)
+
+    def _pair(v):
+        """(·,) or (B, ·) modulation source -> (1, 1, ·) or (2B, 1, ·):
+        per-row vectors double for the CFG pair (cond/uncond halves share
+        their row's step)."""
+        v = v.reshape(-1, 1, v.shape[-1])
+        return jnp.concatenate([v, v], axis=0) if v.shape[0] > 1 else v
+
+    t_emb = _pair(t_emb if t_emb.ndim > 1 else t_emb.reshape(1, -1))
     use_tab = step_idx is not None and "ada_table" in params
     for li, p in enumerate(params["blocks"]):
-        mod = params["ada_table"][step_idx, li].reshape(1, 1, -1) \
-            if use_tab else None
+        mod = _pair(params["ada_table"][step_idx, li]) if use_tab else None
         x = _dit_block(p, x, t_emb, rope_cos, rope_sin, cfg, kv_len, mod)
     if use_tab:
-        mod = params["norm_out_table"][step_idx].reshape(1, 1, -1)
+        mod = _pair(params["norm_out_table"][step_idx])
     else:
         mod = jnp.matmul(jax.nn.silu(t_emb), params["norm_out"]["w"]) \
             + params["norm_out"]["b"]

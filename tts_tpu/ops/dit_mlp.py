@@ -26,7 +26,8 @@ __all__ = ["mlp_block_fused", "mlp_block_fused_q8"]
 
 def _kernel(x_ref, mods_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[0]                                       # (bs, D)
-    shift, scale, gate = mods_ref[0], mods_ref[1], mods_ref[2]  # (D,)
+    m = mods_ref[0]                                    # (3, D)
+    shift, scale, gate = m[0], m[1], m[2]
 
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -56,7 +57,8 @@ def _kernel_q8(x_ref, mods_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
     fusion is lost — the failure mode that made the standalone
     ops/quant_matmul.py kernel a net loss end-to-end."""
     x = x_ref[0]                                       # (bs, D)
-    shift, scale, gate = mods_ref[0], mods_ref[1], mods_ref[2]  # (D,)
+    m = mods_ref[0]                                    # (3, D)
+    shift, scale, gate = m[0], m[1], m[2]
 
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -86,6 +88,21 @@ def _kernel_q8(x_ref, mods_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
     o_ref[0] = x + gate[None, :] * y.astype(x.dtype)
 
 
+
+
+def _mods_spec(mods, b, d):
+    """Normalize mods to (Bm, 3, D) with Bm in {1, B} and return
+    (array, BlockSpec): (3, D) legacy shared vector, or (B, 3, D) per-row
+    (continuous F5 serving — each request at its own NFE step)."""
+    if mods.ndim == 2:
+        mods = mods[None]
+    if mods.shape[0] == 1:
+        spec = pl.BlockSpec((1, 3, d), lambda ib, it: (0, 0, 0))
+    else:
+        assert mods.shape[0] == b, (mods.shape, b)
+        spec = pl.BlockSpec((1, 3, d), lambda ib, it: (ib, 0, 0))
+    return mods, spec
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def mlp_block_fused_q8(x: jax.Array, mods: jax.Array, w1_q: jax.Array,
                        w1_scale: jax.Array, b1: jax.Array, w2_q: jax.Array,
@@ -103,12 +120,13 @@ def mlp_block_fused_q8(x: jax.Array, mods: jax.Array, w1_q: jax.Array,
             bs = cand
             break
     grid = (b, t // bs)
+    mods, mspec = _mods_spec(mods, b, d)
     return pl.pallas_call(
         _kernel_q8,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bs, d), lambda ib, it: (ib, it, 0)),
-            pl.BlockSpec((3, d), lambda ib, it: (0, 0)),
+            mspec,
             pl.BlockSpec((d, f), lambda ib, it: (0, 0)),
             pl.BlockSpec((1, f), lambda ib, it: (0, 0)),
             pl.BlockSpec((1, f), lambda ib, it: (0, 0)),
@@ -134,7 +152,8 @@ def mlp_block_fused(x: jax.Array, mods: jax.Array, w1: jax.Array,
                     b1: jax.Array, w2: jax.Array, b2: jax.Array,
                     block_rows: int = 176, interpret: bool = False
                     ) -> jax.Array:
-    """x (B, T, D); mods (3, D) = [shift_mlp, scale_mlp, gate_mlp] rows;
+    """x (B, T, D); mods (3, D) shared or (B, 3, D) per batch row
+    = [shift_mlp, scale_mlp, gate_mlp] rows;
     w1 (D, F), b1 (F,), w2 (F, D), b2 (D,).
     Returns x + gate * ff2(gelu(ff1(ln(x) * (1+scale) + shift)))."""
     b, t, d = x.shape
@@ -148,12 +167,13 @@ def mlp_block_fused(x: jax.Array, mods: jax.Array, w1: jax.Array,
             bs = cand
             break
     grid = (b, t // bs)
+    mods, mspec = _mods_spec(mods, b, d)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bs, d), lambda ib, it: (ib, it, 0)),
-            pl.BlockSpec((3, d), lambda ib, it: (0, 0)),
+            mspec,
             pl.BlockSpec((d, f), lambda ib, it: (0, 0)),
             pl.BlockSpec((1, f), lambda ib, it: (0, 0)),
             pl.BlockSpec((f, d), lambda ib, it: (0, 0)),

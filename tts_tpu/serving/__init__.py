@@ -33,15 +33,19 @@ from .slots import SlotEngine, SlotStats, StreamHandle
 
 __all__ = ["MicroBatcher", "BatchStats", "TTSServer", "serve_http",
            "SlotEngine", "SlotStats", "StreamHandle", "SlotRouter",
-           "KaniSlotServer", "QwenSlotServer", "IndexTTSSlotServer"]
+           "KaniSlotServer", "QwenSlotServer", "IndexTTSSlotServer",
+           "F5SlotServer"]
 
 
 def __getattr__(name):
-    # lazy: the Qwen/IndexTTS adapters pull in their model stacks
+    # lazy: the family adapters pull in their model stacks
     if name == "QwenSlotServer":
         from .continuous_qwen import QwenSlotServer
         return QwenSlotServer
     if name == "IndexTTSSlotServer":
         from .continuous_indextts import IndexTTSSlotServer
         return IndexTTSSlotServer
+    if name == "F5SlotServer":
+        from .continuous_f5 import F5SlotServer
+        return F5SlotServer
     raise AttributeError(name)

@@ -290,13 +290,17 @@ class QwenSlotServer(SlotEngine):
     def _post_chunk(self, s) -> None:
         if not any(st is not None for st in s["stream"]):
             return
+        # ONE fetch for the whole frame buffer (B x fbuf x G int32, tens
+        # of KB) — per-row sliced fetches each pay a full transport round
+        # trip (~tens of ms over a remote-chip tunnel)
         cnt = np.asarray(s["cnt"])
+        frames_h = np.asarray(s["frames"])
         for b, st in enumerate(s["stream"]):
             if st is None:
                 continue
             new = int(cnt[b])
             if new > st["prev"]:
-                frames = np.asarray(s["frames"][b, st["prev"]:new])
+                frames = frames_h[b, st["prev"]:new]
                 st["prev"] = new
                 out = st["codec"].push_frames(frames)
                 if out is not None and len(out):
