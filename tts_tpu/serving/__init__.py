@@ -34,18 +34,21 @@ from .slots import SlotEngine, SlotStats, StreamHandle
 __all__ = ["MicroBatcher", "BatchStats", "TTSServer", "serve_http",
            "SlotEngine", "SlotStats", "StreamHandle", "SlotRouter",
            "KaniSlotServer", "QwenSlotServer", "IndexTTSSlotServer",
-           "F5SlotServer"]
+           "F5SlotServer", "VoxCPMSlotServer"]
+
+_LAZY = {
+    "QwenSlotServer": "continuous_qwen",
+    "IndexTTSSlotServer": "continuous_indextts",
+    "F5SlotServer": "continuous_f5",
+    "VoxCPMSlotServer": "continuous_voxcpm",
+}
 
 
 def __getattr__(name):
     # lazy: the family adapters pull in their model stacks
-    if name == "QwenSlotServer":
-        from .continuous_qwen import QwenSlotServer
-        return QwenSlotServer
-    if name == "IndexTTSSlotServer":
-        from .continuous_indextts import IndexTTSSlotServer
-        return IndexTTSSlotServer
-    if name == "F5SlotServer":
-        from .continuous_f5 import F5SlotServer
-        return F5SlotServer
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(f".{_LAZY[name]}", __name__),
+                       name)
     raise AttributeError(name)
