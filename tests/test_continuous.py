@@ -160,6 +160,27 @@ def test_http_over_slot_server(pipe):
         srv.close()
 
 
+def test_streaming_over_slots_exact(pipe):
+    """Kani streaming over the slot batch is EXACT: the NanoCodec
+    HiFiGAN is causal, so windowed decode with left_context >= its
+    measured receptive field byte-equals the full decode."""
+    ids = np.array([[5, 17, 99, 3]], np.int32)
+    srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
+    try:
+        wav_full, n_full = srv.submit(ids, max_new_tokens=40).result(
+            timeout=300)
+        lc = srv._receptive_frames()
+        assert lc >= 1
+        handle = srv.submit_stream(ids, max_new_tokens=40,
+                                   window=lc + 3)
+        chunks = list(handle)
+    finally:
+        srv.close()
+    assert handle.n_frames == n_full
+    assert len(chunks) >= 2
+    np.testing.assert_array_equal(np.concatenate(chunks), wav_full)
+
+
 def test_finalize_failure_fails_request_not_server(pipe):
     """A vocode failure is per-row: that request's future raises, the
     batch keeps serving (slots.py harvest guard)."""

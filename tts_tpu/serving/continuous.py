@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .slots import SlotEngine, SlotStats
+from .slots import SlotEngine, SlotStats, StreamHandle
 
 __all__ = ["KaniSlotServer", "SlotStats"]
 
@@ -180,6 +180,55 @@ class KaniSlotServer(SlotEngine):
         cap = min(max_new_tokens or self.cap, self.cap)
         return self._submit(np.asarray(ids, np.int32), cap)
 
+    def submit_stream(self, ids: np.ndarray,
+                      max_new_tokens: int | None = None,
+                      window: int = 48,
+                      left_context: int | None = None) -> StreamHandle:
+        """Streaming variant: a StreamHandle iterating int16 chunks as
+        chunk boundaries produce codec frames — concurrent streams share
+        the slot batch. EXACT streaming: the NanoCodec HiFiGAN is causal,
+        so windowed decode with left_context >= its receptive field
+        reproduces the full decode byte-for-byte; left_context=None
+        measures the receptive field once by impulse probe
+        (_receptive_frames) and uses it."""
+        if ids.shape[1] > self.bucket:
+            raise ValueError(f"prompt {ids.shape[1]} > bucket {self.bucket}")
+        cap = min(max_new_tokens or self.cap, self.cap)
+        if left_context is None:
+            left_context = self._receptive_frames()
+        if left_context >= window:
+            raise ValueError(f"left_context {left_context} >= window "
+                             f"{window}; raise window")
+        handle = StreamHandle()
+        fut = self._submit((np.asarray(ids, np.int32),
+                            (handle, window, left_context)), cap)
+        fut.add_done_callback(
+            lambda f: handle._fail(f.exception() or RuntimeError(
+                "request cancelled"))
+            if (f.cancelled() or f.exception()) else None)
+        return handle
+
+    def _receptive_frames(self) -> int:
+        """Causal-HiFiGAN receptive field in codec frames, measured: how
+        many past frames can influence the current output sample. One
+        probe decode at server startup, cached."""
+        if getattr(self, "_rf_frames", None) is None:
+            from ..models.nanocodec import fsq_dequantize, hifigan_decode
+
+            ccfg = self.ccfg
+            n = 64
+            base = np.zeros((1, n, ccfg.num_groups), np.int32)
+            probe = base.copy()
+            probe[0, 0] = 1
+            f = jax.jit(lambda p, c: hifigan_decode(
+                p, fsq_dequantize(jnp.asarray(c), ccfg), ccfg))
+            d = np.abs(np.asarray(f(self.pipe.codec_params, probe))
+                       - np.asarray(f(self.pipe.codec_params, base)))[0]
+            nz = np.nonzero(d > 1e-7)[0]
+            last = int(nz[-1]) if len(nz) else 0
+            self._rf_frames = min(last // ccfg.total_upsample + 1, n)
+        return self._rf_frames
+
     # ------------------------------------------------------ engine hooks
 
     def _fresh(self):
@@ -193,19 +242,97 @@ class KaniSlotServer(SlotEngine):
             "done": jnp.zeros((bsz,), jnp.int32),
             "kvf": np.zeros((bsz,), np.int32),
             "cap": np.zeros((bsz,), np.int32),
+            "stream": [None] * bsz,   # {handle, codec, prev} per slot
         }
 
     def _fin_done(self, s):
         return jax.device_get((s["fin"], s["done"]))
 
+    def _window_fn(self, window: int):
+        """Jitted codec decode of a raw-token window for streaming."""
+        key = ("win", window)
+        if not hasattr(self, "_win_cache"):
+            self._win_cache = {}
+        if key not in self._win_cache:
+            from ..models.nanocodec import (fsq_dequantize, hifigan_decode,
+                                            tokens_to_codes)
+
+            ccfg = self.ccfg
+
+            @jax.jit
+            def run(codec_params, tokens):
+                flat = tokens.reshape(1, -1)
+                codes = tokens_to_codes(flat, ccfg,
+                                        self.pipe.audio_tokens_start)
+                wav = hifigan_decode(codec_params,
+                                     fsq_dequantize(codes, ccfg), ccfg)
+                return (jnp.clip(wav, -1.0, 1.0)
+                        * 32767.0).astype(jnp.int16)
+
+            self._win_cache[key] = run
+        return self._win_cache[key]
+
+    def _frames_of(self, n_tokens: int) -> int:
+        return max((n_tokens - 2) // self.ccfg.num_groups, 0)
+
+    def _post_chunk(self, s) -> None:
+        if not any(st is not None for st in s["stream"]):
+            return
+        cnt = np.asarray(s["cnt"])
+        save_h = np.asarray(s["save"])      # one fetch for all rows
+        g = self.ccfg.num_groups
+        for b, st in enumerate(s["stream"]):
+            if st is None:
+                continue
+            new = self._frames_of(int(cnt[b]))
+            if new > st["prev"]:
+                toks = save_h[b, 2 + st["prev"] * g: 2 + new * g]
+                st["prev"] = new
+                out = st["codec"].push_frames(toks.reshape(-1, g))
+                if out is not None and len(out):
+                    st["handle"]._put(out)
+
     def _finalize(self, s, b: int, n: int):
+        st = s["stream"][b]
+        if st is not None:
+            s["stream"][b] = None
+            g = self.ccfg.num_groups
+            total = self._frames_of(n)
+            if total > st["prev"]:
+                toks = np.asarray(
+                    s["save"][b, 2 + st["prev"] * g: 2 + total * g])
+                out = st["codec"].push_frames(toks.reshape(-1, g))
+                if out is not None and len(out):
+                    st["handle"]._put(out)
+            for out in st["codec"].finish():
+                if len(out):
+                    st["handle"]._put(out)
+            st["handle"]._close(n)
+            return None, n
         g = self.ccfg.num_groups
         wav = np.asarray(self._vocode_fn(
             self.pipe.codec_params, s["save"][b:b + 1], np.int32(n)))
         frames = max((n - 2) // g, 0)
         return wav[0, : frames * self.ccfg.total_upsample], n
 
-    def _admit_row(self, s, b: int, ids: np.ndarray, cap: int) -> None:
+    def _admit_row(self, s, b: int, payload, cap: int) -> None:
+        if isinstance(payload, tuple):
+            from ..runtime.streaming import ChunkedCodecStream
+
+            ids, (handle, window, left_context) = payload
+            s["stream"][b] = {
+                "handle": handle, "prev": 0,
+                "codec": ChunkedCodecStream(
+                    lambda codes: self._window_fn(codes.shape[1])(
+                        self.pipe.codec_params,
+                        jnp.asarray(codes.astype(np.int32))),
+                    window=window, left_context=left_context,
+                    upsample=self.ccfg.total_upsample,
+                    num_groups=self.ccfg.num_groups),
+            }
+        else:
+            ids = payload
+            s["stream"][b] = None
         ids_buf = np.zeros((1, self.bucket), np.int32)
         p = ids.shape[1]
         ids_buf[0, self.bucket - p:] = ids[0]
