@@ -193,6 +193,62 @@ def bench_qwen_secondary():
     }
 
 
+def bench_kani_continuous():
+    """Driver-verified continuous-serving evidence: the Kani slot server
+    (serving/slots) under a Poisson request stream on the real chip —
+    per-request p50/p99 latency and mid-decode admission count. 370m-
+    shape config, int8, 128-token generations at 4 rps x 16."""
+    import time
+
+    import numpy as np
+
+    from tts_tpu.models.kani import KaniConfig, init_params
+    from tts_tpu.models.nanocodec import NanoCodecConfig
+    from tts_tpu.models.nanocodec import init_params as codec_init
+    from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+    from tts_tpu.serving.continuous import KaniSlotServer
+
+    if jax.devices()[0].platform != "tpu":
+        return {}
+    cfg = KaniConfig(max_seq_len=4096, stop_token=-1)
+    params = jax.jit(lambda k: init_params(cfg, k, jnp.bfloat16))(
+        jax.random.key(0))
+    ccfg = NanoCodecConfig()
+    cparams = jax.jit(lambda k: codec_init(ccfg, k, jnp.bfloat16))(
+        jax.random.key(1))
+    pipe = KaniPipeline(params, cfg, cparams, ccfg,
+                        KaniDecodeConfig(max_new_tokens=128,
+                                         repeat_penalty=1.0),
+                        quantize=8)
+    srv = KaniSlotServer(pipe, slots=4, chunk=32, prompt_bucket=16)
+    try:
+        srv.submit(np.array([[3, 9, 4]], np.int32)).result(
+            timeout=1200)                                   # warm/compile
+        rng = np.random.default_rng(0)
+        futs = []
+        for i in range(16):
+            ids = np.array([[3 + (i % 50), 9, 4 + (i % 7)]], np.int32)
+            t0 = time.perf_counter()
+            futs.append((srv.submit(ids), t0))
+            if i + 1 < 16:
+                time.sleep(float(rng.exponential(0.25)))    # ~4 rps
+        lats = []
+        for fut, t0 in futs:
+            fut.result(timeout=1200)
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        snap = srv.stats.snapshot()
+    finally:
+        srv.close()
+    return {
+        "serving_metric": "kani 370m int8 continuous batching, "
+                          "4 rps x 16, 128-token generations",
+        "serving_p50_ms": round(lats[len(lats) // 2] * 1e3, 1),
+        "serving_p99_ms": round(lats[-1] * 1e3, 1),
+        "serving_mid_decode_admissions": snap["admissions_mid_decode"],
+    }
+
+
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
     """Bounded wait for the TPU backend. The axon tunnel can wedge for tens
     of minutes after a client dies mid-compile (observed in round 2);
@@ -234,4 +290,8 @@ if __name__ == "__main__":
         result.update(bench_qwen_secondary())
     except Exception as e:
         result["secondary_error"] = repr(e)[:200]
+    try:
+        result.update(bench_kani_continuous())
+    except Exception as e:
+        result["serving_error"] = repr(e)[:200]
     print(json.dumps(result))

@@ -424,7 +424,11 @@ def cmd_serve(args) -> None:
         from .serving.continuous import KaniSlotServer
 
         slot = KaniSlotServer(pipe, slots=args.max_batch)
-        srv = TTSServer.continuous(slot, sample_rate=ccfg.sample_rate)
+        srv = TTSServer.continuous(
+            slot, sample_rate=ccfg.sample_rate,
+            # POST /stream rides the slot batch too (exact windowed codec
+            # streaming — serving/continuous.submit_stream)
+            stream_fn=lambda ids: slot.submit_stream(ids))
     else:
         pad = np.array([[3, 9, 5]], np.int32)
         srv = TTSServer.for_pipeline(
