@@ -72,6 +72,35 @@ def test_mid_decode_admission_matches_solo(pipe):
     np.testing.assert_array_equal(wav, wav_solo)
 
 
+def test_segment_plan_matches_run_segments(pipe):
+    """submit_segments (the v2 Assemble-mode plan format: interleaved
+    text/audio segments + CFG feat_cond) reproduces the solo
+    _run_segments path byte-for-byte."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    fe = (rng.normal(size=(1, 3, TINY.base.hidden_size))
+          .astype(np.float32) * 0.1)
+    fc = (rng.normal(size=(2, TINY.patch_size,
+                           TINY.estimator.hidden_size))
+          .astype(np.float32) * 0.1)
+    segments = [("text", np.array([4, 6], np.int32)),
+                ("audio", fe),
+                ("text", np.array([9, TINY.audio_start_id], np.int32))]
+    wav_solo, st = pipe._run_segments(segments, jnp.asarray(fc), 6,
+                                      seed=13)
+
+    srv = VoxCPMSlotServer(pipe, slots=2, chunk=2, prompt_bucket=16,
+                           max_seq_len=128)
+    try:
+        wav, n = srv.submit_segments(segments, fc, 6,
+                                     seed=13).result(timeout=300)
+    finally:
+        srv.close()
+    assert n == st["latents"]
+    np.testing.assert_array_equal(wav, wav_solo)
+
+
 def test_queue_and_drain(pipe):
     """More requests than slots across a drain boundary all complete.
     kv budget 128, start pos 16, cap 6 latents, chunk 2: each serial

@@ -202,34 +202,55 @@ class VoxCPMSlotServer(SlotEngine):
     def submit(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
                prompt_audio: np.ndarray | None = None,
                seed: int | None = None):
+        """v1.5 layout: [prompt_text | target_text | audio_start
+        (| prompt feats)]. Builds the segment plan synthesize_ids_batch
+        builds (runtime/voxcpm.py:328-337) and routes to
+        submit_segments."""
         cfg, dcfg = self.cfg, self.dcfg
         flat = np.concatenate(
             [prompt_ids[0], target_ids[0],
              [cfg.audio_start_id]]).astype(np.int32)
-        fe = fc = None
+        segments: list = [("text", flat)]
+        fc = None
         if prompt_audio is not None and len(prompt_audio):
             _, fe, fc = self.pipe.encode_prompt(prompt_audio)
-            fe = np.asarray(fe, np.float32)
+            segments.append(("audio", np.asarray(fe, np.float32)))
             fc = np.asarray(fc, np.float32)
-        total = len(flat) + (fe.shape[1] if fe is not None else 0)
+        cap = int(min(target_ids.shape[1] * dcfg.decode_limit_factor + 10,
+                      dcfg.max_latents))
+        return self.submit_segments(segments, fc, cap, seed)
+
+    def submit_segments(self, segments, feat_cond=None,
+                        max_latents: int | None = None,
+                        seed: int | None = None):
+        """Generic segmented prompt — the v2 Assemble modes' plan format
+        (runtime/voxcpm._run_segments): list of ('text', ids (T,)) /
+        ('audio', feat_embed (1, T, H)) in prompt order, with optional
+        CFG feat_cond (2, P, est_H)."""
+        cfg, dcfg = self.cfg, self.dcfg
+        total = sum(len(d) if kind == "text" else d.shape[1]
+                    for kind, d in segments)
         if total > self.sb:
             raise ValueError(f"prompt {total} > bucket {self.sb}")
         pos = self.sb - total
         text_buf = np.zeros((1, self.sb), np.int32)
         is_audio = np.zeros((1, self.sb), bool)
         fe_buf = np.zeros((1, self.sb, cfg.base.hidden_size), np.float32)
-        text_buf[0, pos:pos + len(flat)] = flat
-        p = pos + len(flat)
-        if fe is not None:
-            n = fe.shape[1]
-            fe_buf[0, p:p + n] = fe[0]
-            is_audio[0, p:p + n] = True
+        p = pos
+        for kind, data in segments:
+            if kind == "text":
+                n = len(data)
+                text_buf[0, p:p + n] = data
+            else:
+                n = data.shape[1]
+                fe_buf[0, p:p + n] = np.asarray(data)[0]
+                is_audio[0, p:p + n] = True
+            p += n
         fc0 = np.zeros((2, cfg.patch_size, cfg.estimator.hidden_size),
                        np.float32)
-        if fc is not None:
-            fc0[0], fc0[1] = fc[0], fc[1]
-        cap = int(min(target_ids.shape[1] * dcfg.decode_limit_factor + 10,
-                      dcfg.max_latents))
+        if feat_cond is not None:
+            fc0[0], fc0[1] = feat_cond[0], feat_cond[1]
+        cap = int(min(max_latents or dcfg.max_latents, dcfg.max_latents))
         key = self.pipe._get_key(dcfg.seed if seed is None else seed)
         payload = (text_buf, is_audio, np.int32(pos), fe_buf, fc0,
                    np.asarray(jax.random.key_data(key)))
