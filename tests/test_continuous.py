@@ -135,7 +135,8 @@ def test_http_over_slot_server(pipe):
     from tts_tpu.serving.server import TTSServer, serve_http
 
     srv = KaniSlotServer(pipe, slots=2, chunk=8, prompt_bucket=16)
-    tts = TTSServer.continuous(srv, sample_rate=8000)
+    tts = TTSServer.continuous(srv, sample_rate=8000,
+                               stream_fn=lambda ids: srv.submit_stream(ids))
     httpd = serve_http(tts, port=0)
     try:
         ids = np.array([[5, 17, 99, 3]], np.int32)
@@ -151,9 +152,19 @@ def test_http_over_slot_server(pipe):
             got = np.frombuffer(f.readframes(f.getnframes()), np.int16)
         np.testing.assert_array_equal(got, wav_direct)
 
+        # POST /stream rides the slot batch (exact windowed codec
+        # streaming): chunked L16 PCM concatenates to the same wav
+        conn.request("POST", "/stream", json.dumps({"ids": ids.tolist()}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Transfer-Encoding") == "chunked"
+        streamed = np.frombuffer(resp.read(), np.int16)
+        np.testing.assert_array_equal(streamed, wav_direct)
+
         conn.request("GET", "/stats", headers={})
         stats = json.loads(conn.getresponse().read())
-        assert stats["completed"] >= 2
+        assert stats["completed"] >= 3
         conn.close()
     finally:
         httpd.shutdown()
