@@ -116,3 +116,55 @@ def test_queue_and_drain(pipe):
     assert all(n >= 1 and wav.dtype == np.int16 for wav, n in outs)
     assert srv.stats.snapshot()["completed"] == 20
     assert srv.stats.drains >= 1
+
+
+def test_streaming_over_slots_matches_solo(pipe):
+    """submit_stream over the slot batch byte-equals the solo
+    synthesize_streaming generator for the same request (same VAE window
+    program, same pairwise overlap-discard cadence at window=chunk+1)."""
+    import jax.numpy as jnp
+
+    segs = [("text", np.concatenate(
+        [P1[0], T1[0], [TINY.audio_start_id]]).astype(np.int32))]
+    zero_cond = jnp.zeros((2, TINY.patch_size, TINY.estimator.hidden_size))
+    cap = T1.shape[1] * pipe.dcfg.decode_limit_factor + 10
+    ref = np.concatenate(list(
+        pipe.synthesize_streaming(segs, zero_cond, cap, seed=5, chunk=2)))
+
+    srv = VoxCPMSlotServer(pipe, slots=2, chunk=2, prompt_bucket=16,
+                           max_seq_len=128)
+    try:
+        handle = srv.submit_stream(P1, T1, seed=5)
+        chunks = list(handle)
+    finally:
+        srv.close()
+    assert handle.n_frames is not None and handle.n_frames >= 1
+    assert len(chunks) >= 1
+    np.testing.assert_array_equal(np.concatenate(chunks), ref)
+
+
+def test_stream_shares_batch_with_plain_request(pipe):
+    """A stream and a plain request decode concurrently in one slot batch;
+    both reproduce their solo outputs."""
+    import jax.numpy as jnp
+
+    wav_solo, st = pipe.synthesize_ids(P2, T2, seed=9)
+    segs = [("text", np.concatenate(
+        [P1[0], T1[0], [TINY.audio_start_id]]).astype(np.int32))]
+    zero_cond = jnp.zeros((2, TINY.patch_size, TINY.estimator.hidden_size))
+    cap = T1.shape[1] * pipe.dcfg.decode_limit_factor + 10
+    ref = np.concatenate(list(
+        pipe.synthesize_streaming(segs, zero_cond, cap, seed=5, chunk=2)))
+
+    srv = VoxCPMSlotServer(pipe, slots=2, chunk=2, prompt_bucket=16,
+                           max_seq_len=128)
+    try:
+        handle = srv.submit_stream(P1, T1, seed=5)
+        fut = srv.submit(P2, T2, seed=9)
+        chunks = list(handle)
+        wav, n = fut.result(timeout=300)
+    finally:
+        srv.close()
+    np.testing.assert_array_equal(np.concatenate(chunks), ref)
+    assert n == st["latents"]
+    np.testing.assert_array_equal(wav, wav_solo)

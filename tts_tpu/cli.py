@@ -439,6 +439,14 @@ def cmd_serve(args) -> None:
             batch_sizes=tuple(sorted(
                 {s for s in (1, 2, 4, 8) if s < args.max_batch}
                 | {args.max_batch})))
+    if args.warmup:
+        # compile (or persistent-cache-read) the serving programs before
+        # binding the port, so the first live request pays no compile
+        from .utils.compile_cache import warmup
+
+        wsecs = warmup(lambda ids: srv.synthesize(ids),
+                       [(np.array([[3, 9, 5]], np.int32),)], log=print)
+        print(f"warmup done in {wsecs:.1f}s")
     httpd = serve_http(srv, host=args.host, port=args.port)
     host, port = httpd.server_address
     print(f"serving on http://{host}:{port}  "
@@ -540,6 +548,9 @@ def main(argv=None) -> int:
     sv.add_argument("--continuous", action="store_true",
                     help="slot-based continuous batching (mid-decode "
                          "admission) instead of admission-time batching")
+    sv.add_argument("--warmup", action="store_true",
+                    help="synthesize one padded request before binding "
+                         "the port (compile at startup, not first call)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8700)
     sv.set_defaults(fn=cmd_serve)
@@ -550,8 +561,20 @@ def main(argv=None) -> int:
         p.add_argument("--npz",
                        help="load fused params from .npz (fast start)")
         p.add_argument("--save-npz", help="persist fused params to .npz")
+    for p in (f5, ka, it, vc, qw, sv):
+        p.add_argument("--compile-cache", nargs="?", const="",
+                       metavar="DIR",
+                       help="persistent XLA compilation cache: restarted "
+                            "processes load compiled programs from DIR "
+                            "(default ~/.cache/tts_tpu/xla-cache) instead "
+                            "of recompiling")
 
     args = ap.parse_args(argv)
+    if getattr(args, "compile_cache", None) is not None:
+        from .utils.compile_cache import enable_compile_cache
+
+        d = enable_compile_cache(args.compile_cache or None)
+        print(f"compile cache: {d}")
     args.fn(args)
     return 0
 

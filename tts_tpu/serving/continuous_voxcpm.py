@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kv.cache import KVCache
-from .slots import SlotEngine
+from .slots import SlotEngine, StreamHandle
 
 __all__ = ["VoxCPMSlotServer"]
 
@@ -197,6 +197,16 @@ class VoxCPMSlotServer(SlotEngine):
 
         self._vocode_fn = jax.jit(vocode_fn)
 
+        def lat_win_fn(latents, row, start):
+            """Fixed-shape window of one row's latents — the small fetch
+            streaming rows make per chunk (a full (B, fbuf, P, L) fetch
+            would move MBs over a remote-device tunnel every chunk)."""
+            return jax.lax.dynamic_slice(
+                latents, (row, start, 0, 0),
+                (1, min(chunk, fbuf), cfg.patch_size, cfg.vae.latent_dim))
+
+        self._lat_win_fn = jax.jit(lat_win_fn)
+
     # ------------------------------------------------------------- client
 
     def submit(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
@@ -220,9 +230,57 @@ class VoxCPMSlotServer(SlotEngine):
                       dcfg.max_latents))
         return self.submit_segments(segments, fc, cap, seed)
 
+    def submit_stream(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
+                      prompt_audio: np.ndarray | None = None,
+                      seed: int | None = None,
+                      window: int | None = None,
+                      left_context: int = 1) -> StreamHandle:
+        """Streaming variant of submit(): a StreamHandle iterating int16
+        chunks (at cfg.output_sample_rate) as chunk boundaries produce
+        latents — concurrent streams share the slot batch instead of each
+        holding a solo decode loop. Same pairwise overlap-discard VAE
+        window semantics as the solo synthesize_streaming (reference
+        VoxCPM/v1.5/Inference_VoxCPM_ONNX.py:511-523): with window =
+        server chunk + 1 / left_context = 1 (the defaults) the stream
+        byte-equals synthesize_streaming(chunk=server.chunk)."""
+        cfg, dcfg = self.cfg, self.dcfg
+        flat = np.concatenate(
+            [prompt_ids[0], target_ids[0],
+             [cfg.audio_start_id]]).astype(np.int32)
+        segments: list = [("text", flat)]
+        fc = None
+        if prompt_audio is not None and len(prompt_audio):
+            _, fe, fc = self.pipe.encode_prompt(prompt_audio)
+            segments.append(("audio", np.asarray(fe, np.float32)))
+            fc = np.asarray(fc, np.float32)
+        cap = int(min(target_ids.shape[1] * dcfg.decode_limit_factor + 10,
+                      dcfg.max_latents))
+        return self.submit_segments_stream(segments, fc, cap, seed,
+                                           window=window,
+                                           left_context=left_context)
+
+    def submit_segments_stream(self, segments, feat_cond=None,
+                               max_latents: int | None = None,
+                               seed: int | None = None,
+                               window: int | None = None,
+                               left_context: int = 1) -> StreamHandle:
+        """Streaming submit_segments (v2 Assemble-mode plans stream too)."""
+        window = self.chunk + 1 if window is None else window
+        if left_context >= window:
+            raise ValueError(f"left_context {left_context} >= window "
+                             f"{window}; raise window")
+        handle = StreamHandle()
+        fut = self.submit_segments(segments, feat_cond, max_latents, seed,
+                                   _stream=(handle, window, left_context))
+        fut.add_done_callback(
+            lambda f: handle._fail(f.exception() or RuntimeError(
+                "request cancelled"))
+            if (f.cancelled() or f.exception()) else None)
+        return handle
+
     def submit_segments(self, segments, feat_cond=None,
                         max_latents: int | None = None,
-                        seed: int | None = None):
+                        seed: int | None = None, _stream=None):
         """Generic segmented prompt — the v2 Assemble modes' plan format
         (runtime/voxcpm._run_segments): list of ('text', ids (T,)) /
         ('audio', feat_embed (1, T, H)) in prompt order, with optional
@@ -252,8 +310,8 @@ class VoxCPMSlotServer(SlotEngine):
             fc0[0], fc0[1] = feat_cond[0], feat_cond[1]
         cap = int(min(max_latents or dcfg.max_latents, dcfg.max_latents))
         key = self.pipe._get_key(dcfg.seed if seed is None else seed)
-        payload = (text_buf, is_audio, np.int32(pos), fe_buf, fc0,
-                   np.asarray(jax.random.key_data(key)))
+        payload = ((text_buf, is_audio, np.int32(pos), fe_buf, fc0,
+                    np.asarray(jax.random.key_data(key))), _stream)
         return self._submit(payload, cap)
 
     # ------------------------------------------------------ engine hooks
@@ -281,12 +339,49 @@ class VoxCPMSlotServer(SlotEngine):
             "done": jnp.zeros((bsz,), jnp.int32),
             "kvf": np.zeros((bsz,), np.int32),
             "cap": np.zeros((bsz,), np.int32),
+            "stream": [None] * bsz,   # {handle, codec, prev} per slot
         }
 
     def _fin_done(self, s):
         return jax.device_get((s["fin"], s["done"]))
 
+    def _latents_window(self, s, b: int, prev: int, new: int) -> np.ndarray:
+        """Host copy of row b's latents [prev:new) via the fixed-shape
+        window slice (new - prev <= chunk between chunk boundaries)."""
+        start = max(0, min(prev, self.fbuf - min(self.chunk, self.fbuf)))
+        win = np.asarray(self._lat_win_fn(s["latents"], np.int32(b),
+                                          np.int32(start)))[0]
+        return win[prev - start: new - start]
+
+    def _post_chunk(self, s) -> None:
+        if not any(st is not None for st in s["stream"]):
+            return
+        cnt = np.asarray(s["cnt"])          # one small fetch for all rows
+        for b, st in enumerate(s["stream"]):
+            if st is None:
+                continue
+            new = int(cnt[b])
+            if new > st["prev"]:
+                lats = self._latents_window(s, b, st["prev"], new)
+                st["prev"] = new
+                out = st["codec"].push_frames(lats)
+                if out is not None and len(out):
+                    st["handle"]._put(out)
+
     def _finalize(self, s, b: int, n: int):
+        st = s["stream"][b]
+        if st is not None:
+            s["stream"][b] = None
+            if n > st["prev"]:
+                lats = self._latents_window(s, b, st["prev"], n)
+                out = st["codec"].push_frames(lats)
+                if out is not None and len(out):
+                    st["handle"]._put(out)
+            for out in st["codec"].finish():
+                if len(out):
+                    st["handle"]._put(out)
+            st["handle"]._close(n)
+            return None, n
         if n <= 0:
             return np.zeros(0, np.int16), 0
         wav = np.asarray(self._vocode_fn(
@@ -301,7 +396,26 @@ class VoxCPMSlotServer(SlotEngine):
         return w, n
 
     def _admit_row(self, s, b: int, payload, cap: int) -> None:
-        text_buf, is_audio, pad_start, fe_buf, fc0, key_data = payload
+        (text_buf, is_audio, pad_start, fe_buf, fc0, key_data), stream = \
+            payload
+        if stream is not None:
+            from ..runtime.streaming import ChunkedCodecStream
+
+            handle, window, left_context = stream
+            s["stream"][b] = {
+                "handle": handle, "prev": 0,
+                # same VAE window program as the solo streaming path
+                # (runtime/voxcpm.synthesize_streaming) for byte-equality
+                "codec": ChunkedCodecStream(
+                    lambda lat: self.pipe._vae_dec_fn(lat.shape[1])(
+                        self.pipe.vae_params,
+                        jnp.asarray(lat[0].astype(np.float32))),
+                    window=window, left_context=left_context,
+                    upsample=self.cfg.samples_per_latent,
+                    num_groups=self.cfg.patch_size),
+            }
+        else:
+            s["stream"][b] = None
         base1, res1, dit1 = self._prefill_fn(
             self.pipe.params, text_buf, is_audio, pad_start, fe_buf,
             np.int32(s["pos"]))
