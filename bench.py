@@ -193,6 +193,28 @@ def bench_qwen_secondary():
     }
 
 
+def bench_bigvgan_secondary():
+    """BASELINE.json's named secondary metric: BigVGAN v2 samples/sec on
+    the reference's benchmark mel (1, 100, 512) — 4.6 s on the MX150
+    (reference README.md:32)."""
+    import jax
+
+    from tts_tpu.models.bigvgan import BigVGANConfig
+    from tts_tpu.models.bigvgan import init_params as bv_init
+    from tts_tpu.runtime.vocoder import BigVGANVocoder
+
+    cfg = BigVGANConfig()
+    dt = jax.numpy.bfloat16
+    params = jax.jit(lambda k: bv_init(cfg, k, dt))(jax.random.key(0))
+    voc = BigVGANVocoder(params, cfg, dtype=dt)
+    stats = voc.benchmark(mel_frames=512, iters=50)
+    sps = stats["samples_per_sec"]
+    base = 512 * 256 / 4.6
+    return {"bigvgan_metric": "bigvgan_v2_24k mel(1,100,512)",
+            "bigvgan_samples_per_s": round(sps, 0),
+            "bigvgan_vs_baseline": round(sps / base, 1)}
+
+
 def bench_kani_continuous():
     """Driver-verified continuous-serving evidence: the Kani slot server
     (serving/slots) under a Poisson request stream on the real chip —
@@ -294,4 +316,8 @@ if __name__ == "__main__":
         result.update(bench_kani_continuous())
     except Exception as e:
         result["serving_error"] = repr(e)[:200]
+    try:
+        result.update(bench_bigvgan_secondary())
+    except Exception as e:
+        result["bigvgan_error"] = repr(e)[:200]
     print(json.dumps(result))

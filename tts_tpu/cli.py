@@ -391,16 +391,12 @@ def cmd_voxcpm(args) -> None:
     _write(args.out, wav, sr, rep)
 
 
-def cmd_serve(args) -> None:
-    """HTTP micro-batching server over the KaniTTS batched decode (the
-    family whose request body is plain token ids; other families serve
-    programmatically via serving.TTSServer.for_pipeline)."""
+def _serve_kani_pipeline(args):
     import jax
 
     from .models.kani import KaniConfig, init_params
     from .models.nanocodec import NanoCodecConfig, init_params as codec_init
     from .runtime.kani import KaniDecodeConfig, KaniPipeline
-    from .serving import TTSServer, serve_http
 
     if args.ckpt:
         from .weights.kani_loader import load_kani_lm, load_nanocodec
@@ -415,21 +411,204 @@ def cmd_serve(args) -> None:
         params = init_params(cfg, jax.random.key(0))
         cparams = codec_init(ccfg, jax.random.key(1))
         print("note: random weights (no --ckpt) — audio will be noise")
-    pipe = KaniPipeline(params, cfg, cparams, ccfg,
+    return KaniPipeline(params, cfg, cparams, ccfg,
                         KaniDecodeConfig(max_new_tokens=args.max_tokens),
-                        quantize=args.quantize)
+                        quantize=args.quantize), ccfg
+
+
+def _serve_continuous(args):
+    """Build a continuous-batching TTSServer for any synthesis family:
+    loads (or random-inits) the family pipeline, then delegates the
+    request-schema / submit / stream wiring to
+    serving.families.continuous_server (request formats documented
+    there)."""
+    import jax
+
+    from .serving.families import continuous_server
+
+    fam = args.family
+    if fam == "kani":
+        pipe, _ = _serve_kani_pipeline(args)
+        return continuous_server("kani", pipe, slots=args.max_batch)
+
+    if fam == "qwen":
+        from .models.qwen_codec import QwenCodecDecoderConfig
+        from .models.qwen_codec import init_decoder_params as codec_init
+        from .models.qwen_tts import (Qwen3StackConfig, QwenTTSConfig,
+                                      init_predictor_params,
+                                      init_talker_params)
+        from .runtime.qwen import QwenDecodeConfig, QwenTTSPipeline
+
+        if args.ckpt:
+            from .weights.qwen_loader import load_qwen_codec, load_qwen_tts
+
+            params, cfg = load_qwen_tts(args.ckpt)
+            cparams, ccfg = load_qwen_codec(args.ckpt)
+        else:
+            stack = Qwen3StackConfig(hidden_size=64, num_heads=4,
+                                     num_kv_heads=2, head_dim=16,
+                                     ffn_dim=128, num_layers=2,
+                                     max_seq_len=512)
+            cfg = QwenTTSConfig(talker=stack, predictor=stack)
+            ccfg = QwenCodecDecoderConfig(
+                num_quantizers=cfg.num_code_groups, codebook_size=64,
+                codebook_dim=16, rvq_dim=8, latent_dim=24, decoder_dim=32,
+                upsampling_ratios=(2,), upsample_rates=(4, 2),
+                hidden_size=24, num_heads=2, num_kv_heads=2, head_dim=12,
+                ffn_dim=48, num_layers=2, max_seq_len=256)
+            params = {**init_talker_params(cfg, jax.random.key(0)),
+                      **init_predictor_params(cfg, jax.random.key(1))}
+            cparams = codec_init(ccfg, jax.random.key(2))
+            print("note: random weights (no --ckpt) — audio will be noise")
+        pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
+                               QwenDecodeConfig(max_frames=args.max_tokens),
+                               quantize=args.quantize)
+        return continuous_server("qwen", pipe, slots=args.max_batch,
+                                 max_tokens=args.max_tokens)
+
+    if fam == "voxcpm":
+        from .models.voxcpm import (LlamaStackConfig, VaeConfig,
+                                    VoxCPMConfig, init_params,
+                                    init_vae_params, voxcpm_v2_config)
+        from .runtime.voxcpm import VoxCPMDecodeConfig, VoxCPMPipeline
+
+        if args.ckpt:
+            from .weights.voxcpm_loader import load_voxcpm
+
+            params, vae_params, cfg = load_voxcpm(
+                args.ckpt, cfg=voxcpm_v2_config() if args.v2 else None,
+                use_mup=args.v2, scale_emb=12.0 if args.v2 else 1.0,
+                scale_depth=1.4 if args.v2 else 1.0)
+        else:
+            tiny = LlamaStackConfig(hidden_size=32, num_heads=2,
+                                    num_kv_heads=1, head_dim=16, ffn_dim=64,
+                                    num_layers=2, max_seq_len=512)
+            cfg = VoxCPMConfig(
+                base=tiny, residual=tiny,
+                feat_encoder=LlamaStackConfig(
+                    hidden_size=24, num_heads=2, num_kv_heads=1,
+                    head_dim=12, ffn_dim=48, num_layers=1, max_seq_len=8),
+                estimator=LlamaStackConfig(
+                    hidden_size=24, num_heads=2, num_kv_heads=1,
+                    head_dim=12, ffn_dim=48, num_layers=1, max_seq_len=16),
+                vae=VaeConfig(d_model=4, latent_dim=8, strides=(2, 4),
+                              decoder_channels=16),
+                patch_size=4, chunk_size=8, fsq_dim=8, vocab_size=128,
+                cfm_steps=4)
+            params = jax.jit(lambda k: init_params(cfg, k))(
+                jax.random.key(0))
+            vae_params = jax.jit(lambda k: init_vae_params(cfg.vae, k))(
+                jax.random.key(1))
+            print("note: random weights (no --ckpt) — audio will be noise")
+        pipe = VoxCPMPipeline(params, cfg, vae_params,
+                              VoxCPMDecodeConfig(
+                                  max_latents=args.max_tokens),
+                              quantize=args.quantize)
+        return continuous_server("voxcpm", pipe, slots=args.max_batch)
+
+    if fam == "indextts":
+        import jax.numpy as jnp
+
+        from .audio.wav import read_wav
+        from .models.bigvgan import BigVGANConfig
+        from .models.bigvgan import init_params as bigvgan_init
+        from .models.indextts import (IndexTTSConfig, init_conformer_params,
+                                      init_ecapa_params, init_gpt_params,
+                                      init_perceiver_params)
+        from .runtime.indextts import IndexTTSPipeline
+
+        if args.ckpt:
+            from .weights.indextts_loader import load_indextts
+
+            params, cfg, vcfg = load_indextts(args.ckpt)
+        else:
+            cfg = IndexTTSConfig(enc_layers=2, gpt_layers=2, gpt_dim=512,
+                                 gpt_heads=8, num_latents=32)
+            vcfg = BigVGANConfig(num_mels=cfg.gpt_dim,
+                                 upsample_initial_channel=256,
+                                 use_tanh_at_final=True,
+                                 use_bias_at_final=True)
+            ks = jax.random.split(jax.random.key(0), 8)
+            c0 = vcfg.upsample_initial_channel
+            params = {
+                "conformer": init_conformer_params(cfg, ks[0]),
+                "perceiver": init_perceiver_params(cfg, ks[1]),
+                "ecapa": init_ecapa_params(cfg, ks[2]),
+                "gpt": init_gpt_params(cfg, ks[3]),
+                "bigvgan": bigvgan_init(vcfg, ks[4]),
+                "cond_layer": {"w": jnp.zeros((cfg.speaker_embed_dim, c0)),
+                               "b": jnp.zeros((c0,))},
+                "conds": [{"w": jnp.zeros((cfg.speaker_embed_dim, c)),
+                           "b": jnp.zeros((c,))}
+                          for c in vcfg.stage_channels],
+            }
+            print("note: random weights (no --ckpt) — audio will be noise")
+        pipe = IndexTTSPipeline(params, cfg, vcfg, quantize=args.quantize)
+        if args.ref_audio:
+            audio, _ = read_wav(args.ref_audio, target_rate=24000)
+        else:
+            audio = (np.random.default_rng(0)
+                     .standard_normal(24000).astype(np.float32) * 0.05)
+            print("note: no --ref-audio — conditioning on noise")
+        ref = pipe.encode_reference(audio)
+        return continuous_server("indextts", pipe, slots=args.max_batch,
+                                 max_tokens=args.max_tokens, ref=ref)
+
+    if fam == "f5":
+        import jax.numpy as jnp
+
+        from .audio.wav import read_wav
+        from .models.f5 import F5Config, init_params
+        from .models.vocos import VocosConfig, init_params as vocos_init
+        from .runtime.f5 import F5Pipeline
+
+        if args.ckpt:
+            from .weights.f5_loader import load_f5, load_vocos
+
+            params, cfg, vocab = load_f5(args.ckpt, args.vocab)
+            vparams, vcfg = load_vocos(args.vocoder)
+        else:
+            cfg, vcfg = F5Config(), VocosConfig()
+            dtype = (jnp.bfloat16
+                     if jax.devices()[0].platform == "tpu" else jnp.float32)
+            params = jax.jit(lambda k: init_params(cfg, k, dtype))(
+                jax.random.key(0))
+            vparams = jax.jit(lambda k: vocos_init(vcfg, k, dtype))(
+                jax.random.key(1))
+            vocab = {" ": 0}
+            print("note: random weights (no --ckpt) — audio will be noise")
+        pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg,
+                          quantize=args.quantize)
+        if args.ref_audio:
+            ref_audio, _ = read_wav(args.ref_audio,
+                                    target_rate=cfg.sample_rate)
+        else:
+            ref_audio = (np.random.default_rng(0).standard_normal(
+                cfg.sample_rate).astype(np.float32) * 0.05)
+            print("note: no --ref-audio — conditioning on noise")
+        return continuous_server("f5", pipe, slots=args.max_batch,
+                                 ref_audio=ref_audio,
+                                 ref_text=args.ref_text or "demo reference")
+
+    raise SystemExit(f"unknown family {fam!r}")
+
+
+def cmd_serve(args) -> None:
+    """HTTP TTS server: admission-time micro-batching (default, Kani) or
+    slot-based continuous batching for ANY family (--continuous
+    --family …). Kani/Qwen/VoxCPM stream over the shared slot batch via
+    POST /stream."""
+    from .serving import TTSServer, serve_http
+
     if args.continuous:
         # slot-based continuous batching: mid-decode admission (measured
         # 8.9x p50 / 5.8x p99 vs admission batching at 4 rps on-chip)
-        from .serving.continuous import KaniSlotServer
-
-        slot = KaniSlotServer(pipe, slots=args.max_batch)
-        srv = TTSServer.continuous(
-            slot, sample_rate=ccfg.sample_rate,
-            # POST /stream rides the slot batch too (exact windowed codec
-            # streaming — serving/continuous.submit_stream)
-            stream_fn=lambda ids: slot.submit_stream(ids))
+        srv = _serve_continuous(args)
     else:
+        if args.family != "kani":
+            raise SystemExit("admission-time batching serves kani only; "
+                             "use --continuous for other families")
+        pipe, ccfg = _serve_kani_pipeline(args)
         pad = np.array([[3, 9, 5]], np.int32)
         srv = TTSServer.for_pipeline(
             pipe, pad, sample_rate=ccfg.sample_rate,
@@ -444,13 +623,17 @@ def cmd_serve(args) -> None:
         # binding the port, so the first live request pays no compile
         from .utils.compile_cache import warmup
 
-        wsecs = warmup(lambda ids: srv.synthesize(ids),
-                       [(np.array([[3, 9, 5]], np.int32),)], log=print)
+        from .serving.families import default_request_body
+
+        body = default_request_body(args.family)
+        wsecs = warmup(lambda b: srv.synthesize(srv.request_from_json(b)),
+                       [(body,)], log=print)
         print(f"warmup done in {wsecs:.1f}s")
     httpd = serve_http(srv, host=args.host, port=args.port)
     host, port = httpd.server_address
     print(f"serving on http://{host}:{port}  "
-          f"(POST /synthesize {{\"ids\": [[...]]}}, GET /stats)")
+          f"(POST /synthesize, POST /stream, GET /stats — "
+          f"family={args.family}, request formats in serving/families.py)")
     try:
         import time as _t
 
@@ -538,9 +721,20 @@ def main(argv=None) -> int:
     be = sub.add_parser("bench", help="run the driver benchmark")
     be.set_defaults(fn=cmd_bench)
 
-    sv = sub.add_parser("serve", help="HTTP micro-batching TTS server")
-    sv.add_argument("--ckpt", help="KaniTTS LM checkpoint dir")
-    sv.add_argument("--codec", help=".nemo codec path")
+    sv = sub.add_parser("serve", help="HTTP TTS server (all families)")
+    sv.add_argument("--family", default="kani",
+                    choices=("kani", "qwen", "voxcpm", "indextts", "f5"),
+                    help="which synthesis family to serve (non-kani "
+                         "families need --continuous)")
+    sv.add_argument("--ckpt", help="family checkpoint dir/path")
+    sv.add_argument("--codec", help=".nemo codec path (kani)")
+    sv.add_argument("--vocab", help="vocab.txt path (f5)")
+    sv.add_argument("--vocoder", help="vocos-mel-24khz dir (f5)")
+    sv.add_argument("--ref-audio", help="reference audio fixed at startup "
+                                        "(indextts/f5)")
+    sv.add_argument("--ref-text", help="reference transcript (f5)")
+    sv.add_argument("--v2", action="store_true",
+                    help="VoxCPM-2 muP folds (voxcpm)")
     sv.add_argument("--quantize", type=int, choices=(4, 8))
     sv.add_argument("--max-tokens", type=int, default=256)
     sv.add_argument("--max-batch", type=int, default=8)

@@ -34,13 +34,16 @@ from .slots import SlotEngine, SlotStats, StreamHandle
 __all__ = ["MicroBatcher", "BatchStats", "TTSServer", "serve_http",
            "SlotEngine", "SlotStats", "StreamHandle", "SlotRouter",
            "KaniSlotServer", "QwenSlotServer", "IndexTTSSlotServer",
-           "F5SlotServer", "VoxCPMSlotServer"]
+           "F5SlotServer", "VoxCPMSlotServer",
+           "continuous_server", "default_request_body"]
 
 _LAZY = {
     "QwenSlotServer": "continuous_qwen",
     "IndexTTSSlotServer": "continuous_indextts",
     "F5SlotServer": "continuous_f5",
     "VoxCPMSlotServer": "continuous_voxcpm",
+    "continuous_server": "families",
+    "default_request_body": "families",
 }
 
 
