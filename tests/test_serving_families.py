@@ -125,3 +125,35 @@ def test_unknown_family():
 def test_default_request_bodies():
     assert "ids" in default_request_body("kani")
     assert "gen_text" in default_request_body("f5")
+
+
+def test_router_over_multiple_pipelines():
+    """A list of pipelines builds one slot server per pipeline behind a
+    least-loaded SlotRouter; outputs still equal solo and stats
+    aggregate across servers through the TTSServer layer."""
+    from test_continuous_qwen import _pipeline
+
+    pipes = [_pipeline(), _pipeline()]
+    ids = np.array([[5, 9, 13, 2]], np.int32)
+    wav_solo, _ = pipes[0].synthesize_ids(ids, language_id=3)
+
+    srv = continuous_server("qwen", pipes, slots=2, chunk=4,
+                            prompt_bucket=32, max_seq_len=128)
+    try:
+        req = srv.request_from_json({"ids": ids.tolist(), "language_id": 3})
+        futs = [srv.submit(req) for _ in range(3)]
+        outs = [f.result(timeout=600) for f in futs]
+        for wav, _n in outs:
+            np.testing.assert_array_equal(wav, wav_solo)
+        import time
+
+        deadline = time.time() + 30
+        while srv.stats()["completed"] < 3 and time.time() < deadline:
+            time.sleep(0.01)   # completed increments just after set_result
+        st = srv.stats()
+        assert st["servers"] == 2
+        assert st["completed"] == 3
+        # least-loaded routing spread work across both servers
+        assert all(p["requests"] >= 1 for p in st["per_server"])
+    finally:
+        srv.close()

@@ -426,10 +426,23 @@ def _serve_continuous(args):
 
     from .serving.families import continuous_server
 
+    def _fan(pipe):
+        """--devices N: one replicated pipeline per chip behind a
+        least-loaded router (serving/devices + serving/router)."""
+        n = getattr(args, "devices", 1) or 1
+        if n <= 1:
+            return pipe
+        from .serving.devices import pipelines_for_devices
+
+        devs = jax.local_devices()
+        if n > len(devs):
+            raise SystemExit(f"--devices {n} > {len(devs)} local devices")
+        return pipelines_for_devices(pipe, devs[:n])
+
     fam = args.family
     if fam == "kani":
         pipe, _ = _serve_kani_pipeline(args)
-        return continuous_server("kani", pipe, slots=args.max_batch)
+        return continuous_server("kani", _fan(pipe), slots=args.max_batch)
 
     if fam == "qwen":
         from .models.qwen_codec import QwenCodecDecoderConfig
@@ -463,7 +476,7 @@ def _serve_continuous(args):
         pipe = QwenTTSPipeline(params, cfg, cparams, ccfg,
                                QwenDecodeConfig(max_frames=args.max_tokens),
                                quantize=args.quantize)
-        return continuous_server("qwen", pipe, slots=args.max_batch,
+        return continuous_server("qwen", _fan(pipe), slots=args.max_batch,
                                  max_tokens=args.max_tokens)
 
     if fam == "voxcpm":
@@ -504,7 +517,7 @@ def _serve_continuous(args):
                               VoxCPMDecodeConfig(
                                   max_latents=args.max_tokens),
                               quantize=args.quantize)
-        return continuous_server("voxcpm", pipe, slots=args.max_batch)
+        return continuous_server("voxcpm", _fan(pipe), slots=args.max_batch)
 
     if fam == "indextts":
         import jax.numpy as jnp
@@ -551,7 +564,7 @@ def _serve_continuous(args):
                      .standard_normal(24000).astype(np.float32) * 0.05)
             print("note: no --ref-audio — conditioning on noise")
         ref = pipe.encode_reference(audio)
-        return continuous_server("indextts", pipe, slots=args.max_batch,
+        return continuous_server("indextts", _fan(pipe), slots=args.max_batch,
                                  max_tokens=args.max_tokens, ref=ref)
 
     if fam == "f5":
@@ -586,7 +599,7 @@ def _serve_continuous(args):
             ref_audio = (np.random.default_rng(0).standard_normal(
                 cfg.sample_rate).astype(np.float32) * 0.05)
             print("note: no --ref-audio — conditioning on noise")
-        return continuous_server("f5", pipe, slots=args.max_batch,
+        return continuous_server("f5", _fan(pipe), slots=args.max_batch,
                                  ref_audio=ref_audio,
                                  ref_text=args.ref_text or "demo reference")
 
@@ -605,6 +618,9 @@ def cmd_serve(args) -> None:
         # 8.9x p50 / 5.8x p99 vs admission batching at 4 rps on-chip)
         srv = _serve_continuous(args)
     else:
+        if getattr(args, "devices", 1) > 1:
+            raise SystemExit("--devices needs --continuous (per-device "
+                             "slot servers behind the router)")
         if args.family != "kani":
             raise SystemExit("admission-time batching serves kani only; "
                              "use --continuous for other families")
@@ -742,6 +758,11 @@ def main(argv=None) -> int:
     sv.add_argument("--continuous", action="store_true",
                     help="slot-based continuous batching (mid-decode "
                          "admission) instead of admission-time batching")
+    sv.add_argument("--devices", type=int, default=1,
+                    help="serve over the first N local devices: one "
+                         "replicated pipeline + slot server per chip "
+                         "behind a least-loaded router (--continuous "
+                         "only; zero collectives)")
     sv.add_argument("--warmup", action="store_true",
                     help="synthesize one padded request before binding "
                          "the port (compile at startup, not first call)")

@@ -27,6 +27,7 @@ Two batching modes:
 """
 from .batcher import BatchStats, MicroBatcher
 from .continuous import KaniSlotServer
+from .devices import pipeline_device, pipelines_for_devices, replicate_pipeline
 from .router import SlotRouter
 from .server import TTSServer, serve_http
 from .slots import SlotEngine, SlotStats, StreamHandle
@@ -35,7 +36,9 @@ __all__ = ["MicroBatcher", "BatchStats", "TTSServer", "serve_http",
            "SlotEngine", "SlotStats", "StreamHandle", "SlotRouter",
            "KaniSlotServer", "QwenSlotServer", "IndexTTSSlotServer",
            "F5SlotServer", "VoxCPMSlotServer",
-           "continuous_server", "default_request_body"]
+           "continuous_server", "default_request_body",
+           "replicate_pipeline", "pipelines_for_devices",
+           "pipeline_device"]
 
 _LAZY = {
     "QwenSlotServer": "continuous_qwen",

@@ -45,8 +45,12 @@ class IndexTTSSlotServer(SlotEngine):
 
     def __init__(self, pipeline, *, slots: int = 4, chunk: int = 32,
                  text_bucket: int = 32, max_gen: int | None = None,
-                 max_seq_len: int | None = None, queue_limit: int = 256):
+                 max_seq_len: int | None = None, queue_limit: int = 256,
+                 ref=None):
         self.pipe = pipeline
+        # server-fixed conditioning (used when submit omits ref); for
+        # multi-device routing each server binds a device-local copy
+        self.ref = ref
         self.cfg = pipeline.cfg
         cfg = self.cfg
         self.tb = text_bucket
@@ -176,8 +180,13 @@ class IndexTTSSlotServer(SlotEngine):
 
     # ------------------------------------------------------------- client
 
-    def submit(self, text_ids: np.ndarray, ref,
+    def submit(self, text_ids: np.ndarray, ref=None,
                max_gen: int | None = None):
+        if ref is None:
+            ref = self.ref
+        if ref is None:
+            raise ValueError("no ref: pass encode_reference output to "
+                             "submit or construct with ref=")
         if text_ids.shape[1] > self.tb:
             raise ValueError(
                 f"text {text_ids.shape[1]} > bucket {self.tb}")

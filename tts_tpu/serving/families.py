@@ -47,12 +47,27 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
     Extra `slot_kw` pass through to the family's slot server constructor
     (chunk, buckets, max_seq_len, queue_limit, …); `stream_kw` to the
     family's submit_stream (window / left_context overrides).
+
+    Multi-chip: pass a LIST of pipelines (one per device, params placed
+    with jax.device_put) and the server routes least-loaded across one
+    slot server per pipeline (serving/router.SlotRouter) — serving
+    scales across chips with zero collectives.
     """
     skw = stream_kw or {}
+    pipes = list(pipe) if isinstance(pipe, (list, tuple)) else [pipe]
+    pipe = pipes[0]
+
+    def _route(make_slot):
+        servers = [make_slot(p) for p in pipes]
+        if len(servers) == 1:
+            return servers[0]
+        from .router import SlotRouter
+
+        return SlotRouter(servers)
     if family == "kani":
         from .continuous import KaniSlotServer
 
-        slot = KaniSlotServer(pipe, slots=slots, **slot_kw)
+        slot = _route(lambda p: KaniSlotServer(p, slots=slots, **slot_kw))
         return TTSServer.continuous(
             slot, sample_rate=pipe.codec_cfg.sample_rate,
             stream_fn=lambda ids: slot.submit_stream(ids, **skw))
@@ -60,7 +75,7 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
     if family == "qwen":
         from .continuous_qwen import QwenSlotServer
 
-        slot = QwenSlotServer(pipe, slots=slots, **slot_kw)
+        slot = _route(lambda p: QwenSlotServer(p, slots=slots, **slot_kw))
 
         def from_json(body):
             ids = np.asarray(body["ids"], np.int32)
@@ -78,7 +93,8 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
     if family == "voxcpm":
         from .continuous_voxcpm import VoxCPMSlotServer
 
-        slot = VoxCPMSlotServer(pipe, slots=slots, **slot_kw)
+        slot = _route(lambda p: VoxCPMSlotServer(p, slots=slots,
+                                                  **slot_kw))
 
         def from_json(body):
             ids = np.asarray(body["ids"], np.int32)
@@ -98,18 +114,31 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
         if ref is None:
             raise ValueError("indextts serving needs ref= "
                              "(pipe.encode_reference output)")
-        slot = IndexTTSSlotServer(pipe, slots=slots, max_gen=max_tokens,
-                                  **slot_kw)
+
+        def make_slot(p):
+            # each server binds conditioning on ITS device so routed
+            # submits never mix committed placements
+            r = ref
+            if len(pipes) > 1:
+                import jax
+
+                from .devices import pipeline_device
+
+                r = jax.device_put(ref, pipeline_device(p))
+            return IndexTTSSlotServer(p, slots=slots, max_gen=max_tokens,
+                                      ref=r, **slot_kw)
+
+        slot = _route(make_slot)
         return TTSServer.continuous(
             slot, sample_rate=24000,
-            submit=lambda ids: slot.submit(ids, ref, max_gen=max_tokens))
+            submit=lambda ids: slot.submit(ids, max_gen=max_tokens))
 
     if family == "f5":
         from .continuous_f5 import F5SlotServer
 
         if ref_audio is None or ref_text is None:
             raise ValueError("f5 serving needs ref_audio= and ref_text=")
-        slot = F5SlotServer(pipe, slots=slots, **slot_kw)
+        slot = _route(lambda p: F5SlotServer(p, slots=slots, **slot_kw))
 
         def from_json(body):
             return (body["gen_text"], float(body.get("speed", 1.0)))

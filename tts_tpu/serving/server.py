@@ -120,7 +120,10 @@ class TTSServer:
             self._ttfa_n += 1
 
     def stats(self) -> dict:
-        s = self.batcher.stats.snapshot()
+        st = self.batcher.stats
+        # SlotRouter exposes stats() (aggregate dict); MicroBatcher and the
+        # slot servers expose a stats object with .snapshot()
+        s = st() if callable(st) else st.snapshot()
         if self._ttfa_n:
             s["streams"] = self._ttfa_n
             s["mean_ttfa_ms"] = round(self._ttfa_sum / self._ttfa_n, 3)
