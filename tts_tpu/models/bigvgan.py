@@ -76,17 +76,19 @@ class BigVGANConfig:
 
 
 def _act(x, p, cfg: BigVGANConfig, resample: AliasFreeResample):
-    """Anti-aliased snake: 2x upsample -> snake/snakebeta -> 2x downsample.
+    """Anti-aliased snake: 2x upsample -> snake/snakebeta -> 2x downsample,
+    computed in polyphase space (filters.alias_free_act) so the whole
+    activation is one fused elementwise pass — the unfused chain measured
+    87% of the generator's runtime (benchmarks/bigvgan_profile.py).
 
     Snake params stored post-transform: alpha = exp(a) and beta_recip =
     1/exp(b) when snake_logscale (the reference precomputes these at export).
     """
-    x = resample.upsample(x)
     if cfg.activation == "snakebeta":
-        x = snake_beta(x, p["alpha"], p["beta_recip"])
+        act = lambda u: snake_beta(u, p["alpha"], p["beta_recip"])
     else:
-        x = snake(x, p["alpha"], p["alpha_recip"])
-    return resample.downsample(x)
+        act = lambda u: snake(u, p["alpha"], p["alpha_recip"])
+    return resample.alias_free_act(x, act)
 
 
 def _amp_block(x, p, kernel_size: int, dilations, cfg, resample):

@@ -15,6 +15,13 @@ __all__ = ["conv1d", "conv_transpose1d", "depthwise_conv1d"]
 
 _DN = ("NWC", "WIO", "NWC")
 
+# MXU pass count for fp32 conv operands: HIGHEST = exact fp32 (6-pass
+# emulation), None/DEFAULT = fastest (single bf16 pass). bf16 operands are
+# single-pass either way. DSP/audio callers need HIGHEST for golden-test
+# exactness; model forward paths run bf16 weights where this is moot.
+# Module-level so perf experiments can A/B it (benchmarks/bigvgan_profile).
+PRECISION = jax.lax.Precision.HIGHEST
+
 
 def conv1d(
     x: jax.Array,            # (B, T, C_in)
@@ -48,7 +55,7 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=_DN,
         feature_group_count=groups,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=PRECISION,
     )
     if b is not None:
         out = out + b
@@ -82,7 +89,7 @@ def conv_transpose1d(
         lhs_dilation=(stride,),
         dimension_numbers=_DN,
         feature_group_count=groups,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=PRECISION,
     )
     if b is not None:
         out = out + b
