@@ -134,8 +134,26 @@ def linear_upsample_4x(x: jax.Array) -> jax.Array:
     return y.reshape(x.shape[0], 4 * x.shape[1], x.shape[2])
 
 
+def _amp_block_kernel(x, p, kernel_size: int, dilations, cfg,
+                      interpret: bool = False):
+    """AMPBlock1 through the fused VMEM kernel (ops/bigvgan_stage.py):
+    the whole act->conv->act->conv branch chain runs on-chip per tile —
+    one HBM read + write per resblock instead of ~13 passes."""
+    from ..ops.bigvgan_stage import amp_block_fused
+
+    st = lambda key, sub: jnp.stack([br[sub] for br in p[key]])
+    rk = "beta_recip" if cfg.activation == "snakebeta" else "alpha_recip"
+    return amp_block_fused(
+        x, st("convs1", "w"), st("convs1", "b"),
+        st("convs2", "w"), st("convs2", "b"),
+        st("acts1", "alpha"), st("acts1", rk),
+        st("acts2", "alpha"), st("acts2", rk),
+        k=kernel_size, dils=tuple(dilations), interpret=interpret)
+
+
 def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
-                  conds=None, cond_embed: jax.Array | None = None) -> jax.Array:
+                  conds=None, cond_embed: jax.Array | None = None,
+                  fused: bool | None = None) -> jax.Array:
     """mel: (B, T, num_mels) -> waveform (B, T * prod(upsample_rates)).
 
     Output in [-1, 1] float; callers scale to int16 (the reference folds
@@ -144,14 +162,21 @@ def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
     Speaker conditioning (IndexTTS variant, reference
     IndexTTS/modeling_modified/models.py:226-234): `cond_embed` (B, 1, C0)
     adds after conv_pre; `conds[i]` (B, 1, C_i) adds after each upsample.
+
+    `fused`: route AMPBlock1 stages through the VMEM resblock kernel
+    where its layout gate admits them (default: auto on TPU).
     """
     resample = AliasFreeResample(2)
     block_fn = _amp_block if cfg.resblock == "1" else _amp_block2
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
     if cfg.feat_upsample:
         mel = linear_upsample_4x(mel)
     x = conv1d(mel, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
     if cond_embed is not None:
         x = x + cond_embed
+
+    from ..ops.bigvgan_stage import fusable_stage
 
     inv_k = 1.0 / cfg.num_kernels
     for i, (rate, ks) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -160,12 +185,15 @@ def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
                              padding=(ks - rate) // 2)
         if conds is not None:
             x = x + conds[i]
+        use_kernel = (fused and cfg.resblock == "1"
+                      and fusable_stage(x.shape[-1], x.shape[1], x.dtype))
         acc = None
         for j, (k, dil) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
         ):
-            r = block_fn(x, params["resblocks"][i * cfg.num_kernels + j],
-                         k, dil, cfg, resample)
+            p = params["resblocks"][i * cfg.num_kernels + j]
+            r = (_amp_block_kernel(x, p, k, dil, cfg) if use_kernel
+                 else block_fn(x, p, k, dil, cfg, resample))
             acc = r if acc is None else acc + r
         x = acc * inv_k
 
