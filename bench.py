@@ -8,9 +8,20 @@ DiT with batch-2 CFG -> Vocos decode) at the reference README test size
 RTF 60 (i7 CPU) / RTF 21 (MX150 GPU); target RTF <= 0.05.
 
 vs_baseline = baseline_RTF(MX150) / our_RTF  (higher = faster than ref).
+
+Timeout discipline (round-3 postmortem: BENCH_r03 rc=124 lost every
+number): the primary metric is computed FIRST and printed/flushed as a
+complete JSON line immediately; after every auxiliary section the
+cumulative dict is re-printed on a new line, so however late a kill
+arrives the captured tail ends in a valid, maximal JSON line. Auxiliary
+sections are skipped once a wall-clock deadline passes (recorded under
+"skipped"), the persistent XLA compile cache is enabled so a rerun is
+warm, and the backend probe fails fast into a parseable JSON error line
+instead of proceeding into a wedged backend.
 """
 import json
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -207,7 +218,7 @@ def bench_bigvgan_secondary():
     dt = jax.numpy.bfloat16
     params = jax.jit(lambda k: bv_init(cfg, k, dt))(jax.random.key(0))
     voc = BigVGANVocoder(params, cfg, dtype=dt)
-    stats = voc.benchmark(mel_frames=512, iters=50)
+    stats = voc.benchmark(mel_frames=512, iters=20)
     sps = stats["samples_per_sec"]
     base = 512 * 256 / 4.6
     return {"bigvgan_metric": "bigvgan_v2_24k mel(1,100,512)",
@@ -245,7 +256,7 @@ def bench_kani_continuous():
     srv = KaniSlotServer(pipe, slots=4, chunk=32, prompt_bucket=16)
     try:
         srv.submit(np.array([[3, 9, 4]], np.int32)).result(
-            timeout=1200)                                   # warm/compile
+            timeout=420)                                    # warm/compile
         rng = np.random.default_rng(0)
         futs = []
         for i in range(16):
@@ -256,7 +267,7 @@ def bench_kani_continuous():
                 time.sleep(float(rng.exponential(0.25)))    # ~4 rps
         lats = []
         for fut, t0 in futs:
-            fut.result(timeout=1200)
+            fut.result(timeout=300)
             lats.append(time.perf_counter() - t0)
         lats.sort()
         snap = srv.stats.snapshot()
@@ -271,53 +282,84 @@ def bench_kani_continuous():
     }
 
 
-def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+def _wait_for_backend(max_wait_s: float = 240.0) -> bool:
     """Bounded wait for the TPU backend. The axon tunnel can wedge for tens
-    of minutes after a client dies mid-compile (observed in round 2);
-    jax.devices() then HANGS rather than raising, so probe it in a killable
-    subprocess and only init in-process once a probe succeeds."""
+    of minutes after a client dies mid-compile (observed in rounds 2 and
+    4); jax.devices() then HANGS rather than raising — and can also
+    SUCCEED while compile/execute stays blocked behind the dead session
+    — so the probe runs a real tiny computation with a device->host
+    fetch in a killable subprocess, and the bench only inits in-process
+    once a probe succeeds. Returns False (fail fast — the caller prints
+    a parseable error line) instead of proceeding into a backend that
+    would hang the whole bench."""
     import subprocess
-    import sys
-    import time
 
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jax.jit(lambda: jnp.ones(8).sum())()))")
     deadline = time.time() + max_wait_s
     while True:
         try:
             proc = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=120, capture_output=True)
+                [sys.executable, "-c", probe],
+                timeout=90, capture_output=True)
             if proc.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.time() > deadline:
-            print("warning: TPU backend probe failed for "
-                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr)
-            return
-        time.sleep(30)
+            return False
+        time.sleep(15)
+
+
+# Auxiliary sections in value order; each gets a chance only while the
+# shared deadline has budget left. The kani serving section is last: it
+# is the longest and its loss costs the least.
+_AUX_SECTIONS = [
+    ("w8a8_latency", bench_f5_w8a8_latency),
+    ("w8a8_step", bench_f5_w8a8_step),
+    ("qwen_secondary", bench_qwen_secondary),
+    ("bigvgan_secondary", bench_bigvgan_secondary),
+    ("kani_continuous", bench_kani_continuous),
+]
+
+# Total wall budget from process start (r3's driver kill arrived with
+# nothing printed; r4's first local run was killed at 900 s mid-section).
+# Aux sections are skipped once the process has been alive this long —
+# warm (persistent compile cache) the whole bench fits easily; cold, the
+# primary + whatever fits still ship.
+_TOTAL_BUDGET_S = 480.0
 
 
 if __name__ == "__main__":
-    _wait_for_backend()
+    _t0 = time.time()
+    from tts_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    if not _wait_for_backend():
+        print(json.dumps({
+            "metric": "f5_tts_nfe32 end-to-end RTF/chip, sustained "
+                      "(6s ref, 15 words; exact path)",
+            "value": None, "unit": "rtf", "vs_baseline": None,
+            "error": "TPU backend probe failed for 240s (wedged tunnel); "
+                     "refusing to hang — rerun when the backend recovers",
+        }), flush=True)
+        sys.exit(0)
     result = bench_f5()
-    try:
-        result.update(bench_f5_w8a8_step())
-    except Exception as e:  # auxiliary metrics must not sink the primary
-        result["w8a8_error"] = repr(e)[:200]
-    try:
-        result.update(bench_f5_w8a8_latency())
-    except Exception as e:
-        result["w8a8_latency_error"] = repr(e)[:200]
-    try:
-        result.update(bench_qwen_secondary())
-    except Exception as e:
-        result["secondary_error"] = repr(e)[:200]
-    try:
-        result.update(bench_kani_continuous())
-    except Exception as e:
-        result["serving_error"] = repr(e)[:200]
-    try:
-        result.update(bench_bigvgan_secondary())
-    except Exception as e:
-        result["bigvgan_error"] = repr(e)[:200]
-    print(json.dumps(result))
+    result["t_primary_s"] = round(time.time() - _t0, 1)
+    print(json.dumps(result), flush=True)     # primary is now un-droppable
+    deadline = _t0 + _TOTAL_BUDGET_S
+    skipped = []
+    for name, fn in _AUX_SECTIONS:
+        if time.time() > deadline:
+            skipped.append(name)
+            continue
+        try:
+            result.update(fn())
+        except Exception as e:  # auxiliary metrics must not sink the primary
+            result[f"{name}_error"] = repr(e)[:200]
+        result["t_elapsed_s"] = round(time.time() - _t0, 1)
+        if skipped:
+            result["skipped"] = list(skipped)
+        print(json.dumps(result), flush=True)  # cumulative, valid, maximal
+    if skipped:
+        result["skipped"] = skipped
+        print(json.dumps(result), flush=True)

@@ -82,7 +82,8 @@ def test_fused_batch_rows_independent():
 
 def test_fusable_stage_gate():
     assert fusable_stage(24, 131072, jnp.bfloat16)
-    assert fusable_stage(192, 16384, jnp.float32)
+    assert fusable_stage(128, 16384, jnp.float32)
+    assert not fusable_stage(192, 16384, jnp.float32)   # fp32 wt > VMEM
     assert not fusable_stage(768, 2048, jnp.bfloat16)   # weights > VMEM
     assert not fusable_stage(24, 100, jnp.bfloat16)     # tiny T
     assert not fusable_stage(24, 131072, jnp.float16)
@@ -113,3 +114,19 @@ def test_bigvgan_apply_fused_matches_xla(monkeypatch):
     out = bv.bigvgan_apply(params, mel, cfg, fused=True)
     assert out.shape == ref.shape
     assert float(jnp.abs(out - ref).max()) < 1e-5
+
+
+def test_geometry_guards_raise():
+    """Public-entry geometries whose taps would escape the staging
+    margin or halo must error loudly, not silently corrupt output."""
+    rng = np.random.default_rng(0)
+    k, c, t = 11, 16, 512
+    p = _params(rng, k, 3, c)
+    x = jnp.asarray(rng.standard_normal((1, t, c)) * 0.5, jnp.float32)
+    with pytest.raises(ValueError, match="staging margin"):
+        amp_block_fused(x, *_stacked(p), k=k, dils=(1, 3, 7),
+                        interpret=True)
+    p4 = _params(rng, k, 4, c)
+    with pytest.raises(ValueError, match="halo"):
+        amp_block_fused(x, *_stacked(p4), k=k, dils=(5, 5, 5, 5),
+                        interpret=True)

@@ -636,15 +636,27 @@ def cmd_serve(args) -> None:
                 | {args.max_batch})))
     if args.warmup:
         # compile (or persistent-cache-read) the serving programs before
-        # binding the port, so the first live request pays no compile
-        from .utils.compile_cache import warmup
+        # binding the port, so the first live request pays no compile.
+        # On the MicroBatcher path a single request would warm only the
+        # batch-1 bucket; warm every ladder size by submitting that many
+        # concurrent requests (they coalesce into one padded batch).
+        import time as _t
 
         from .serving.families import default_request_body
 
         body = default_request_body(args.family)
-        wsecs = warmup(lambda b: srv.synthesize(srv.request_from_json(b)),
-                       [(body,)], log=print)
-        print(f"warmup done in {wsecs:.1f}s")
+        sizes = (1,) if args.continuous else tuple(
+            sorted({s for s in (1, 2, 4, 8) if s < args.max_batch}
+                   | {args.max_batch}))
+        t0 = _t.perf_counter()
+        for size in sizes:
+            tw = _t.perf_counter()
+            futs = [srv.submit(srv.request_from_json(body))
+                    for _ in range(size)]
+            for f in futs:
+                f.result(timeout=600)
+            print(f"warmup batch={size}: {_t.perf_counter() - tw:.1f}s")
+        print(f"warmup done in {_t.perf_counter() - t0:.1f}s")
     httpd = serve_http(srv, host=args.host, port=args.port)
     host, port = httpd.server_address
     print(f"serving on http://{host}:{port}  "

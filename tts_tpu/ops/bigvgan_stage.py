@@ -139,11 +139,19 @@ def _make_kernel(k: int, dils: tuple[int, ...], w: int, tb: int,
 
 def fusable_stage(c: int, t: int, dtype) -> bool:
     """The kernel pays off where HBM passes (not MXU work) dominate and
-    its VMEM budget holds: weight residency is 6*k*C^2 elements, so gate
-    to C <= 256. Tiny T (< one tile) gains nothing."""
+    its VMEM budget holds. The budget is in BYTES, not elements: weight
+    residency is 6*k*C^2*itemsize, so the channel gate scales with the
+    dtype width — C <= 256 at bf16 (8.6 MB of weights at k=11) but only
+    C <= 128 at fp32 (4.3 MB); fp32 at C=192-256 would blow VMEM in
+    Mosaic. Tiny T (< one tile) gains nothing."""
     d = jnp.dtype(dtype)
-    return (c <= 256 and t >= 256
-            and d in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)))
+    if d == jnp.dtype(jnp.bfloat16):
+        cmax = 256
+    elif d == jnp.dtype(jnp.float32):
+        cmax = 128
+    else:
+        return False
+    return c <= cmax and t >= 256
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dils", "interpret"))
@@ -159,9 +167,24 @@ def amp_block_fused(x, w1, b1, w2, b2, a1, r1, a2, r2, *,
     """
     b, t, c = x.shape
     dtype = x.dtype
-    # channel-major tile: ~0.75M elements per buffer keeps ~8 live
-    # intermediates + the weight stacks inside the ~16 MB VMEM
-    wlim = max(256, (786432 // c) // 128 * 128)
+    mid = (k - 1) // 2
+    # public entry: the static roll/staging margins must cover the
+    # requested geometry or wrapped lanes would escape the discarded
+    # halo as silent corruption rather than an error
+    if mid * max(dils) > _S:
+        raise ValueError(
+            f"amp_block_fused: conv tap offset {mid * max(dils)} "
+            f"(k={k}, dils={dils}) exceeds staging margin {_S}")
+    radius = sum(12 + mid * d + mid for d in dils)
+    if radius > _H:
+        raise ValueError(
+            f"amp_block_fused: chained receptive radius {radius} "
+            f"(k={k}, dils={dils}) exceeds halo {_H}")
+    # channel-major tile: ~1.5 MB per buffer keeps ~8 live intermediates
+    # + the weight stacks inside the ~16 MB VMEM (budget is bytes, so
+    # the element count scales inversely with the dtype width)
+    elems = 786432 * 2 // jnp.dtype(dtype).itemsize
+    wlim = max(256, (elems // c) // 128 * 128)
     tb = wlim - 2 * _H
     nt = -(-t // tb)
     tpad = nt * tb + 2 * _H
