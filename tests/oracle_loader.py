@@ -190,3 +190,164 @@ def load_ref_bigvgan():
                           "ref_bigvgan", shims=shims)
     mod.AttrDict = AttrDict
     return mod
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def load_voxcpm_audio_vae():
+    """VoxCPM/v1.5/modeling_modified/audio_vae.py imports cleanly (torch +
+    pydantic, both in-env)."""
+    return load_ref_module("VoxCPM/v1.5/modeling_modified/audio_vae.py",
+                           "ref_voxcpm_audio_vae")
+
+
+def make_qwen_decoder_config(**overrides):
+    """Stand-in for the absent configuration_qwen3_tts_tokenizer_v2.py.
+
+    The reference repo ships only the modeling file (its config import
+    names a file that isn't in the repo); this subclass of the HF
+    PretrainedConfig carries exactly the attributes the modeling code
+    reads. Field meanings follow modeling_qwen3_tts_tokenizer_v2.py
+    usage (attention :335-409, mlp :410-426, transformer :529-629,
+    decoder :903-977)."""
+    from transformers import PretrainedConfig
+
+    class Qwen3TTSTokenizerV2DecoderConfig(PretrainedConfig):
+        model_type = "qwen3_tts_tokenizer_v2_decoder"
+
+        def __init__(self, **kw):
+            defaults = dict(
+                num_quantizers=4, codebook_size=32, codebook_dim=16,
+                latent_dim=24, decoder_dim=32, upsampling_ratios=[2],
+                upsample_rates=[4, 2], hidden_size=24,
+                num_attention_heads=2, num_key_value_heads=2, head_dim=12,
+                intermediate_size=48, num_hidden_layers=2,
+                rms_norm_eps=1e-6, rope_theta=10000.0,
+                max_position_embeddings=64, attention_dropout=0.0,
+                attention_bias=False, hidden_act="silu",
+                layer_scale_initial_scale=0.01,
+                sliding_window=64,
+                layer_types=["sliding_attention", "sliding_attention"],
+            )
+            defaults.update(kw)
+            for k, v in list(defaults.items()):
+                setattr(self, k, v)
+            super().__init__(**{k: v for k, v in kw.items()
+                                if k not in defaults})
+
+    return Qwen3TTSTokenizerV2DecoderConfig(**overrides)
+
+
+def load_qwen_tokenizer_v2():
+    """Load modeling_qwen3_tts_tokenizer_v2.py under a synthetic package
+    so its relative config import resolves to the stand-in above."""
+    name = "refqwenpkg.modeling_qwen3_tts_tokenizer_v2"
+    if name in _loaded:
+        return _loaded[name]
+    cfg_mod = stub("refqwenpkg.configuration_qwen3_tts_tokenizer_v2",
+                   Qwen3TTSTokenizerV2Config=object,
+                   Qwen3TTSTokenizerV2DecoderConfig=type(
+                       make_qwen_decoder_config()))
+    pkg = stub("refqwenpkg")
+    pkg.__path__ = []
+    pkg.configuration_qwen3_tts_tokenizer_v2 = cfg_mod
+    return load_ref_module(
+        "Qwen_TTS/modeling_modified/modeling_qwen3_tts_tokenizer_v2.py",
+        name,
+        shims={"refqwenpkg": pkg,
+               "refqwenpkg.configuration_qwen3_tts_tokenizer_v2": cfg_mod})
+
+
+def extract_export_class(relpath: str, class_name: str,
+                         extra_globals: dict | None = None):
+    """Compile ONE class from a reference export script (scripts run
+    sessions/model loads at module level, so they cannot be imported
+    whole). The class body executed is the reference's own source; the
+    caller provides any module-level globals the class reads."""
+    import ast
+
+    import torch
+
+    path = REF / relpath
+    tree = ast.parse(path.read_text())
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name == class_name:
+            module = ast.Module(body=[node], type_ignores=[])
+            code = compile(module, str(path), "exec")
+            ns = {"torch": torch, **(extra_globals or {})}
+            exec(code, ns)
+            return ns[class_name]
+    raise KeyError(f"{class_name} not found in {relpath}")
+
+
+def shape_tensor(x):
+    """Wrap a tensor so `.shape[i]` yields 0-d tensors.
+
+    The export scripts use the ONNX-tracing idiom
+    `hidden.shape[1].unsqueeze(0)` (valid when shapes trace as tensors);
+    eagerly, shape entries are ints. torch propagates plain subclasses
+    through ops, so every derived tensor inside the oracle forward keeps
+    the tensor-valued shape property."""
+    import torch
+
+    class _ShapeTensor(torch.Tensor):
+        @property
+        def shape(self):  # noqa: D401
+            return [torch.tensor(s) for s in self.size()]
+
+    return x.as_subclass(_ShapeTensor)
+
+
+def load_f5_modules():
+    """F5_TTS/modeling_modified/F5/modules.py with inert shims for the
+    upstream deps its import line names but the oracle paths never run
+    (torchaudio/librosa mel builders, the x_transformers rotary that the
+    modified attention replaces with explicit rope_cos/sin args)."""
+    lib_pkg = stub("librosa")
+    lib_filters = stub("librosa.filters", mel=lambda **kw: None)
+    lib_pkg.filters = lib_filters
+    xt_pkg = stub("x_transformers")
+    xt_mod = stub("x_transformers.x_transformers",
+                  apply_rotary_pos_emb=None,
+                  RotaryEmbedding=type("RotaryEmbedding", (), {
+                      "__init__": lambda self, dim: None}))
+    xt_pkg.x_transformers = xt_mod
+    shims = {
+        "torchaudio": stub("torchaudio"),
+        "librosa": lib_pkg,
+        "librosa.filters": lib_filters,
+        "x_transformers": xt_pkg,
+        "x_transformers.x_transformers": xt_mod,
+    }
+    mod = load_ref_module("F5_TTS/modeling_modified/F5/modules.py",
+                          "ref_f5_modules", shims=shims)
+    return mod, shims
+
+
+def load_f5_dit():
+    """The reference's modified DiT backbone (dit.py), with its
+    `f5_tts.model.modules` import wired to the reference's own
+    modules.py."""
+    modules, shims = load_f5_modules()
+    f5_pkg = stub("f5_tts")
+    model_pkg = stub("f5_tts.model", modules=modules)
+    f5_pkg.model = model_pkg
+    dit = load_ref_module(
+        "F5_TTS/modeling_modified/F5/dit.py", "ref_f5_dit",
+        shims={**shims, "f5_tts": f5_pkg, "f5_tts.model": model_pkg,
+               "f5_tts.model.modules": modules})
+    return dit, modules
+
+
+def load_vocos_modules():
+    """F5_TTS/modeling_modified/vocos/{modules,models}.py (plain torch;
+    models.py's `vocos.modules` import resolves to the reference's own
+    modules.py)."""
+    modules = load_ref_module("F5_TTS/modeling_modified/vocos/modules.py",
+                              "ref_vocos_modules")
+    vocos_pkg = stub("vocos", modules=modules)
+    models = load_ref_module(
+        "F5_TTS/modeling_modified/vocos/models.py", "ref_vocos_models",
+        shims={"vocos": vocos_pkg, "vocos.modules": modules})
+    return modules, models

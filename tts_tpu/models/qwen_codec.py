@@ -5,7 +5,14 @@ Behavioral contract from the reference TTS_DECODER wrapper
 tokenizer model (modeling_modified/modeling_qwen3_tts_tokenizer_v2.py):
   * split RVQ dequantize: group 0 through the semantic quantizer, groups
     1..15 summed through the acoustic quantizer; codebooks normalized as
-    embedding_sum / clamp(cluster_usage) precomputed at load (:730-755);
+    embedding_sum / clamp(cluster_usage) precomputed at load (:730-755).
+    DELIBERATE DEVIATION: the reference modeling copy's SplitResidual-
+    VectorQuantizer.decode slices codes[:, [1]] for the semantic group
+    (tokenizer_v2.py:891-901) — dropping the talker's group-0 token the
+    runtime places first (Export_Qwen_TTS_ONNX.py:2585-2595) and double-
+    counting group 1; upstream uses codes[:, :1]. We implement the
+    upstream slice (oracled against the reference's own rvq modules in
+    tests/test_reference_oracle_families.py);
   * pre_conv (causal k3) -> input_proj -> 8-layer pre-transformer
     (RMSNorm-fused attention, full bidirectional attention, layer scales
     folded) -> output_proj (final norm folded);

@@ -174,11 +174,13 @@ class KaniSlotServer(SlotEngine):
     # ------------------------------------------------------------- client
 
     def submit(self, ids: np.ndarray,
-               max_new_tokens: int | None = None):
+               max_new_tokens: int | None = None,
+               deadline_s: float | None = None):
         if ids.shape[1] > self.bucket:
             raise ValueError(f"prompt {ids.shape[1]} > bucket {self.bucket}")
         cap = min(max_new_tokens or self.cap, self.cap)
-        return self._submit(np.asarray(ids, np.int32), cap)
+        return self._submit(np.asarray(ids, np.int32), cap,
+                            deadline_s=deadline_s)
 
     def submit_stream(self, ids: np.ndarray,
                       max_new_tokens: int | None = None,

@@ -161,7 +161,8 @@ class F5SlotServer(SlotEngine):
     # ------------------------------------------------------------- client
 
     def submit(self, ref_audio: np.ndarray, ref_text: str, gen_text: str,
-               speed: float = 1.0, seed: int | None = None):
+               speed: float = 1.0, seed: int | None = None,
+               deadline_s: float | None = None):
         audio_p, ids_p, ref_signal_len, duration, buckets, n_keep = \
             self.pipe._prepare(ref_audio, ref_text, gen_text, speed)
         if audio_p.shape[1] > self.audio_bucket:
@@ -182,7 +183,8 @@ class F5SlotServer(SlotEngine):
                        constant_values=-1)
         payload = (audio_p, ids_p, int(ref_signal_len), int(duration),
                    int(n_keep), self.pipe.seed if seed is None else seed)
-        return self._submit(payload, self.cfg.nfe_steps)
+        return self._submit(payload, self.cfg.nfe_steps,
+                            deadline_s=deadline_s)
 
     # ------------------------------------------------------ engine hooks
 

@@ -181,7 +181,8 @@ class IndexTTSSlotServer(SlotEngine):
     # ------------------------------------------------------------- client
 
     def submit(self, text_ids: np.ndarray, ref=None,
-               max_gen: int | None = None):
+               max_gen: int | None = None,
+               deadline_s: float | None = None):
         if ref is None:
             ref = self.ref
         if ref is None:
@@ -191,7 +192,8 @@ class IndexTTSSlotServer(SlotEngine):
             raise ValueError(
                 f"text {text_ids.shape[1]} > bucket {self.tb}")
         cap = min(max_gen or self.gbuf, self.gbuf)
-        return self._submit((np.asarray(text_ids, np.int32), ref), cap)
+        return self._submit((np.asarray(text_ids, np.int32), ref), cap,
+                            deadline_s=deadline_s)
 
     # ------------------------------------------------------ engine hooks
 

@@ -204,8 +204,10 @@ class QwenSlotServer(SlotEngine):
     # ------------------------------------------------------------- client
 
     def submit(self, prefill: np.ndarray, trailing: np.ndarray,
-               max_frames: int | None = None):
-        return self._submit(*self._validate(prefill, trailing, max_frames))
+               max_frames: int | None = None,
+               deadline_s: float | None = None):
+        return self._submit(*self._validate(prefill, trailing, max_frames),
+                            deadline_s=deadline_s)
 
     def submit_stream(self, prefill: np.ndarray, trailing: np.ndarray,
                       max_frames: int | None = None, window: int = 72,

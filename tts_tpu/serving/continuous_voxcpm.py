@@ -211,7 +211,8 @@ class VoxCPMSlotServer(SlotEngine):
 
     def submit(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
                prompt_audio: np.ndarray | None = None,
-               seed: int | None = None):
+               seed: int | None = None,
+               deadline_s: float | None = None):
         """v1.5 layout: [prompt_text | target_text | audio_start
         (| prompt feats)]. Builds the segment plan synthesize_ids_batch
         builds (runtime/voxcpm.py:328-337) and routes to
@@ -228,7 +229,8 @@ class VoxCPMSlotServer(SlotEngine):
             fc = np.asarray(fc, np.float32)
         cap = int(min(target_ids.shape[1] * dcfg.decode_limit_factor + 10,
                       dcfg.max_latents))
-        return self.submit_segments(segments, fc, cap, seed)
+        return self.submit_segments(segments, fc, cap, seed,
+                                    deadline_s=deadline_s)
 
     def submit_stream(self, prompt_ids: np.ndarray, target_ids: np.ndarray,
                       prompt_audio: np.ndarray | None = None,
@@ -280,7 +282,8 @@ class VoxCPMSlotServer(SlotEngine):
 
     def submit_segments(self, segments, feat_cond=None,
                         max_latents: int | None = None,
-                        seed: int | None = None, _stream=None):
+                        seed: int | None = None, _stream=None,
+                        deadline_s: float | None = None):
         """Generic segmented prompt — the v2 Assemble modes' plan format
         (runtime/voxcpm._run_segments): list of ('text', ids (T,)) /
         ('audio', feat_embed (1, T, H)) in prompt order, with optional
@@ -312,7 +315,7 @@ class VoxCPMSlotServer(SlotEngine):
         key = self.pipe._get_key(dcfg.seed if seed is None else seed)
         payload = ((text_buf, is_audio, np.int32(pos), fe_buf, fc0,
                     np.asarray(jax.random.key_data(key))), _stream)
-        return self._submit(payload, cap)
+        return self._submit(payload, cap, deadline_s=deadline_s)
 
     # ------------------------------------------------------ engine hooks
 
