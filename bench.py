@@ -226,6 +226,48 @@ def bench_bigvgan_secondary():
             "bigvgan_vs_baseline": round(sps / base, 1)}
 
 
+def bench_kani_int4():
+    """Driver-verified int4 evidence (VERDICT r3 item 6): Kani 370m-shape
+    int4 (k_quant-style scale search, group 32) decode tok/s against the
+    reference's Q4F32 row (/root/reference/README.md:34: 5.2 s / RTF 0.87
+    on i7-1165G7). Kani emits 4 codec tokens per 12.5 Hz frame, so
+    real-time is 50 tok/s: RTF = 50 / tok_s. int8 measured alongside for
+    the documented int8-is-the-speed-mode comparison (NOTES.md)."""
+    import time
+
+    import numpy as np
+
+    from tts_tpu.models.kani import KaniConfig, init_params
+    from tts_tpu.models.nanocodec import NanoCodecConfig
+    from tts_tpu.models.nanocodec import init_params as codec_init
+    from tts_tpu.runtime.kani import KaniDecodeConfig, KaniPipeline
+
+    if jax.devices()[0].platform != "tpu":
+        return {}
+    cfg = KaniConfig(max_seq_len=2048, stop_token=-1)
+    params = jax.jit(lambda k: init_params(cfg, k, jnp.bfloat16))(
+        jax.random.key(0))
+    ccfg = NanoCodecConfig()
+    cparams = jax.jit(lambda k: codec_init(ccfg, k, jnp.bfloat16))(
+        jax.random.key(1))
+    ids = np.array([[3, 9, 4, 17, 2]], np.int32)
+    out = {}
+    for bits, key in ((4, "kani_int4"), (8, "kani_int8")):
+        pipe = KaniPipeline(params, cfg, cparams, ccfg,
+                            KaniDecodeConfig(max_new_tokens=256,
+                                             repeat_penalty=1.0),
+                            quantize=bits)
+        pipe.synthesize_ids(ids)                   # compile
+        t0 = time.perf_counter()
+        _wav, stats = pipe.synthesize_ids(ids)    # device_get-fenced
+        wall = time.perf_counter() - t0
+        tok_s = stats["tokens"] / wall
+        out[f"{key}_tok_s"] = round(tok_s, 1)
+        out[f"{key}_rtf"] = round(50.0 / tok_s, 4)
+    out["kani_int4_vs_baseline"] = round(0.87 / out["kani_int4_rtf"], 1)
+    return out
+
+
 def bench_kani_continuous():
     """Driver-verified continuous-serving evidence: the Kani slot server
     (serving/slots) under a Poisson request stream on the real chip —
@@ -319,6 +361,7 @@ _AUX_SECTIONS = [
     ("w8a8_step", bench_f5_w8a8_step),
     ("qwen_secondary", bench_qwen_secondary),
     ("bigvgan_secondary", bench_bigvgan_secondary),
+    ("kani_int4", bench_kani_int4),
     ("kani_continuous", bench_kani_continuous),
 ]
 

@@ -122,3 +122,75 @@ def test_read_wav_target_rate_uses_kaiser(tmp_path):
     assert r == 24000
     ideal = 0.5 * np.sin(2 * np.pi * 440 * np.arange(len(x)) / 24000.0) * 32767
     assert math.sqrt(np.mean((x[100:-100] - ideal[100:-100]) ** 2)) < 5.0
+
+
+# ------------------------------------------------------- read_audio shim
+
+
+def test_read_audio_riff_passthrough(tmp_path, sine_i16):
+    """RIFF input routes to the native WAV parser byte-for-byte."""
+    from tts_tpu.audio.wav import read_audio
+
+    write_wav(str(tmp_path / "a.wav"), sine_i16, 24000)
+    x, r = read_audio(str(tmp_path / "a.wav"))
+    assert r == 24000 and np.array_equal(x, sine_i16)
+
+
+def test_read_audio_no_ffmpeg_raises(tmp_path, monkeypatch):
+    """Non-RIFF input without ffmpeg on PATH raises naming ffmpeg (the
+    reference's pydub loader has the same dependency)."""
+    from tts_tpu.audio.wav import read_audio
+
+    p = tmp_path / "a.mp3"
+    p.write_bytes(b"ID3\x04" + b"\x00" * 64)
+    monkeypatch.setenv("PATH", str(tmp_path))     # nothing on PATH
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        read_audio(str(p))
+
+
+def test_read_audio_ffmpeg_shim_plumbing(tmp_path, sine_i16, monkeypatch):
+    """With an `ffmpeg` executable on PATH the compressed path decodes:
+    a stand-in binary that converts the input to PCM WAV exercises the
+    subprocess plumbing (argument order, temp-file handoff, RIFF
+    re-parse) end to end."""
+    import stat
+    import sys
+
+    from tts_tpu.audio.wav import read_audio
+
+    # the "compressed" source: raw samples under a non-RIFF magic
+    src = tmp_path / "a.fake"
+    src.write_bytes(b"FAKE" + sine_i16.tobytes())
+    conv = tmp_path / "conv.py"
+    conv.write_text(
+        "import struct, sys\n"
+        "args = sys.argv[1:]\n"
+        "inp = args[args.index('-i') + 1]\n"
+        "out = args[-1]\n"
+        "data = open(inp, 'rb').read()[4:]\n"
+        "fmt = struct.pack('<HHIIHH', 1, 1, 24000, 48000, 2, 16)\n"
+        "body = (b'WAVE' + b'fmt ' + struct.pack('<I', len(fmt)) + fmt\n"
+        "        + b'data' + struct.pack('<I', len(data)) + data)\n"
+        "open(out, 'wb').write(b'RIFF' + struct.pack('<I', len(body))"
+        " + body)\n")
+    ff = tmp_path / "ffmpeg"
+    ff.write_text(f"#!/bin/sh\nexec {sys.executable} {conv} \"$@\"\n")
+    ff.chmod(ff.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{pytest.__file__ and ''}")
+    x, r = read_audio(str(src))
+    assert r == 24000 and np.array_equal(x, sine_i16)
+
+
+def test_read_audio_ffmpeg_failure_surfaces_stderr(tmp_path, monkeypatch):
+    import stat
+
+    from tts_tpu.audio.wav import read_audio
+
+    src = tmp_path / "bad.ogg"
+    src.write_bytes(b"OggS" + b"\x00" * 16)
+    ff = tmp_path / "ffmpeg"
+    ff.write_text("#!/bin/sh\necho 'boom: no stream' >&2\nexit 1\n")
+    ff.chmod(ff.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", str(tmp_path))
+    with pytest.raises(RuntimeError, match="boom: no stream"):
+        read_audio(str(src))

@@ -21,7 +21,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "resample_linear", "resample_kaiser"]
+__all__ = ["read_audio", "read_wav", "write_wav", "resample_linear",
+           "resample_kaiser"]
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -112,6 +113,53 @@ def read_wav(path: str, target_rate: int | None = None,
             data = resample_linear(data, rate, target_rate)
         rate = target_rate
     return data, rate
+
+
+def read_audio(path: str, target_rate: int | None = None,
+               resample: str = "kaiser") -> tuple[np.ndarray, int]:
+    """Any-format audio load -> (int16 mono samples, sample_rate).
+
+    The reference loads reference audio with pydub's any-format path
+    (`F5_TTS/F5-TTS-ONNX-Inference.py:223`), which itself shells out to
+    an ffmpeg binary for anything that is not WAV. Same contract here:
+    RIFF/WAV decodes natively through read_wav; any other container
+    (mp3/flac/ogg/m4a/...) decodes through `ffmpeg` on PATH — the same
+    external dependency the reference has — and raises a clear error
+    naming ffmpeg when the binary is absent."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        return read_wav(path, target_rate, resample)
+    return _read_via_ffmpeg(path, target_rate, resample)
+
+
+def _read_via_ffmpeg(path: str, target_rate: int | None,
+                     resample: str) -> tuple[np.ndarray, int]:
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            f"{path!r} is not a WAV file and no `ffmpeg` binary is on "
+            "PATH to decode it. Install ffmpeg or convert first: "
+            "`ffmpeg -i in.mp3 out.wav` (the reference's pydub loader "
+            "has the same ffmpeg dependency for compressed formats)")
+    fd, tmp = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    try:
+        proc = subprocess.run(
+            [ffmpeg, "-v", "error", "-y", "-i", path,
+             "-acodec", "pcm_s16le", tmp],
+            capture_output=True, text=True, timeout=300)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"ffmpeg failed to decode {path!r}: {proc.stderr.strip()}")
+        return read_wav(tmp, target_rate, resample)
+    finally:
+        os.unlink(tmp)
 
 
 def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:

@@ -90,7 +90,7 @@ def cmd_f5(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from .audio.wav import read_wav
+    from .audio.wav import read_audio
     from .models.f5 import F5Config, init_params
     from .models.vocos import VocosConfig, init_params as vocos_init
     from .runtime.f5 import F5Pipeline
@@ -127,7 +127,7 @@ def cmd_f5(args) -> None:
                      {"cfg": cfg, "vcfg": vcfg}, {"vocab": vocab})
     pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg, seed=args.seed,
                       quantize=args.quantize)
-    audio, _ = read_wav(args.ref_audio, target_rate=cfg.sample_rate)
+    audio, _ = read_audio(args.ref_audio, target_rate=cfg.sample_rate)
     wav, stats = pipe.synthesize(audio, args.ref_text, args.gen_text,
                                  speed=args.speed)
     rep = SynthesisReport("f5_tts", stats.audio_s, stats.wall_s)
@@ -184,7 +184,7 @@ def cmd_indextts(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from .audio.wav import read_wav
+    from .audio.wav import read_audio
     from .models.bigvgan import BigVGANConfig
     from .models.bigvgan import init_params as bigvgan_init
     from .models.indextts import (
@@ -232,7 +232,7 @@ def cmd_indextts(args) -> None:
         _save_bundle(args.save_npz, {"params": params},
                      {"cfg": cfg, "vcfg": vcfg})
     pipe = IndexTTSPipeline(params, cfg, vcfg, quantize=args.quantize)
-    audio, _ = read_wav(args.ref_audio, target_rate=24000)
+    audio, _ = read_audio(args.ref_audio, target_rate=24000)
     ref = pipe.encode_reference(audio)
     from .frontend.indextts_text import IndexTTSTokenizer
 
@@ -326,7 +326,7 @@ def cmd_qwen(args) -> None:
 def cmd_voxcpm(args) -> None:
     import jax
 
-    from .audio.wav import read_wav
+    from .audio.wav import read_audio
     from .models.voxcpm import VoxCPMConfig, init_params, init_vae_params
     from .runtime.voxcpm import VoxCPMDecodeConfig, VoxCPMPipeline
     from .utils.timing import SynthesisReport
@@ -383,7 +383,7 @@ def cmd_voxcpm(args) -> None:
                           quantize=args.quantize)
     prompt_audio = None
     if args.prompt_audio:
-        prompt_audio, _ = read_wav(args.prompt_audio,
+        prompt_audio, _ = read_audio(args.prompt_audio,
                                    target_rate=cfg.sample_rate)
     wav, stats = pipe.synthesize_ids(p_ids, ids, prompt_audio)
     sr = pipe.output_sample_rate
@@ -522,7 +522,7 @@ def _serve_continuous(args):
     if fam == "indextts":
         import jax.numpy as jnp
 
-        from .audio.wav import read_wav
+        from .audio.wav import read_audio
         from .models.bigvgan import BigVGANConfig
         from .models.bigvgan import init_params as bigvgan_init
         from .models.indextts import (IndexTTSConfig, init_conformer_params,
@@ -558,7 +558,7 @@ def _serve_continuous(args):
             print("note: random weights (no --ckpt) — audio will be noise")
         pipe = IndexTTSPipeline(params, cfg, vcfg, quantize=args.quantize)
         if args.ref_audio:
-            audio, _ = read_wav(args.ref_audio, target_rate=24000)
+            audio, _ = read_audio(args.ref_audio, target_rate=24000)
         else:
             audio = (np.random.default_rng(0)
                      .standard_normal(24000).astype(np.float32) * 0.05)
@@ -570,7 +570,7 @@ def _serve_continuous(args):
     if fam == "f5":
         import jax.numpy as jnp
 
-        from .audio.wav import read_wav
+        from .audio.wav import read_audio
         from .models.f5 import F5Config, init_params
         from .models.vocos import VocosConfig, init_params as vocos_init
         from .runtime.f5 import F5Pipeline
@@ -593,7 +593,7 @@ def _serve_continuous(args):
         pipe = F5Pipeline(params, cfg, vocab, vparams, vcfg,
                           quantize=args.quantize)
         if args.ref_audio:
-            ref_audio, _ = read_wav(args.ref_audio,
+            ref_audio, _ = read_audio(args.ref_audio,
                                     target_rate=cfg.sample_rate)
         else:
             ref_audio = (np.random.default_rng(0).standard_normal(
