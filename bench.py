@@ -324,33 +324,30 @@ def bench_kani_continuous():
     }
 
 
-def _wait_for_backend(max_wait_s: float = 240.0) -> bool:
+def _wait_for_backend(max_wait_s: float = 420.0) -> bool:
     """Bounded wait for the TPU backend. The axon tunnel can wedge for tens
     of minutes after a client dies mid-compile (observed in rounds 2 and
     4); jax.devices() then HANGS rather than raising — and can also
     SUCCEED while compile/execute stays blocked behind the dead session
     — so the probe runs a real tiny computation with a device->host
     fetch in a killable subprocess, and the bench only inits in-process
-    once a probe succeeds. Returns False (fail fast — the caller prints
-    a parseable error line) instead of proceeding into a backend that
-    would hang the whole bench."""
+    once a probe succeeds. ONE patient attempt, not a kill/retry loop:
+    killing a probe mid-compile is itself what wedges the tunnel further
+    (round-4 postmortem — three 90s-killed probes extended the wedge),
+    and a healthy-but-cold tunnel can take >90s to first answer. Returns
+    False (fail fast — the caller prints a parseable error line) instead
+    of proceeding into a backend that would hang the whole bench."""
     import subprocess
 
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jax.jit(lambda: jnp.ones(8).sum())()))")
-    deadline = time.time() + max_wait_s
-    while True:
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", probe],
-                timeout=90, capture_output=True)
-            if proc.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if time.time() > deadline:
-            return False
-        time.sleep(15)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=max_wait_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 # Auxiliary sections in value order; each gets a chance only while the
@@ -382,7 +379,7 @@ if __name__ == "__main__":
             "metric": "f5_tts_nfe32 end-to-end RTF/chip, sustained "
                       "(6s ref, 15 words; exact path)",
             "value": None, "unit": "rtf", "vs_baseline": None,
-            "error": "TPU backend probe failed for 240s (wedged tunnel); "
+            "error": "TPU backend probe failed for 420s (wedged tunnel); "
                      "refusing to hang — rerun when the backend recovers",
         }), flush=True)
         sys.exit(0)

@@ -144,6 +144,39 @@ def _quantize_blocks(params):
     return {**params, "blocks": blocks}
 
 
+def _block_q8(params, x, *, attn="q8", mlp="q8"):
+    """One DiT block with the W8A8 kernels, component-ablatable: attn in
+    {q8, bf16, none}, mlp in {q8, bf16, none}. Pass q8-quantized PARAMS."""
+    from tts_tpu.ops.dit_mlp import mlp_block_fused_q8
+    from tts_tpu.ops.quant_matmul import ln_qkv_q8, out_proj_residual_q8
+
+    p = params["blocks"][0]
+    mod = params["ada_table"][0, 0].reshape(1, 1, -1)
+    s1, c1, g1, s2, c2, g2 = jnp.split(mod, 6, axis=-1)
+
+    if attn == "q8":
+        wqkv, wo = p["attn"]["wqkv"], p["attn"]["wo"]
+        mods_a = jnp.concatenate([s1[0], c1[0]], axis=0)
+        qkv = ln_qkv_q8(x, mods_a, wqkv.q, wqkv.scale, p["attn"]["bqkv"])
+        q, k, v = _rope_qkv_flat(qkv, params["rope_cos"][:T],
+                                 params["rope_sin"][:T], cfg.heads,
+                                 cfg.head_dim)
+        from tts_tpu.models.f5 import _flash_packed
+
+        o = _flash_packed(q, k, v, duration, cfg.head_dim)
+        x = out_proj_residual_q8(o, wo.q, wo.scale, p["attn"]["bo"],
+                                 g1.reshape(-1), x)
+    elif attn == "none":
+        pass
+
+    if mlp == "q8":
+        mods = jnp.concatenate([s2, c2, g2], axis=1)[0][None]
+        x = mlp_block_fused_q8(
+            x, mods, p["ff1"]["w"].q, p["ff1"]["w"].scale, p["ff1"]["b"],
+            p["ff2"]["w"].q, p["ff2"]["w"].scale, p["ff2"]["b"])
+    return x
+
+
 def embed(params, c):
     h = input_embedding(params, c[..., :cfg.n_mels],
                         jnp.concatenate([cond, cond], 0))
@@ -173,15 +206,25 @@ VARIANTS = {
     "input_embedding": (embed, x2),
 }
 
+Q8_VARIANTS = {
+    "full_step_q8": (full_step, noise),
+    "block_q8": (lambda p, c: _block_q8(p, c), x2),
+    "block_q8_attn_only": (lambda p, c: _block_q8(p, c, mlp="none"), x2),
+    "block_q8_mlp_only": (lambda p, c: _block_q8(p, c, attn="none"), x2),
+}
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
     results = {}
     global_params = PARAMS
+    q8_params = None
     for name in names:
-        if name == "full_step_q8":
-            fn, state = full_step, noise
-            PARAMS = _quantize_blocks(global_params)
-            jax.block_until_ready(PARAMS)
+        if name in Q8_VARIANTS:
+            fn, state = Q8_VARIANTS[name]
+            if q8_params is None:
+                q8_params = _quantize_blocks(global_params)
+                jax.block_until_ready(q8_params)
+            PARAMS = q8_params
         else:
             fn, state = VARIANTS[name]
             PARAMS = global_params
