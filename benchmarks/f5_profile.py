@@ -126,8 +126,12 @@ def _block(params, x, *, attn="full", mlp=True, use_ln=True):
     return x
 
 
-def _quantize_blocks(params):
-    """Same DiT-matmul-only int8 policy as F5Pipeline(quantize=8)."""
+def _quantize_blocks(params, attn=True, mlp=True):
+    """Same DiT-matmul-only int8 policy as F5Pipeline(quantize=8).
+    attn/mlp toggles quantize only that sub-module (in-context ablation:
+    _dit_block routes each sub-module to its q8 kernel iff its weights are
+    QTensors, so partially-quantized params time one kernel swap at a time
+    inside the REAL full step)."""
     from tts_tpu.quant.weight_only import quantize_int8
 
     blocks = [
@@ -135,9 +139,12 @@ def _quantize_blocks(params):
             **blk,
             "attn": {**blk["attn"],
                      "wqkv": quantize_int8(blk["attn"]["wqkv"]),
-                     "wo": quantize_int8(blk["attn"]["wo"])},
-            "ff1": {**blk["ff1"], "w": quantize_int8(blk["ff1"]["w"])},
-            "ff2": {**blk["ff2"], "w": quantize_int8(blk["ff2"]["w"])},
+                     "wo": quantize_int8(blk["attn"]["wo"])}
+            if attn else blk["attn"],
+            "ff1": {**blk["ff1"], "w": quantize_int8(blk["ff1"]["w"])}
+            if mlp else blk["ff1"],
+            "ff2": {**blk["ff2"], "w": quantize_int8(blk["ff2"]["w"])}
+            if mlp else blk["ff2"],
         }
         for blk in params["blocks"]
     ]
@@ -177,6 +184,22 @@ def _block_q8(params, x, *, attn="q8", mlp="q8"):
     return x
 
 
+def _full_step_for(cfg_v):
+    """full_step bound to an alternate config (e.g. ff_mult=4): the
+    step-time slope vs ff width is the true in-context MLP matmul cost —
+    structural ablations can't remove the MLP without disturbing the
+    kernel schedule, but widening it only adds matmul work."""
+    def fn(params, carry):
+        pred, pred1 = dit_forward(
+            params, carry.astype(dtype), cond, jnp.zeros_like(cond),
+            params["time_table"][0], params["rope_cos"][:T],
+            params["rope_sin"][:T], cfg_v, kv_len=duration, step_idx=0)
+        upd = (pred + (pred - pred1) * cfg_v.cfg_strength
+               ).astype(jnp.float32)
+        return carry + upd * params["delta_t"][0]
+    return fn
+
+
 def embed(params, c):
     h = input_embedding(params, c[..., :cfg.n_mels],
                         jnp.concatenate([cond, cond], 0))
@@ -207,24 +230,50 @@ VARIANTS = {
 }
 
 Q8_VARIANTS = {
-    "full_step_q8": (full_step, noise),
-    "block_q8": (lambda p, c: _block_q8(p, c), x2),
-    "block_q8_attn_only": (lambda p, c: _block_q8(p, c, mlp="none"), x2),
-    "block_q8_mlp_only": (lambda p, c: _block_q8(p, c, attn="none"), x2),
+    "full_step_q8": (full_step, noise, dict()),
+    "full_step_q8_attn": (full_step, noise, dict(mlp=False)),
+    "full_step_q8_mlp": (full_step, noise, dict(attn=False)),
+    "block_q8": (lambda p, c: _block_q8(p, c), x2, dict()),
+    "block_q8_attn_only": (lambda p, c: _block_q8(p, c, mlp="none"), x2,
+                           dict()),
+    "block_q8_mlp_only": (lambda p, c: _block_q8(p, c, attn="none"), x2,
+                          dict()),
 }
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
     results = {}
     global_params = PARAMS
-    q8_params = None
+    q8_cache = {}
+    ff4_state = {}
     for name in names:
+        import re
+
+        m = re.fullmatch(r"full_step_ff(\d)(_q8)?", name)
+        if m:
+            mult = int(m.group(1))
+            if mult not in ff4_state:
+                import dataclasses
+
+                cfg_m = dataclasses.replace(cfg, ff_mult=mult)
+                p_m = jax.jit(lambda k: init_params(cfg_m, k, dtype))(
+                    jax.random.key(0))
+                jax.block_until_ready(p_m)
+                entry = {"bf16": p_m, "fn": _full_step_for(cfg_m)}
+                entry["q8"] = _quantize_blocks(p_m)
+                jax.block_until_ready(entry["q8"])
+                ff4_state[mult] = entry
+            entry = ff4_state[mult]
+            PARAMS = entry["q8" if m.group(2) else "bf16"]
+            results[name] = measure(name, entry["fn"], noise)
+            continue
         if name in Q8_VARIANTS:
-            fn, state = Q8_VARIANTS[name]
-            if q8_params is None:
-                q8_params = _quantize_blocks(global_params)
-                jax.block_until_ready(q8_params)
-            PARAMS = q8_params
+            fn, state, qkw = Q8_VARIANTS[name]
+            qkey = tuple(sorted(qkw.items()))
+            if qkey not in q8_cache:
+                q8_cache[qkey] = _quantize_blocks(global_params, **qkw)
+                jax.block_until_ready(q8_cache[qkey])
+            PARAMS = q8_cache[qkey]
         else:
             fn, state = VARIANTS[name]
             PARAMS = global_params

@@ -168,12 +168,18 @@ def main():
             return jnp.sum(out.astype(jnp.float32))
 
         float(run(x, n=N1))
-        t0 = time.perf_counter()
-        float(run(x, n=N1))
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(run(x, n=N2))
-        tb = time.perf_counter() - t0
+        float(run(x, n=N2))  # warm BOTH scan lengths before timing
+        # Tunnel round-trip variance is +-2 ms; a single (N2-N1)=48-iter
+        # difference has +-0.04 ms/iter noise.  Best-of-R on each leg.
+        R = 6
+        ta = tb = float("inf")
+        for _ in range(R):
+            t0 = time.perf_counter()
+            float(run(x, n=N1))
+            ta = min(ta, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(run(x, n=N2))
+            tb = min(tb, time.perf_counter() - t0)
         return (tb - ta) / (N2 - N1) * 1e3
 
     results = {}

@@ -79,3 +79,30 @@ def test_flash_packed_out_matches_transpose():
                               block_kv=S, head_block=2, packed_out=True)
     ref = np.asarray(ref).transpose(0, 2, 1, 3).reshape(B, S, H * D)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.parametrize("kv_len", [256, 150])
+def test_flash_flat_matches_rope_chain(kv_len):
+    """flash_attention_flat (flat qkv in, in-kernel RoPE, packed out) ==
+    the existing _rope_qkv_flat -> flash_attention(packed_out) chain.
+    Same fp32 rope math, same per-head dots, same one-pass exp2 softmax —
+    outputs must match to fp32 dot tolerance."""
+    from tts_tpu.models.f5 import _rope_qkv_flat
+    from tts_tpu.ops.flash_attention import flash_attention_flat
+
+    b, h, s, d = 2, 4, 256, 64
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)), jnp.float32)
+    theta = 10000.0 ** (-np.arange(0, d // 2) / (d // 2))
+    ang = np.arange(s)[:, None] * theta[None, :]
+    cos = jnp.asarray(np.tile(np.cos(ang), (1, 2)), jnp.float32)  # (s, d)
+    sin = jnp.asarray(np.tile(np.sin(ang), (1, 2)), jnp.float32)
+
+    q, k, v = _rope_qkv_flat(qkv, cos, sin, h, d)
+    with pltpu.force_tpu_interpret_mode():
+        ref = flash_attention(q, k, v, jnp.int32(kv_len), block_q=128,
+                              block_kv=s, head_block=2, packed_out=True)
+        out = flash_attention_flat(qkv, cos, sin, jnp.int32(kv_len),
+                                   heads=h, block_q=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

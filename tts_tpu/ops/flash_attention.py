@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "flash_attention_flat"]
 
 NEG_INF = -1e30
 
@@ -156,6 +156,140 @@ def _flash_onepass(q, k, v, kv_len, scale: float, block_q: int,
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
     )(q, k, v, bias)
+
+
+def _rot_half(x: jax.Array, d: int) -> jax.Array:
+    """Per-head half-split rotate over a (rows, k*d) tile: within each
+    d-lane head block, [-x[d/2:], x[:d/2]] — static slices + negate +
+    concat (no cross-head wrap; same element math as the XLA flat rope,
+    models/f5._rope_qkv_flat)."""
+    h = d // 2
+    parts = []
+    for base in range(0, x.shape[-1], d):
+        parts.append(-x[:, base + h:base + d])
+        parts.append(x[:, base:base + h])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _kernel_flat(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                 bias_ref, o_ref, kr_ref, *, scale: float, d: int):
+    """Flat-qkv single-pass flash attention with in-prologue RoPE.
+
+    q/k/v tiles are read straight from the (B, T, 3*H*D) qkv matmul output
+    at 128-lane-aligned column offsets (head pairs for d=64), so the
+    producing matmul's natural layout feeds the kernel with NO intermediate
+    XLA rope pass or (B,T,3H,D)->(B,3H,T,D) relayout — that segment cost a
+    full qkv read+write per DiT block. k is roped once per (batch,
+    head-pair) into VMEM scratch at iq==0 and reused across q blocks
+    (grid's last axis is the q-block index, so the scratch persists)."""
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _():
+        kf = k_ref[0].astype(jnp.float32)               # (skv, hb*d)
+        kr = kf * ck_ref[...] + _rot_half(kf, d) * sk_ref[...]
+        kr_ref[...] = kr.astype(kr_ref.dtype)
+
+    qf = q_ref[0].astype(jnp.float32)                   # (bq, hb*d)
+    qr = (qf * cq_ref[...] + _rot_half(qf, d) * sq_ref[...]
+          ).astype(q_ref.dtype)
+    k = kr_ref[...]                                     # (skv, hb*d)
+    v = v_ref[0]                                        # (skv, hb*d)
+    bias = bias_ref[0]                                  # (1, skv)
+
+    outs = []
+    for base in range(0, qr.shape[-1], d):
+        sl = slice(base, base + d)
+        s = jax.lax.dot_general(
+            qr[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (bq, skv)
+        s = jnp.minimum(s * jnp.float32(scale * _LOG2E), 100.0) + bias
+        p = jnp.exp2(s)
+        l = jnp.sum(p, axis=-1, keepdims=True) + 1e-37
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (bq, d)
+        outs.append((o / l).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "block_q",
+                                    "interpret"))
+def flash_attention_flat(qkv: jax.Array, rope_cos: jax.Array,
+                         rope_sin: jax.Array, kv_len=None, *, heads: int,
+                         scale: float = 1.0, block_q: int = 0,
+                         interpret: bool = False) -> jax.Array:
+    """Non-causal flash attention over the FLAT qkv tensor.
+
+    qkv: (B, T, 3*H*D) — the qkv matmul output, q|k|v concatenated on the
+    feature axis, head-major within each. rope_cos/rope_sin: (T, D) fp32
+    half-split tables (rope applied in-kernel to q and k; v passes
+    through). kv_len masks keys >= kv_len. Returns (B, T, H*D) packed
+    attention output, bit-identical to
+    _flash_packed(*_rope_qkv_flat(qkv, ...)) — same fp32 rope math, same
+    per-head MXU dots, same exp2 one-pass softmax.
+
+    Constraints: 128 % D == 0 (head groups of hb = 128//D are one 128-lane
+    column block), H % hb == 0, T % block_q == 0, full-kv single pass
+    (T <= ~4096 so the fp32 score row fits VMEM)."""
+    b, t, n3 = qkv.shape
+    d = rope_cos.shape[-1]
+    hb = 128 // d
+    h = heads
+    assert n3 == 3 * h * d, (qkv.shape, heads, d)
+    assert 128 % d == 0 and h % hb == 0, (d, h)
+    nh = h // hb                                        # 128-lane blocks
+    if kv_len is None:
+        kv_len = jnp.int32(t)
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(-1)
+    bias = jnp.where(jnp.arange(t)[None, :] < kv_len[:, None], -30.0,
+                     NEG_INF).astype(jnp.float32)[:, None, :]
+    bias = jnp.broadcast_to(bias, (b, 1, t))
+
+    reps = 128 // d
+    cos2 = jnp.tile(rope_cos.astype(jnp.float32), (1, reps))   # (T, 128)
+    sin2 = jnp.tile(rope_sin.astype(jnp.float32), (1, reps))
+
+    if not block_q:
+        block_q = 128
+        kv_bytes = 5 * t * 128 * qkv.dtype.itemsize + 2 * t * 128 * 4
+        for cand in range(min(t, 1024), 127, -8):
+            if t % cand == 0 and cand * t * 4 + kv_bytes <= 14 << 20:
+                block_q = cand
+                break
+    assert t % block_q == 0, (t, block_q)
+
+    grid = (b, nh, t // block_q)
+    kernel = functools.partial(_kernel_flat, scale=scale, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda ib, ih, iq: (ib, iq, ih)),
+            pl.BlockSpec((1, t, 128),
+                         lambda ib, ih, iq, _nh=nh: (ib, 0, _nh + ih)),
+            pl.BlockSpec((1, t, 128),
+                         lambda ib, ih, iq, _nh=nh: (ib, 0, 2 * _nh + ih)),
+            pl.BlockSpec((block_q, 128), lambda ib, ih, iq: (iq, 0)),
+            pl.BlockSpec((block_q, 128), lambda ib, ih, iq: (iq, 0)),
+            pl.BlockSpec((t, 128), lambda ib, ih, iq: (0, 0)),
+            pl.BlockSpec((t, 128), lambda ib, ih, iq: (0, 0)),
+            pl.BlockSpec((1, 1, t), lambda ib, ih, iq: (ib, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128),
+                               lambda ib, ih, iq: (ib, iq, ih)),
+        out_shape=jax.ShapeDtypeStruct((b, t, h * d), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t, 128), qkv.dtype),            # roped k
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, cos2, sin2, cos2, sin2, bias)
 
 
 @functools.partial(jax.jit,
