@@ -2,11 +2,22 @@
 """Ablation profile of the W8A8 fused kernels (ops/dit_mlp.mlp_block_fused_q8,
 ops/quant_matmul.ln_qkv_q8) at the F5 bench shape (T=1408, batch-2 CFG).
 
-The measured q8 MLP time (~0.23 ms/block) is ~3x its int8 matmul floor
-(~0.074 ms); this script times kernel variants with individual epilogue
-pieces removed (LN, quantize, gelu, rescale) to find where the non-matmul
-time goes. Each variant is a full pallas_call copy — ablations inside one
-kernel keep Mosaic's real scheduling context.
+This script times kernel variants with individual epilogue pieces removed
+(LN, quantize, gelu, rescale) to find where the non-matmul time goes. Each
+variant is a full pallas_call copy — ablations inside one kernel keep
+Mosaic's real scheduling context.
+
+MEASURED (TPU v5e, 2026-08-20, 256-iter scan diff, best-of-6):
+  full       0.0775 ms/iter   (tanh_f32 gelu)
+  no_gelu    0.0792 ms/iter   (within noise of full — the gelu is FREE:
+             Mosaic overlaps the VPU epilogue with the int8 MXU dots)
+  gelu_sig   0.0924 ms/iter   (x*sigmoid(1.702x) approx is SLOWER, and
+             changes outputs — do not ship)
+  dots_only  ~0.073 ms/iter   (int8 matmul floor at this shape)
+Conclusion: the fused W8A8 MLP kernel runs within ~6% of its int8 dot
+floor; the whole LN+quant+gelu+rescale epilogue is hidden behind the MXU.
+An earlier ~0.23 ms/block reading was compile-time contamination. No
+epilogue lever remains here.
 
 Run: python benchmarks/q8_kernel_profile.py [variant ...]
 """
@@ -25,11 +36,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tts_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 T = 1408
 B = 2
 D = 1024
 F = 2048
-N1, N2 = 16, 64
+N1, N2 = 32, 288  # 256-iter diff: tunnel +-2 ms => ~0.008 ms/iter noise
 
 
 INTERPRET = os.environ.get("Q8_PROFILE_INTERPRET", "") == "1"
@@ -100,6 +115,17 @@ def _body(x_ref, mods_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                         approximate=True).astype(jnp.float32)
     elif gelu == "relu":   # isolates the tanh/exp transcendental cost
         h = jnp.maximum(h, 0.0)
+    elif gelu == "sig":    # x*sigmoid(1.702x): the cheap gelu approx
+        h = h * jax.nn.sigmoid(1.702 * h)
+    elif gelu == "sig_exp2":   # same, explicit exp2 form
+        h = h / (1.0 + jnp.exp2(jnp.float32(-1.702 * 1.4426950408889634)
+                                * h))
+    elif gelu == "tanh_exp2":  # exact tanh-gelu, tanh rewritten via exp2:
+        # tanh(y) = 1 - 2/(exp2(2*log2e*y)+1)
+        c = 0.7978845608028654
+        u = c * (h + 0.044715 * h * h * h)
+        t = jnp.exp2(jnp.float32(2 * 1.4426950408889634) * u)
+        h = 0.5 * h * (2.0 - 2.0 / (t + 1.0))
     # else: none
 
     if quant == "dynamic":
@@ -154,6 +180,11 @@ def main():
         "gelu_bf16": dict(ln="two_pass", quant="dynamic", gelu="tanh_bf16"),
         "gelu_relu": dict(ln="two_pass", quant="dynamic", gelu="relu"),
         "no_gelu": dict(ln="two_pass", quant="dynamic", gelu="none"),
+        "gelu_sig": dict(ln="two_pass", quant="dynamic", gelu="sig"),
+        "gelu_sig_exp2": dict(ln="two_pass", quant="dynamic",
+                              gelu="sig_exp2"),
+        "gelu_tanh_exp2": dict(ln="two_pass", quant="dynamic",
+                               gelu="tanh_exp2"),
         "lean": dict(ln="one_pass", quant="dynamic", gelu="tanh_bf16"),
     }
     names = sys.argv[1:] or (list(variants) + ["dots_only"])

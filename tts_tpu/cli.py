@@ -776,8 +776,10 @@ def main(argv=None) -> int:
                          "behind a least-loaded router (--continuous "
                          "only; zero collectives)")
     sv.add_argument("--warmup", action="store_true",
-                    help="synthesize one padded request before binding "
-                         "the port (compile at startup, not first call)")
+                    help="compile serving programs before binding the "
+                         "port (every MicroBatcher ladder size, or the "
+                         "slot batch under --continuous), so the first "
+                         "live request pays no compile")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8700)
     sv.set_defaults(fn=cmd_serve)
