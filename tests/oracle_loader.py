@@ -100,11 +100,12 @@ def load_alias_free_chain():
 
 
 def load_stft_process(family: str = "F5_TTS"):
-    """Load <family>/STFT_Process.py (onnxruntime stubbed: only the
-    export main() touches it)."""
-    return load_ref_module(f"{family}/STFT_Process.py",
-                           f"ref_stft_{family.lower()}",
-                           shims={"onnxruntime": stub("onnxruntime")})
+    """Load <family>/STFT_Process.py (onnxruntime/onnxslim stubbed: only
+    the export main() touches them)."""
+    return load_ref_module(
+        f"{family}/STFT_Process.py", f"ref_stft_{family.lower()}",
+        shims={"onnxruntime": stub("onnxruntime"),
+               "onnxslim": stub("onnxslim", slim=lambda *a, **k: None)})
 
 
 def snake_stub():
@@ -259,6 +260,67 @@ def load_qwen_tokenizer_v2():
                "refqwenpkg.configuration_qwen3_tts_tokenizer_v2": cfg_mod})
 
 
+def load_qwen3_tts():
+    """Load Qwen_TTS/modeling_modified/modeling_qwen3_tts.py (talker /
+    code-predictor decoder layers, M-RoPE, speaker encoder) under a
+    synthetic package so its relative imports resolve:
+    `.configuration_qwen3_tts` -> config stand-ins (the repo ships no
+    config file; the subclass carries exactly the attributes the modeling
+    code reads), `...inference.qwen3_tts_tokenizer` -> inert stub.
+    transformers (masking_utils, rope utils, ACT2FN, ...) is the real
+    in-env package. Exposes the stand-in config class as `mod.StubConfig`."""
+    name = "refq3.sub.modeling_modified.modeling_qwen3_tts"
+    if name in _loaded:
+        return _loaded[name]
+    from transformers import PretrainedConfig
+
+    class StubConfig(PretrainedConfig):
+        def __init__(self, **kw):
+            for k, v in kw.items():
+                setattr(self, k, v)
+            super().__init__()
+
+    cfg_mod = stub("refq3.sub.modeling_modified.configuration_qwen3_tts",
+                   Qwen3TTSConfig=StubConfig,
+                   Qwen3TTSSpeakerEncoderConfig=StubConfig,
+                   Qwen3TTSTalkerCodePredictorConfig=StubConfig,
+                   Qwen3TTSTalkerConfig=StubConfig)
+    tok_mod = stub("refq3.inference.qwen3_tts_tokenizer",
+                   Qwen3TTSTokenizer=object)
+    inference_pkg = stub("refq3.inference", qwen3_tts_tokenizer=tok_mod)
+    root = stub("refq3", inference=inference_pkg)
+    root.__path__ = []
+    sub = stub("refq3.sub")
+    sub.__path__ = []
+    mm = stub("refq3.sub.modeling_modified",
+              configuration_qwen3_tts=cfg_mod)
+    mm.__path__ = []
+    lib_filters = stub("librosa.filters", mel=lambda **kw: None)
+    shims = {
+        "refq3": root, "refq3.inference": inference_pkg,
+        "refq3.inference.qwen3_tts_tokenizer": tok_mod,
+        "refq3.sub": sub, "refq3.sub.modeling_modified": mm,
+        "refq3.sub.modeling_modified.configuration_qwen3_tts": cfg_mod,
+        "librosa": stub("librosa", filters=lib_filters),
+        "librosa.filters": lib_filters,
+    }
+    mod = load_ref_module(
+        "Qwen_TTS/modeling_modified/modeling_qwen3_tts.py", name,
+        shims=shims)
+    mod.StubConfig = StubConfig
+    return mod
+
+
+def load_ref_mimi():
+    """Load Qwen_TTS/modeling_modified/modeling_mimi.py. The file is a
+    patched copy meant to sit inside transformers/models/mimi/, so
+    loading it under that package name makes its relative imports
+    (`...activations`, `.configuration_mimi`, ...) resolve against the
+    REAL in-env transformers — no shims at all."""
+    return load_ref_module("Qwen_TTS/modeling_modified/modeling_mimi.py",
+                           "transformers.models.mimi.ref_modeling_mimi")
+
+
 def extract_export_class(relpath: str, class_name: str,
                          extra_globals: dict | None = None):
     """Compile ONE class from a reference export script (scripts run
@@ -351,3 +413,29 @@ def load_vocos_modules():
         "F5_TTS/modeling_modified/vocos/models.py", "ref_vocos_models",
         shims={"vocos": vocos_pkg, "vocos.modules": modules})
     return modules, models
+
+
+def load_vocos_heads():
+    """F5_TTS/modeling_modified/vocos/heads.py. The modified ISTFTHead
+    never calls its self.istft (it RETURNS (mag, phase) for the external
+    custom ISTFT, heads.py:55-59), so vocos.spectral_ops is stubbed with
+    inert constructors; torchaudio's mel helpers are only touched by the
+    IMDCT heads the F5 path never builds."""
+    modules, _models = load_vocos_modules()
+
+    class _Inert:
+        def __init__(self, *a, **k):
+            pass
+
+    spectral = stub("vocos.spectral_ops", IMDCT=_Inert, ISTFT=_Inert)
+    vocos_pkg = stub("vocos", modules=modules, spectral_ops=spectral)
+    ta_fn_fn = stub("torchaudio.functional.functional",
+                    _hz_to_mel=lambda f: f, _mel_to_hz=lambda m: m)
+    ta_fn = stub("torchaudio.functional", functional=ta_fn_fn)
+    ta = stub("torchaudio", functional=ta_fn)
+    return load_ref_module(
+        "F5_TTS/modeling_modified/vocos/heads.py", "ref_vocos_heads",
+        shims={"vocos": vocos_pkg, "vocos.modules": modules,
+               "vocos.spectral_ops": spectral, "torchaudio": ta,
+               "torchaudio.functional": ta_fn,
+               "torchaudio.functional.functional": ta_fn_fn})

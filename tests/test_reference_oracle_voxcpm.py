@@ -1,0 +1,380 @@
+"""Reference-code oracles for the VoxCPM cores (VERDICT r4 item 2): the
+export wrappers VOXCPM_MAIN (dual-LM step: base LM -> FSQ bottleneck ->
+residual LM -> fused dit/stop heads, VoxCPM/v1.5/Export_VoxCPM_ONNX.py
+:325-520) and VOXCPM_FEAT_DECODER (the full unrolled CFM loop with
+st_star-rescaled CFG, :528-672) executed in torch with shared random
+weights, vs models/voxcpm.voxcpm_main_step / cfm_feat_decoder through
+weights/voxcpm_loader.load_voxcpm (a real temp-dir checkpoint, so the
+full loader path — norm folds, q/k d^-0.25 scale, gate/up fuse,
+dit+stop fuse, res_norm -> res_to_dit fold, CFM time tables — is what
+produces the params).
+
+The upstream voxcpm module tree (core.py's `.model.voxcpm` import) is
+not in the reference repo; the test builds parameter CONTAINERS with
+the upstream attribute/key names (MiniCPM-style llama layers,
+fsq_layer.in_proj/out_proj, lm_to_dit_proj/stop_proj/res_to_dit_proj/
+stop_head, feat_decoder.estimator.{decoder,in_proj,out_proj,time_mlp,
+delta_time_mlp,rope_emb}). All transformer/CFM MATH executed on the
+reference side is the export wrappers' own forward; container forwards
+invoked are standard torch Linear plus three documented stand-ins
+(llama RMSNorm, the FSQ round-to-grid, the sinusoidal time embedding)
+that mirror formulas already pinned by the loaders' goldens.
+
+mean_mode: the containers set feat_decoder.mean_mode=False — the
+delta_time_mlp(time_embeddings(0)) branch the loader implements
+(_cfm_tables); the mean_mode=True per-step-dt branch is not implemented
+in tts_tpu (documented limitation).
+"""
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+torch = pytest.importorskip("torch")
+
+from oracle_loader import extract_export_class, load_voxcpm_audio_vae  # noqa: E402
+
+from tts_tpu.models.voxcpm import (  # noqa: E402
+    LlamaStackConfig,
+    VaeConfig,
+    VoxCPMConfig,
+)
+
+BASE = LlamaStackConfig(hidden_size=32, num_heads=4, num_kv_heads=2,
+                        head_dim=8, ffn_dim=64, num_layers=2,
+                        max_seq_len=32)
+RES = LlamaStackConfig(hidden_size=32, num_heads=4, num_kv_heads=2,
+                       head_dim=8, ffn_dim=64, num_layers=1,
+                       max_seq_len=32)
+FE = LlamaStackConfig(hidden_size=16, num_heads=2, num_kv_heads=2,
+                      head_dim=8, ffn_dim=32, num_layers=1, max_seq_len=8)
+EST = LlamaStackConfig(hidden_size=24, num_heads=4, num_kv_heads=2,
+                       head_dim=6, ffn_dim=48, num_layers=2,
+                       max_seq_len=16)
+VCFG = VoxCPMConfig(base=BASE, residual=RES, feat_encoder=FE,
+                    estimator=EST,
+                    vae=VaeConfig(d_model=8, latent_dim=6, strides=(2, 4),
+                                  decoder_channels=16, depthwise=True,
+                                  use_noise_block=False),
+                    patch_size=4, fsq_dim=5, fsq_levels=9, vocab_size=50,
+                    cfm_steps=4, cfg_value=2.0, stop_act="tanh",
+                    sample_rate=16000, chunk_size=8)
+STOP_INTER = 10
+
+
+class _Holder(torch.nn.Module):
+    pass
+
+
+class _RMSNormW(torch.nn.Module):
+    """llama RMSNorm (weighted) — formula stand-in, see module doc."""
+
+    def __init__(self, n, eps=1e-5):
+        super().__init__()
+        self.weight = torch.nn.Parameter(torch.ones(n))
+        self.eps = eps
+
+    def forward(self, x):
+        v = x.float().pow(2).mean(-1, keepdim=True)
+        return self.weight * (x.float() * torch.rsqrt(v + self.eps))
+
+
+def _llama_layer(cfg):
+    attn = _Holder()
+    attn.q_proj = torch.nn.Linear(cfg.hidden_size,
+                                  cfg.num_heads * cfg.head_dim, bias=False)
+    attn.k_proj = torch.nn.Linear(cfg.hidden_size,
+                                  cfg.num_kv_heads * cfg.head_dim,
+                                  bias=False)
+    attn.v_proj = torch.nn.Linear(cfg.hidden_size,
+                                  cfg.num_kv_heads * cfg.head_dim,
+                                  bias=False)
+    attn.o_proj = torch.nn.Linear(cfg.num_heads * cfg.head_dim,
+                                  cfg.hidden_size, bias=False)
+    attn.head_dim = cfg.head_dim
+    attn.num_heads = cfg.num_heads
+    attn.num_key_value_heads = cfg.num_kv_heads
+    attn.num_key_value_groups = cfg.num_heads // cfg.num_kv_heads
+    mlp = _Holder()
+    mlp.gate_proj = torch.nn.Linear(cfg.hidden_size, cfg.ffn_dim,
+                                    bias=False)
+    mlp.up_proj = torch.nn.Linear(cfg.hidden_size, cfg.ffn_dim, bias=False)
+    mlp.down_proj = torch.nn.Linear(cfg.ffn_dim, cfg.hidden_size,
+                                    bias=False)
+    mlp.act_fn = torch.nn.SiLU()
+    layer = _Holder()
+    layer.self_attn = attn
+    layer.mlp = mlp
+    layer.input_layernorm = _RMSNormW(cfg.hidden_size)
+    layer.post_attention_layernorm = _RMSNormW(cfg.hidden_size)
+    return layer
+
+
+def _lm(cfg, with_embed=False, vocab=50):
+    lm = _Holder()
+    lm.layers = torch.nn.ModuleList(
+        [_llama_layer(cfg) for _ in range(cfg.num_layers)])
+    lm.norm = _RMSNormW(cfg.hidden_size, cfg.rms_eps)
+    if with_embed:
+        lm.embed_tokens = torch.nn.Embedding(vocab, cfg.hidden_size)
+    lm.config = SimpleNamespace(rms_norm_eps=cfg.rms_eps,
+                                hidden_size=cfg.hidden_size,
+                                num_hidden_layers=cfg.num_layers)
+    return lm
+
+
+class _FSQ(torch.nn.Module):
+    """FSQ bottleneck — formula stand-in (models/voxcpm.fsq_layer)."""
+
+    def __init__(self, h, d, levels):
+        super().__init__()
+        self.in_proj = torch.nn.Linear(h, d)
+        self.out_proj = torch.nn.Linear(d, h)
+        self.half = (levels - 1) / 2.0
+
+    def forward(self, x):
+        z = torch.round(torch.tanh(self.in_proj(x)) * self.half) / self.half
+        return self.out_proj(z)
+
+
+class _TimeEmb(torch.nn.Module):
+    """Sinusoidal time embedding — formula stand-in
+    (voxcpm_loader._sinusoidal_time_embed)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.dim = dim
+
+    def forward(self, t):
+        half = self.dim // 2
+        emb = np.log(10000.0) / (half - 1)
+        emb = torch.exp(torch.arange(half, dtype=torch.float32) * -emb)
+        emb = 1000.0 * t.reshape(-1, 1).float() * emb[None, :]
+        return torch.cat([emb.sin(), emb.cos()], dim=-1)
+
+
+class _RopeEmb(torch.nn.Module):
+    def __init__(self, dim, base):
+        super().__init__()
+        self.dim = dim
+        inv = 1.0 / (base ** (torch.arange(0, dim, 2).float() / dim))
+        self.register_buffer("inv_freq", inv)
+
+    def forward(self, pos):
+        freqs = torch.outer(pos.float(), self.inv_freq)
+        emb = torch.cat([freqs, freqs], dim=-1)
+        return emb.cos(), emb.sin()
+
+
+def _tiny_voxcpm(seed=0):
+    torch.manual_seed(seed)
+    vox = _Holder()
+    vox.base_lm = _lm(BASE, with_embed=True, vocab=VCFG.vocab_size)
+    vox.residual_lm = _lm(RES)
+    vox.fsq_layer = _FSQ(BASE.hidden_size, VCFG.fsq_dim, VCFG.fsq_levels)
+    vox.lm_to_dit_proj = torch.nn.Linear(BASE.hidden_size, EST.hidden_size,
+                                         bias=False)
+    vox.stop_proj = torch.nn.Linear(BASE.hidden_size, STOP_INTER,
+                                    bias=False)
+    vox.res_to_dit_proj = torch.nn.Linear(RES.hidden_size, EST.hidden_size,
+                                          bias=False)
+    vox.stop_head = torch.nn.Linear(STOP_INTER, 2, bias=False)
+    vox.stop_actn = torch.nn.Tanh()
+    vox.patch_size = VCFG.patch_size
+
+    est = _Holder()
+    dec = _Holder()
+    dec.layers = torch.nn.ModuleList(
+        [_llama_layer(EST) for _ in range(EST.num_layers)])
+    dec.norm = _RMSNormW(EST.hidden_size, EST.rms_eps)
+    dec.rope_emb = _RopeEmb(EST.head_dim, EST.rope_base)
+    est.decoder = dec
+    est.in_proj = torch.nn.Linear(VCFG.vae.latent_dim, EST.hidden_size)
+    est.out_proj = torch.nn.Linear(EST.hidden_size, VCFG.vae.latent_dim,
+                                   bias=False)
+    est.cond_proj = torch.nn.Linear(VCFG.vae.latent_dim, EST.hidden_size)
+    est.time_mlp = torch.nn.Sequential(
+        torch.nn.Linear(EST.hidden_size, EST.hidden_size), torch.nn.SiLU(),
+        torch.nn.Linear(EST.hidden_size, EST.hidden_size))
+    est.delta_time_mlp = torch.nn.Sequential(
+        torch.nn.Linear(EST.hidden_size, EST.hidden_size), torch.nn.SiLU(),
+        torch.nn.Linear(EST.hidden_size, EST.hidden_size))
+    est.time_embeddings = _TimeEmb(EST.hidden_size)
+    est.config = SimpleNamespace(rms_norm_eps=EST.rms_eps,
+                                 hidden_size=EST.hidden_size)
+    fd = _Holder()
+    fd.estimator = est
+    fd.in_channels = VCFG.vae.latent_dim
+    fd.mean_mode = False
+    vox.feat_decoder = fd
+
+    fe = _Holder()
+    fe.encoder = _lm(FE)
+    fe.in_proj = torch.nn.Linear(VCFG.vae.latent_dim, FE.hidden_size)
+    fe.special_token = torch.nn.Parameter(torch.zeros(FE.hidden_size))
+    vox.feat_encoder = fe
+    vox.enc_to_lm_proj = torch.nn.Linear(FE.hidden_size, BASE.hidden_size,
+                                         bias=False)
+
+    with torch.no_grad():
+        for n, p in vox.named_parameters():
+            if "norm" in n:
+                p.copy_(1.0 + 0.2 * torch.randn_like(p))
+            else:
+                p.normal_(0, 0.1)
+    return vox
+
+
+def _checkpoint_dir(vox, tmp_path):
+    """Write the containers + a tiny reference AudioVAE as a
+    pytorch_model.bin with the upstream key names load_voxcpm expects."""
+    av = load_voxcpm_audio_vae()
+    vcfg = av.AudioVAEConfig(
+        encoder_dim=8, encoder_rates=[2, 4], latent_dim=6,
+        decoder_dim=16, decoder_rates=[4, 2], depthwise=True,
+        sample_rate=16000, use_noise_block=False)
+    torch.manual_seed(9)
+    vae = av.AudioVAE(vcfg).eval()
+    with torch.no_grad():
+        for name, p in vae.named_parameters():
+            if name.endswith(".alpha"):
+                p.copy_(torch.rand_like(p) * 1.5 + 0.25)
+    vae.load_state_dict(vae.state_dict())
+
+    sd = {}
+    for k, v in vox.state_dict().items():
+        sd[k] = v.detach().clone()
+    for k, v in vae.state_dict().items():
+        sd[f"audio_vae.{k}"] = v.detach().clone()
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    torch.save(sd, d / "pytorch_model.bin")
+    return str(d)
+
+
+def _rope_inputs(base_cfg, start, s):
+    """The preprocess-graph rope slices VOXCPM_MAIN takes: cos (S,1,1,D)
+    duplicated-halves, sin with the flip-trick [-sin, sin] halves."""
+    inv = 1.0 / (base_cfg.rope_base ** (
+        np.arange(0, base_cfg.head_dim, 2) / base_cfg.head_dim))
+    pos = np.arange(start, start + s, dtype=np.float64)
+    f = np.outer(pos, inv)
+    cos = np.concatenate([np.cos(f), np.cos(f)], -1).astype(np.float32)
+    sin = np.concatenate([-np.sin(f), np.sin(f)], -1).astype(np.float32)
+    return (torch.from_numpy(cos).view(s, 1, 1, -1),
+            torch.from_numpy(sin).view(s, 1, 1, -1))
+
+
+def test_voxcpm_main_step_oracle(tmp_path):
+    """VOXCPM_MAIN prefill + one decode step vs voxcpm_main_step."""
+    from tts_tpu.kv.cache import KVCache
+    from tts_tpu.models.voxcpm import voxcpm_main_step
+    from tts_tpu.weights.voxcpm_loader import load_voxcpm
+
+    vox = _tiny_voxcpm()
+    ckpt = _checkpoint_dir(vox, tmp_path)
+    params, _vae_params, _ = load_voxcpm(ckpt, VCFG, jnp.float32)
+
+    VOXCPM_MAIN = extract_export_class(
+        "VoxCPM/v1.5/Export_VoxCPM_ONNX.py", "VOXCPM_MAIN",
+        extra_globals={"PREVENT_F16_OVERFLOW": False, "USE_F16_KV": False})
+    ref = VOXCPM_MAIN(vox, max_seq_len=BASE.max_seq_len)
+
+    rng = np.random.default_rng(1)
+    s, ctl = 7, 4
+    hidden0 = rng.standard_normal((1, s, BASE.hidden_size)
+                                  ).astype(np.float32) * 0.5
+    feat0 = rng.standard_normal((1, s - ctl, BASE.hidden_size)
+                                ).astype(np.float32) * 0.5
+    hidden1 = rng.standard_normal((1, 1, BASE.hidden_size)
+                                  ).astype(np.float32) * 0.5
+    feat1 = rng.standard_normal((1, 1, BASE.hidden_size)
+                                ).astype(np.float32) * 0.5
+
+    L = BASE.num_layers + RES.num_layers
+    kvh, hd = BASE.num_kv_heads, BASE.head_dim
+    mask0 = torch.zeros((s, s))
+    mask0.masked_fill_(torch.triu(torch.ones(s, s, dtype=torch.bool), 1),
+                       float("-inf"))
+    with torch.no_grad():
+        keys = [torch.zeros((kvh, 1, hd, 0)) for _ in range(L)]
+        vals = [torch.zeros((kvh, 1, 0, hd)) for _ in range(L)]
+        cos, sin = _rope_inputs(BASE, 0, s)
+        out = ref(*keys, *vals, torch.from_numpy(feat0.copy()),
+                  torch.tensor(ctl), torch.from_numpy(hidden0.copy()),
+                  cos, sin, mask0)
+        keys, vals = list(out[:L]), list(out[L:2 * L])
+        dit_ref0 = out[-2].numpy()
+        stop_ref0 = int(out[-1])
+        cos, sin = _rope_inputs(BASE, s, 1)
+        # decode: the whole concat re-runs? No — VOXCPM_MAIN decode feeds
+        # ONE new audio position; concat_text_len=0 marks it audio
+        out = ref(*keys, *vals, torch.from_numpy(feat1.copy()),
+                  torch.tensor(0), torch.from_numpy(hidden1.copy()),
+                  cos, sin, torch.zeros((1, s + 1)))
+        dit_ref1 = out[-2].numpy()
+        stop_ref1 = int(out[-1])
+
+    base_kv = KVCache.create(BASE.num_layers, 1, kvh, BASE.max_seq_len, hd,
+                             jnp.float32)
+    res_kv = KVCache.create(RES.num_layers, 1, kvh, BASE.max_seq_len, hd,
+                            jnp.float32)
+    femb0 = np.zeros((1, s, BASE.hidden_size), np.float32)
+    femb0[:, ctl:] = feat0
+    dit0, stop0, base_kv, res_kv = voxcpm_main_step(
+        params, jnp.asarray(hidden0), jnp.asarray(femb0), ctl, base_kv,
+        res_kv, VCFG)
+    dit1, stop1, base_kv, res_kv = voxcpm_main_step(
+        params, jnp.asarray(hidden1), jnp.asarray(feat1), 0, base_kv,
+        res_kv, VCFG)
+    np.testing.assert_allclose(np.asarray(dit0), dit_ref0,
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dit1), dit_ref1,
+                               atol=2e-5, rtol=2e-4)
+    assert int(stop0) == stop_ref0
+    assert int(stop1) == stop_ref1
+
+
+def test_voxcpm_cfm_decoder_oracle(tmp_path):
+    """VOXCPM_FEAT_DECODER's full unrolled CFM loop (sway schedule +
+    time/delta-time tables computed by the reference's own init, batch-2
+    CFG rows, st_star guidance rescale) vs cfm_feat_decoder's lax.scan,
+    matched noise."""
+    from tts_tpu.models.voxcpm import cfm_feat_decoder
+    from tts_tpu.weights.voxcpm_loader import load_voxcpm
+
+    vox = _tiny_voxcpm(seed=3)
+    ckpt = _checkpoint_dir(vox, tmp_path)
+    params, _vae_params, _ = load_voxcpm(ckpt, VCFG, jnp.float32)
+
+    VOXCPM_FEAT_DECODER = extract_export_class(
+        "VoxCPM/v1.5/Export_VoxCPM_ONNX.py", "VOXCPM_FEAT_DECODER",
+        extra_globals={"PREVENT_F16_OVERFLOW": False})
+    ref = VOXCPM_FEAT_DECODER(vox, fixed_timesteps=VCFG.cfm_steps)
+
+    rng = np.random.default_rng(4)
+    noise = rng.standard_normal(
+        (1, VCFG.patch_size, VCFG.vae.latent_dim)).astype(np.float32)
+    dit_hidden = rng.standard_normal(
+        (1, 1, EST.hidden_size)).astype(np.float32) * 0.5
+    feat_cond = rng.standard_normal(
+        (2, VCFG.patch_size, EST.hidden_size)).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(noise.copy()),
+                      torch.from_numpy(dit_hidden.copy()),
+                      torch.from_numpy(feat_cond.copy()),
+                      torch.tensor([VCFG.cfg_value]),
+                      torch.tensor([1.0 - VCFG.cfg_value])).numpy()
+
+    out = cfm_feat_decoder(params, jnp.asarray(noise),
+                           jnp.asarray(dit_hidden),
+                           jnp.asarray(feat_cond), VCFG)
+    np.testing.assert_allclose(np.asarray(out), out_ref,
+                               atol=5e-5, rtol=5e-4)

@@ -98,9 +98,16 @@ class MelSpectrogram:
         mel_scale: str = "htk",
         norm: str | None = None,
         pad_mode: str = "reflect",
+        log_mode: str = "clamp",
     ):
         self.stft = StftKernel(n_fft, hop, win_length or n_fft, window_type)
         self.pad_mode = pad_mode
+        # "clamp": log(max(mel, 1e-5)) — the F5/BigVGAN convention
+        # (Export_F5.py:125); "add": log(mel + 1e-5) — the Qwen speaker
+        # mel convention (Export_Qwen_TTS_ONNX.py:588)
+        if log_mode not in ("clamp", "add"):
+            raise ValueError(f"log_mode must be 'clamp' or 'add': {log_mode}")
+        self.log_mode = log_mode
         self.fbank = mel_filterbank(
             n_fft // 2 + 1, f_min, f_max or sample_rate / 2.0, n_mels,
             sample_rate, norm, mel_scale,
@@ -112,4 +119,6 @@ class MelSpectrogram:
         mel = jnp.matmul(
             jnp.swapaxes(mag, -1, -2), jnp.asarray(self.fbank), precision="highest"
         )  # (..., T, M)
+        if self.log_mode == "add":
+            return jnp.log(mel + 1e-5)
         return jnp.log(jnp.clip(mel, min=1e-5))

@@ -216,7 +216,11 @@ def text_embedding(params, text_ids: jax.Array, seq_len: int, cfg: F5Config):
 
     pos = params["text_freqs_cis"][:seq_len][None]                  # (1, T, D)
     emb = jnp.where(mask, 0.0, emb + pos)
-    drop = drop + pos
+    # the drop row is ALSO masked at filler positions before the first conv
+    # block (dit.py:69) — the 7-wide dwconv bleeds filler columns into the
+    # last valid positions otherwise (caught by the DiT reference-code
+    # oracle, tests/test_reference_oracle_f5.py)
+    drop = jnp.where(mask, 0.0, drop + pos)
     # cond and drop rows ride one batch-2B pass through the conv stack — the
     # blocks are batch-parallel, so this is exactly the two-call result at
     # half the cost

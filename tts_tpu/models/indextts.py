@@ -204,21 +204,31 @@ def _bn(x, p):
     return x * p["scale"] + p["shift"]
 
 
-def _tdnn(p, x, dilation: int = 1):
-    """Conv1d(k, dilation, same-pad) -> ReLU -> BN. x: (1, T, C)."""
+def _tdnn(p, x, dilation: int = 1, reflect_pad: bool = False):
+    """Conv1d(k, dilation, same-pad) -> ReLU [-> BN]. x: (1, T, C).
+
+    Two checkpoint families share this block: the speechbrain ECAPA
+    (IndexTTS, Export_IndexTTS.py:165-176 — zero pad + BatchNorm, `p` has
+    a "bn" entry) and the Qwen3-TTS speaker encoder
+    (modeling_qwen3_tts.py:227-248 — padding_mode='reflect', NO BatchNorm,
+    `p` has no "bn")."""
     k = p["conv"]["w"].shape[0]
     pad = (k - 1) * dilation // 2
+    if reflect_pad and pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        pad = 0
     x = conv1d(x, p["conv"]["w"], p["conv"]["b"], padding=pad, dilation=dilation)
-    return _bn(jax.nn.relu(x), p["bn"])
+    x = jax.nn.relu(x)
+    return _bn(x, p["bn"]) if "bn" in p else x
 
 
-def _res2net(p, x, scale: int, dilation: int):
+def _res2net(p, x, scale: int, dilation: int, reflect_pad: bool = False):
     chunks = jnp.split(x, scale, axis=-1)
     outs = [chunks[0]]
     y = None
     for i in range(1, scale):
         inp = chunks[i] if y is None else chunks[i] + y
-        y = _tdnn(p["blocks"][i - 1], inp, dilation)
+        y = _tdnn(p["blocks"][i - 1], inp, dilation, reflect_pad)
         outs.append(y)
     return jnp.concatenate(outs, axis=-1)
 
@@ -230,45 +240,58 @@ def _se_block(p, x):
     return x * s
 
 
-def _stats(x, w):
-    """Weighted mean/std over time (Export_IndexTTS.py:61-64).
+def _stats(x, w, clip: float | None = 1e-6):
+    """Weighted mean/std over time (Export_IndexTTS.py:61-64;
+    modeling_qwen3_tts.py:212-216 takes the sqrt unclipped).
     x: (1, T, C), w: (1, T, 1) or scalar."""
     mean = jnp.sum(w * x, axis=1, keepdims=True)
     var = jnp.sum(w * (x - mean) ** 2, axis=1, keepdims=True)
-    return mean, jnp.sqrt(jnp.clip(var, min=1e-6))
+    return mean, jnp.sqrt(var if clip is None else jnp.clip(var, min=clip))
 
 
-def ecapa_speaker_encoder(params, mel: jax.Array, cfg: IndexTTSConfig
-                          ) -> jax.Array:
+def ecapa_speaker_encoder(params, mel: jax.Array, cfg: IndexTTSConfig,
+                          *, reflect_pad: bool = False,
+                          std_clip: float | None = 1e-6) -> jax.Array:
     """mel (1, T, n_mels) -> speaker embedding (1, 1, speaker_embed_dim)
-    (Export_IndexTTS.py:178-195)."""
+    (Export_IndexTTS.py:178-195).
+
+    Serves both ECAPA checkpoint families: the speechbrain layout
+    (IndexTTS — BatchNorm after every TDNN ReLU, zero 'same' padding,
+    clipped pooling std, trailing asp_bn) and the Qwen3-TTS speaker
+    encoder (modeling_qwen3_tts.py:291-371 — no BatchNorm anywhere,
+    reflect 'same' padding, unclipped std). The variant is carried by
+    the params (loaders omit "bn"/"asp_bn" entries for Qwen) plus the
+    reflect_pad/std_clip switches; oracled against the reference's own
+    module in tests/test_reference_oracle_qwen.py."""
     t = mel.shape[1]
-    x = _tdnn(params["block0"], mel, dilation=1)
+    x = _tdnn(params["block0"], mel, dilation=1, reflect_pad=reflect_pad)
     feats = []
     # SERes2Net stage dilations are fixed (2, 3, 4) — static, not params
     for blk, dilation in zip(params["se_blocks"], (2, 3, 4)):
         res = x
-        h = _tdnn(blk["tdnn1"], x)
-        h = _res2net(blk["res2net"], h, cfg.res2net_scale, dilation)
-        h = _tdnn(blk["tdnn2"], h)
+        h = _tdnn(blk["tdnn1"], x, reflect_pad=reflect_pad)
+        h = _res2net(blk["res2net"], h, cfg.res2net_scale, dilation,
+                     reflect_pad)
+        h = _tdnn(blk["tdnn2"], h, reflect_pad=reflect_pad)
         h = _se_block(blk["se"], h)
         x = h + res
         feats.append(x)
     x = jnp.concatenate(feats, axis=-1)
-    x = _tdnn(params["mfa"], x)
+    x = _tdnn(params["mfa"], x, reflect_pad=reflect_pad)
     # attentive statistics pooling with global context
-    mean, std = _stats(x, 1.0 / t)
+    mean, std = _stats(x, 1.0 / t, std_clip)
     ctx = jnp.concatenate(
         [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)],
         axis=-1,
     )
-    a = _tdnn(params["asp_tdnn"], ctx)
+    a = _tdnn(params["asp_tdnn"], ctx, reflect_pad=reflect_pad)
     a = jnp.tanh(a)
     a = jnp.matmul(a, params["asp_conv"]["w"]) + params["asp_conv"]["b"]
     a = jax.nn.softmax(a, axis=1)
-    mean, std = _stats(x, a)
+    mean, std = _stats(x, a, std_clip)
     pooled = jnp.concatenate([mean, std], axis=-1)         # (1, 1, 2C)
-    pooled = _bn(pooled, params["asp_bn"])
+    if "asp_bn" in params:
+        pooled = _bn(pooled, params["asp_bn"])
     return jnp.matmul(pooled, params["fc"]["w"]) + params["fc"]["b"]
 
 

@@ -58,13 +58,17 @@ class MimiEncoderConfig:
     num_quantizers: int = 16
 
 
-def _causal_conv(x, w, b=None, stride: int = 1, dilation: int = 1):
+def _causal_conv(x, w, b=None, stride: int = 1, dilation: int = 1,
+                 pad_mode: str = "constant"):
     """Mimi causal conv: left-pad (k_eff - stride) (modeling_mimi.py:204-341
-    padding-cache semantics at stream start)."""
+    padding-cache semantics at stream start). The SEANet convs zero-pad
+    (config.pad_mode='constant'); the frame-rate downsample conv pads
+    'replicate' (modeling_mimi.py:1437-1445) = jnp 'edge'."""
     k = w.shape[0]
     k_eff = (k - 1) * dilation + 1
     pad = max(k_eff - stride, 0)
-    x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+    x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)),
+                mode="edge" if pad_mode == "replicate" else "constant")
     return conv1d(x, w, b, padding=0, stride=stride, dilation=dilation)
 
 
@@ -111,13 +115,18 @@ def mimi_encode(params, audio: jax.Array, cfg: MimiEncoderConfig) -> jax.Array:
         x = r + (jnp.matmul(out, p["wo"]) + p["bo"])
         r = x
         n = layer_norm(x, eps=1e-5)
+        # EXACT gelu: the export's GELU->tanh swap rebinds nn.GELU
+        # instances only; Mimi's MLP activation is ACT2FN['gelu'] =
+        # GELUActivation (erf form), which it never touches
+        # (modeling_mimi.py:577-593, Export_Qwen_TTS_ONNX.py:536-543)
         hdn = jax.nn.gelu(jnp.matmul(n, p["fc1"]["w"]) + p["fc1"]["b"],
-                          approximate=True)
+                          approximate=False)
         x = r + (jnp.matmul(hdn, p["fc2"]["w"]) + p["fc2"]["b"])
 
     return _causal_conv(x, params["downsample"]["w"],
                         params["downsample"].get("b"),
-                        stride=cfg.downsample_stride)
+                        stride=cfg.downsample_stride,
+                        pad_mode="replicate")
 
 
 def _nearest_code(x: jax.Array, embed: jax.Array) -> jax.Array:

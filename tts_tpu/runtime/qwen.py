@@ -468,12 +468,28 @@ class QwenTTSPipeline:
 
         codes = np.asarray(enc(encoder_params, jnp.asarray(buf)))[0]
         spk = None
-        if speaker_params is not None and mel is not None:
+        if speaker_params is not None and mel is None:
+            # the reference speaker-mel contract (TTS_ENCODER,
+            # Export_Qwen_TTS_ONNX.py:445,588,1394): 1024/256 stft_B with
+            # constant center pad, 128-band slaney/slaney fbank,
+            # log(mel + 1e-5)
+            from ..audio.mel import MelSpectrogram
+
+            mel = MelSpectrogram(24000, 1024, 256, 1024, 128,
+                                 mel_scale="slaney", norm="slaney",
+                                 pad_mode="constant", log_mode="add")
+        if speaker_params is not None:
             from ..models.indextts import ecapa_speaker_encoder
 
             m = mel(jnp.asarray(buf))
-            spk = np.asarray(ecapa_speaker_encoder(speaker_params, m,
-                                                   speaker_cfg))
+            # Qwen's speaker encoder is the BatchNorm-free reflect-padded
+            # ECAPA variant (modeling_qwen3_tts.py:227-248); the loader
+            # emits no "bn" entries for it (qwen_speaker_from_state_dict)
+            qwen_variant = "bn" not in speaker_params["block0"]
+            spk = np.asarray(ecapa_speaker_encoder(
+                speaker_params, m, speaker_cfg,
+                reflect_pad=qwen_variant,
+                std_clip=None if qwen_variant else 1e-6))
         return codes, spk
 
     def build_prefill_voice_clone(self, text_ids: np.ndarray,

@@ -486,3 +486,55 @@ def load_qwen_encoder(model_dir: str, cfg=None, dtype=jnp.float32):
     sd = _hf_state_dict(model_dir)
     cfg = cfg or MimiEncoderConfig()
     return mimi_encoder_from_state_dict(sd, cfg, dtype), cfg
+
+
+def qwen_speaker_from_state_dict(sd: Mapping[str, np.ndarray],
+                                 prefix: str = "speaker_encoder",
+                                 res2net_scale: int = 8,
+                                 n_se_blocks: int = 3,
+                                 dtype=jnp.float32):
+    """Qwen3TTSSpeakerEncoder weights (modeling_qwen3_tts.py:291-371) ->
+    the models/indextts.ecapa_speaker_encoder pytree, Qwen variant.
+
+    The Qwen encoder is the BatchNorm-FREE, reflect-padded ECAPA flavor
+    (TimeDelayNetBlock :227-248 is Conv1d+ReLU only), so no "bn"/"asp_bn"
+    entries are emitted — the forward keys its variant off that; call
+    with reflect_pad=True, std_clip=None. Oracled against the reference
+    module in tests/test_reference_oracle_qwen.py."""
+    from .loaders import CheckpointDict
+
+    sd = CheckpointDict.wrap(sd, "qwen-speaker")
+
+    def cw(key):
+        return np.transpose(np.asarray(sd[key]), (2, 1, 0))
+
+    def tdnn(pre):
+        return {"conv": {"w": jnp.asarray(cw(f"{pre}.conv.weight"), dtype),
+                         "b": jnp.asarray(sd[f"{pre}.conv.bias"], dtype)}}
+
+    se_blocks = []
+    for i in range(1, 1 + n_se_blocks):
+        pre = f"{prefix}.blocks.{i}"
+        se_blocks.append({
+            "tdnn1": tdnn(f"{pre}.tdnn1"),
+            "res2net": {"blocks": [
+                tdnn(f"{pre}.res2net_block.blocks.{j}")
+                for j in range(res2net_scale - 1)]},
+            "tdnn2": tdnn(f"{pre}.tdnn2"),
+            "se": {
+                "w1": jnp.asarray(cw(f"{pre}.se_block.conv1.weight")[0], dtype),
+                "b1": jnp.asarray(sd[f"{pre}.se_block.conv1.bias"], dtype),
+                "w2": jnp.asarray(cw(f"{pre}.se_block.conv2.weight")[0], dtype),
+                "b2": jnp.asarray(sd[f"{pre}.se_block.conv2.bias"], dtype),
+            },
+        })
+    return {
+        "block0": tdnn(f"{prefix}.blocks.0"),
+        "se_blocks": se_blocks,
+        "mfa": tdnn(f"{prefix}.mfa"),
+        "asp_tdnn": tdnn(f"{prefix}.asp.tdnn"),
+        "asp_conv": {"w": jnp.asarray(cw(f"{prefix}.asp.conv.weight")[0], dtype),
+                     "b": jnp.asarray(sd[f"{prefix}.asp.conv.bias"], dtype)},
+        "fc": {"w": jnp.asarray(cw(f"{prefix}.fc.weight")[0], dtype),
+               "b": jnp.asarray(sd[f"{prefix}.fc.bias"], dtype)},
+    }
