@@ -106,3 +106,30 @@ def test_flash_flat_matches_rope_chain(kv_len):
                                    heads=h, block_q=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_flash_flat_autopicked_large_block_q():
+    """ADVICE r4: the auto block_q picker selects >128 at the F5 bench
+    length (t=1408) — exercise that exact configuration in interpret
+    mode (was only covered at t=256/block_q=128) and pin it against the
+    rope-chain reference."""
+    from tts_tpu.models.f5 import _rope_qkv_flat
+    from tts_tpu.ops.flash_attention import flash_attention_flat
+
+    b, h, s, d = 1, 2, 1408, 64
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)) * 0.2,
+                      jnp.float32)
+    theta = 10000.0 ** (-np.arange(0, d // 2) / (d // 2))
+    ang = np.arange(s)[:, None] * theta[None, :]
+    cos = jnp.asarray(np.tile(np.cos(ang), (1, 2)), jnp.float32)
+    sin = jnp.asarray(np.tile(np.sin(ang), (1, 2)), jnp.float32)
+
+    q, k, v = _rope_qkv_flat(qkv, cos, sin, h, d)
+    with pltpu.force_tpu_interpret_mode():
+        ref = flash_attention(q, k, v, jnp.int32(1200), block_q=128,
+                              block_kv=s, head_block=2, packed_out=True)
+        out = flash_attention_flat(qkv, cos, sin, jnp.int32(1200),
+                                   heads=h)        # block_q auto-picked
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

@@ -239,8 +239,14 @@ def flash_attention_flat(qkv: jax.Array, rope_cos: jax.Array,
     d = rope_cos.shape[-1]
     hb = 128 // d
     h = heads
-    assert n3 == 3 * h * d, (qkv.shape, heads, d)
-    assert 128 % d == 0 and h % hb == 0, (d, h)
+    # real errors, not asserts: a violating caller would otherwise read
+    # wrong qkv columns through the BlockSpec index maps under python -O
+    if n3 != 3 * h * d:
+        raise ValueError(f"qkv feature dim {n3} != 3*heads*d "
+                         f"({heads}x{d}); shape {qkv.shape}")
+    if 128 % d or h % hb:
+        raise ValueError(f"need 128 % d == 0 and heads % (128//d) == 0; "
+                         f"got d={d}, heads={h}")
     nh = h // hb                                        # 128-lane blocks
     if kv_len is None:
         kv_len = jnp.int32(t)
@@ -255,12 +261,19 @@ def flash_attention_flat(qkv: jax.Array, rope_cos: jax.Array,
 
     if not block_q:
         block_q = 128
-        kv_bytes = 5 * t * 128 * qkv.dtype.itemsize + 2 * t * 128 * 4
+        # VMEM budget counts the double-buffered input/output blocks AND
+        # the kernel's fp32 temporaries: the (t,128) roped-k scratch +
+        # its fp32 rope temp at iq==0, and the per-block q rope
+        # temp/table tiles (ADVICE r4: these were uncounted and could
+        # push past VMEM at large auto-picked block_q)
+        kv_bytes = 5 * t * 128 * qkv.dtype.itemsize + 3 * t * 128 * 4
         for cand in range(min(t, 1024), 127, -8):
-            if t % cand == 0 and cand * t * 4 + kv_bytes <= 14 << 20:
+            need = cand * t * 4 + 2 * cand * 128 * 4 + kv_bytes
+            if t % cand == 0 and need <= 14 << 20:
                 block_q = cand
                 break
-    assert t % block_q == 0, (t, block_q)
+    if t % block_q:
+        raise ValueError(f"seq {t} must divide block_q {block_q}")
 
     grid = (b, nh, t // block_q)
     kernel = functools.partial(_kernel_flat, scale=scale, d=d)

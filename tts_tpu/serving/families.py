@@ -85,7 +85,8 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
 
         return TTSServer.continuous(
             slot, sample_rate=pipe.output_sample_rate,
-            submit=lambda req: slot.submit(*req, max_frames=max_tokens),
+            submit=lambda req, deadline_s=None: slot.submit(
+                *req, max_frames=max_tokens, deadline_s=deadline_s),
             request_from_json=from_json,
             stream_fn=lambda req: slot.submit_stream(
                 *req, max_frames=max_tokens, **skw))
@@ -104,7 +105,8 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
 
         return TTSServer.continuous(
             slot, sample_rate=pipe.output_sample_rate,
-            submit=lambda req: slot.submit(*req),
+            submit=lambda req, deadline_s=None: slot.submit(
+                *req, deadline_s=deadline_s),
             request_from_json=from_json,
             stream_fn=lambda req: slot.submit_stream(*req, **skw))
 
@@ -131,7 +133,8 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
         slot = _route(make_slot)
         return TTSServer.continuous(
             slot, sample_rate=24000,
-            submit=lambda ids: slot.submit(ids, max_gen=max_tokens))
+            submit=lambda ids, deadline_s=None: slot.submit(
+                ids, max_gen=max_tokens, deadline_s=deadline_s))
 
     if family == "f5":
         from .continuous_f5 import F5SlotServer
@@ -145,8 +148,9 @@ def continuous_server(family: str, pipe, *, slots: int = 4,
 
         return TTSServer.continuous(
             slot, sample_rate=pipe.cfg.sample_rate,
-            submit=lambda req: slot.submit(ref_audio, ref_text, req[0],
-                                           speed=req[1]),
+            submit=lambda req, deadline_s=None: slot.submit(
+                ref_audio, ref_text, req[0], speed=req[1],
+                deadline_s=deadline_s),
             request_from_json=from_json)
 
     raise ValueError(f"unknown family {family!r}")
