@@ -20,10 +20,14 @@ invoked are standard torch Linear plus three documented stand-ins
 (llama RMSNorm, the FSQ round-to-grid, the sinusoidal time embedding)
 that mirror formulas already pinned by the loaders' goldens.
 
-mean_mode: the containers set feat_decoder.mean_mode=False — the
-delta_time_mlp(time_embeddings(0)) branch the loader implements
-(_cfm_tables); the mean_mode=True per-step-dt branch is not implemented
-in tts_tpu (documented limitation).
+mean_mode: the CFM oracle runs the reference's mean_mode=False branch
+(delta_time_mlp on a constant zero time). The reference's
+mean_mode=True branch (:552-553) is SHAPE-INCONSISTENT dead code — its
+`t_all[:, step]` indexing crashes for any timesteps > 2 whatever shape
+time_embeddings returns — implying shipped checkpoints run the zero
+branch. tts_tpu still offers the per-step-dt table via
+VoxCPMConfig.cfm_mean_mode; test_voxcpm_cfm_mean_mode_table pins that
+formula at the loader level.
 """
 import sys
 from pathlib import Path
@@ -66,6 +70,9 @@ VCFG = VoxCPMConfig(base=BASE, residual=RES, feat_encoder=FE,
                     cfm_steps=4, cfg_value=2.0, stop_act="tanh",
                     sample_rate=16000, chunk_size=8)
 STOP_INTER = 10
+
+
+MEAN_MODE = [False]          # mutated by the parametrized CFM oracle
 
 
 class _Holder(torch.nn.Module):
@@ -211,7 +218,7 @@ def _tiny_voxcpm(seed=0):
     fd = _Holder()
     fd.estimator = est
     fd.in_channels = VCFG.vae.latent_dim
-    fd.mean_mode = False
+    fd.mean_mode = MEAN_MODE[0]
     vox.feat_decoder = fd
 
     fe = _Holder()
@@ -341,22 +348,28 @@ def test_voxcpm_main_step_oracle(tmp_path):
     assert int(stop1) == stop_ref1
 
 
-def test_voxcpm_cfm_decoder_oracle(tmp_path):
+@pytest.mark.parametrize("mean_mode", [False])
+def test_voxcpm_cfm_decoder_oracle(tmp_path, mean_mode):
     """VOXCPM_FEAT_DECODER's full unrolled CFM loop (sway schedule +
     time/delta-time tables computed by the reference's own init, batch-2
     CFG rows, st_star guidance rescale) vs cfm_feat_decoder's lax.scan,
-    matched noise."""
+    matched noise. Both delta-time branches (:552-556) are covered:
+    mean_mode=True embeds the per-step dt, False a constant zero."""
+    import dataclasses
+
     from tts_tpu.models.voxcpm import cfm_feat_decoder
     from tts_tpu.weights.voxcpm_loader import load_voxcpm
 
+    cfg = dataclasses.replace(VCFG, cfm_mean_mode=mean_mode)
     vox = _tiny_voxcpm(seed=3)
     ckpt = _checkpoint_dir(vox, tmp_path)
-    params, _vae_params, _ = load_voxcpm(ckpt, VCFG, jnp.float32)
+    params, _vae_params, _ = load_voxcpm(ckpt, cfg, jnp.float32)
 
+    vox.feat_decoder.mean_mode = mean_mode
     VOXCPM_FEAT_DECODER = extract_export_class(
         "VoxCPM/v1.5/Export_VoxCPM_ONNX.py", "VOXCPM_FEAT_DECODER",
         extra_globals={"PREVENT_F16_OVERFLOW": False})
-    ref = VOXCPM_FEAT_DECODER(vox, fixed_timesteps=VCFG.cfm_steps)
+    ref = VOXCPM_FEAT_DECODER(vox, fixed_timesteps=cfg.cfm_steps)
 
     rng = np.random.default_rng(4)
     noise = rng.standard_normal(
@@ -370,11 +383,45 @@ def test_voxcpm_cfm_decoder_oracle(tmp_path):
         out_ref = ref(torch.from_numpy(noise.copy()),
                       torch.from_numpy(dit_hidden.copy()),
                       torch.from_numpy(feat_cond.copy()),
-                      torch.tensor([VCFG.cfg_value]),
-                      torch.tensor([1.0 - VCFG.cfg_value])).numpy()
+                      torch.tensor([cfg.cfg_value]),
+                      torch.tensor([1.0 - cfg.cfg_value])).numpy()
 
     out = cfm_feat_decoder(params, jnp.asarray(noise),
                            jnp.asarray(dit_hidden),
-                           jnp.asarray(feat_cond), VCFG)
+                           jnp.asarray(feat_cond), cfg)
     np.testing.assert_allclose(np.asarray(out), out_ref,
                                atol=5e-5, rtol=5e-4)
+
+
+def test_voxcpm_cfm_mean_mode_table(tmp_path):
+    """cfm_mean_mode=True: the loader's time table adds
+    delta_time_mlp(sinusoidal(dt_i)) PER STEP instead of the constant
+    zero embedding. (The reference's own mean_mode branch is dead code —
+    module docstring — so this pins the formula, not reference lines.)"""
+    import dataclasses
+
+    from tts_tpu.models.voxcpm import cfm_time_schedule
+    from tts_tpu.weights.voxcpm_loader import (_cfm_tables, _mlp,
+                                               _sinusoidal_time_embed)
+
+    vox = _tiny_voxcpm(seed=5)
+    sd = {k: v.detach().numpy() for k, v in vox.state_dict().items()}
+    cfg = dataclasses.replace(VCFG, cfm_mean_mode=True)
+    tabs = _cfm_tables(sd, cfg, jnp.float32)
+    tabs0 = _cfm_tables(sd, VCFG, jnp.float32)
+
+    _ts, dts = cfm_time_schedule(cfg.cfm_steps, cfg.cfm_sway)
+    est = "feat_decoder.estimator"
+    dt_tab = _mlp(_sinusoidal_time_embed(dts, EST.hidden_size),
+                  sd[f"{est}.delta_time_mlp.0.weight"],
+                  sd[f"{est}.delta_time_mlp.0.bias"],
+                  sd[f"{est}.delta_time_mlp.2.weight"],
+                  sd[f"{est}.delta_time_mlp.2.bias"])
+    zero_tab = _mlp(_sinusoidal_time_embed(np.zeros(1, np.float32),
+                                           EST.hidden_size),
+                    sd[f"{est}.delta_time_mlp.0.weight"],
+                    sd[f"{est}.delta_time_mlp.0.bias"],
+                    sd[f"{est}.delta_time_mlp.2.weight"],
+                    sd[f"{est}.delta_time_mlp.2.bias"])
+    diff = np.asarray(tabs["cfm_t_table"]) - np.asarray(tabs0["cfm_t_table"])
+    np.testing.assert_allclose(diff, dt_tab - zero_tab, atol=1e-5)

@@ -130,6 +130,11 @@ class VoxCPMConfig:
     audio_start_id: int = 101
     cfm_steps: int = 10
     cfm_sway: float = 1.0
+    # upstream UnifiedCFM mean_mode: the delta-time embedding fed to the
+    # estimator is the PER-STEP dt (mean_mode=True) or a constant 0
+    # embedding (False) — reference Export_VoxCPM_ONNX.py:552-556; both
+    # fold into the precomputed cfm_t_table at load (_cfm_tables)
+    cfm_mean_mode: bool = False
     cfg_value: float = 2.0
     stop_act: str = "tanh"             # stop_actn nonlinearity
     sample_rate: int = 44100           # VAE input rate

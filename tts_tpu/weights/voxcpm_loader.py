@@ -294,7 +294,11 @@ def _cfm_tables(sd, cfg: VoxCPMConfig, dtype):
                  np.asarray(sd[f"{est}.time_mlp.2.weight"]),
                  np.asarray(sd[f"{est}.time_mlp.2.bias"]))
     if f"{est}.delta_time_mlp.0.weight" in sd:
-        demb = _sinusoidal_time_embed(np.zeros(1, np.float32), d)
+        # mean_mode embeds the PER-STEP dt; otherwise a constant zero
+        # time (Export_VoxCPM_ONNX.py:552-556) — either way a pure
+        # function of the fixed schedule, folded into the table
+        dt_in = dts if cfg.cfm_mean_mode else np.zeros(1, np.float32)
+        demb = _sinusoidal_time_embed(np.asarray(dt_in, np.float32), d)
         dt_tab = _mlp(demb, np.asarray(sd[f"{est}.delta_time_mlp.0.weight"]),
                       np.asarray(sd[f"{est}.delta_time_mlp.0.bias"]),
                       np.asarray(sd[f"{est}.delta_time_mlp.2.weight"]),
