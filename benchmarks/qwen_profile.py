@@ -167,6 +167,14 @@ VARIANTS = {
     "talker_fq8": lambda p, c: body(p, c, use_pred=False, use_logits=False,
                                     use_ntl=False, fused="mlp_q8"),
     "full_fused": lambda p, c: body(p, c, fused=True, pfused=True),
+    # qkv+attention single-kernel decode step (ops/decode_step.py)
+    "talker_fstep": lambda p, c: body(p, c, use_pred=False,
+                                      use_logits=False, use_ntl=False,
+                                      fused="step"),
+    "predf_fstep": lambda p, c: body(p, c, use_talker=False,
+                                     use_logits=False, use_ntl=False,
+                                     pfused="step"),
+    "full_fstep": lambda p, c: body(p, c, fused="step", pfused="step"),
 }
 
 if __name__ == "__main__":

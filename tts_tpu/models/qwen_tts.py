@@ -131,6 +131,16 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
     #     mostly-idle grid steps/layer cost more than the dense-bucket
     #     read they save once the pipeline buckets KV snugly).
     from ..ops.decode_qkv import fusable_layout, fusable_weight
+    # fused="step" absorbs the attention contraction too (qkv head + GQA
+    # over the cache in ONE kernel, ops/decode_step.py); M=1 hd=128
+    # geometry only, shared-length causal masks only
+    fuse_step = (fused == "step" and b == 1 and kv_valid is None
+                 and causal and cfg.head_dim == 128
+                 and kv.k.shape[1] == 1
+                 and all(fusable_weight(p["wqkv"])
+                         for p in params["layers"]))
+    if fused == "step" and not fuse_step:
+        fused = True                                # degrade to qkv head
     fuse_qkv = (fused in (True, "all", "qkv", "mlp_q8")
                 and fusable_layout(b, cfg.num_heads, cfg.num_kv_heads,
                                    cfg.head_dim)
@@ -151,6 +161,25 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
                  and causal and kv.max_len % min(256, kv.max_len) == 0)
     x = hidden
     for i, p in enumerate(params["layers"]):
+        if fuse_step:
+            from ..ops.decode_step import fused_qkv_attn
+
+            attn_flat, kf, vf = fused_qkv_attn(
+                x[:, 0], p["wqkv"], rope_cos, rope_sin, kv.k, kv.v, i,
+                kv.length, heads=cfg.num_heads, kv_heads=cfg.num_kv_heads,
+                head_dim=cfg.head_dim, q_norm=p["q_norm"],
+                k_norm=p["k_norm"], bqkv=p.get("bqkv"), eps=cfg.rms_eps,
+                interpret=_interpret)
+            kv, _, _ = kv.update_layer(
+                i, kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim),
+                vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim))
+            out = attn_flat[:, None]
+            x = x + dense(out, p["wo"])
+            h = rms_norm(x, eps=cfg.rms_eps)
+            gu = dense(h, p["w_gate_up"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
+            continue
         if fuse_qkv:
             from ..ops.decode_qkv import fused_qkv_rope
 

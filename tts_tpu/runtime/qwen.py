@@ -93,10 +93,13 @@ class QwenDecodeConfig:
     use_beam: bool = False
     beam_size: int = 3
     beam_top_k: int = 3
-    # Pallas fused decode-layer qkv head (ops/decode_qkv.py): same math,
-    # talker step 1.56 -> 1.27 ms int8. None = auto (on for TPU backends,
-    # off on CPU where the kernel would need interpret mode).
-    fused_decode: bool | None = None
+    # Pallas fused decode-layer kernels. None = auto: "step" (qkv head +
+    # GQA attention in one kernel, ops/decode_step.py — int8 talker step
+    # 1.081 -> 0.878 ms; degrades per-call to the qkv head on geometries
+    # the step kernel doesn't cover, e.g. batched serving rows) on TPU
+    # backends, off on CPU where the kernels would need interpret mode.
+    # True = qkv head only (ops/decode_qkv.py).
+    fused_decode: bool | str | None = None
 
 
 class QwenTTSPipeline:
@@ -142,7 +145,8 @@ class QwenTTSPipeline:
                 **{**self.dcfg.__dict__, "use_beam": False})
         self.output_sample_rate = output_sample_rate
         fd = self.dcfg.fused_decode
-        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
+        self._fused = ("step" if jax.default_backend() == "tpu" else False) \
+            if fd is None else fd
         self._decode_fn = None
         self._codec_cache: dict = {}
 
