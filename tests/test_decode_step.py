@@ -147,3 +147,172 @@ def test_stack_step_fused_step_int8():
     np.testing.assert_allclose(
         np.asarray(run("step")), np.asarray(run(False)),
         atol=5e-5, rtol=5e-4)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("geom", [
+    (16, 8, 64, True),    # Kani: GQA hd=64, q/k norms + rope
+    (16, 2, 64, False),   # VoxCPM: GQA g=8 hd=64, rope only
+])
+def test_fused_qkv_attn_hd64(quant, geom):
+    """hd=64 packed layouts (2 heads per 128-lane row): the epilogue
+    unpack/attend/pack must match the XLA chain."""
+    from tts_tpu.ops.decode_step import fused_qkv_attn, qkv_attn_reference
+
+    heads, kvh, hd, qknorm = geom
+    h_in, t, layers, layer, pos_v = 512, 32, 2, 0, 9
+    keys = jax.random.split(jax.random.key(5), 6)
+    x = _rand(keys[0], (1, h_in), 0.1)
+    w = _rand(keys[1], (h_in, (heads + 2 * kvh) * hd))
+    kc = _rand(keys[2], (layers, 1, kvh, t, hd), 0.3)
+    vc = _rand(keys[3], (layers, 1, kvh, t, hd), 0.3)
+    qn = 1.0 + _rand(keys[4], (hd,)) if qknorm else None
+    kn = 1.0 + _rand(keys[5], (hd,)) if qknorm else None
+    cos, sin = rope_table(t + 4, hd)
+    rc, rs = cos[pos_v:pos_v + 1], sin[pos_v:pos_v + 1]
+    wq = quantize_int8(w) if quant else w
+    pos = jnp.int32(pos_v)
+
+    ref = qkv_attn_reference(
+        x, wq, rc, rs, kc, vc, layer, pos, heads=heads, kv_heads=kvh,
+        head_dim=hd, q_norm=qn, k_norm=kn)
+    out = fused_qkv_attn(
+        x, wq, rc, rs, kc, vc, layer, pos, heads=heads, kv_heads=kvh,
+        head_dim=hd, q_norm=qn, k_norm=kn, interpret=True)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=3e-5, rtol=3e-4)
+
+
+def test_fused_qkv_attn_ln_norope():
+    """IndexTTS GPT-2 geometry: MHA (kvh == heads), hd=64, LayerNorm
+    with weights/bias, qkv bias, NO rope."""
+    from tts_tpu.ops.decode_step import fused_qkv_attn, qkv_attn_reference
+
+    heads = kvh = 20
+    hd, h_in, t, layer, pos_v = 64, 1280, 64, 1, 17
+    keys = jax.random.split(jax.random.key(9), 7)
+    x = _rand(keys[0], (1, h_in), 0.1)
+    w = _rand(keys[1], (h_in, 3 * heads * hd))
+    kc = _rand(keys[2], (3, 1, kvh, t, hd), 0.3)
+    vc = _rand(keys[3], (3, 1, kvh, t, hd), 0.3)
+    bqkv = _rand(keys[4], (3 * heads * hd,))
+    lnw = 1.0 + _rand(keys[5], (h_in,))
+    lnb = _rand(keys[6], (h_in,))
+    pos = jnp.int32(pos_v)
+
+    ref = qkv_attn_reference(
+        x, w, None, None, kc, vc, layer, pos, heads=heads, kv_heads=kvh,
+        head_dim=hd, bqkv=bqkv, norm="ln", ln_weight=lnw, ln_bias=lnb,
+        eps=1e-5)
+    out = fused_qkv_attn(
+        x, w, None, None, kc, vc, layer, pos, heads=heads, kv_heads=kvh,
+        head_dim=hd, bqkv=bqkv, norm="ln", ln_weight=lnw, ln_bias=lnb,
+        eps=1e-5, interpret=True)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=3e-5, rtol=3e-4)
+
+
+def test_kani_step_fused_step_matches_unfused():
+    """kani_step fused="step" routing (hd=64 GQA + conv interleave) vs
+    fused=False."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tts_tpu.models.kani import (KaniConfig, embed_tokens, init_params,
+                                     init_state, kani_step)
+
+    cfg = KaniConfig(hidden_size=128, num_heads=16, num_kv_heads=8,
+                     head_dim=64, ffn_dim=192, vocab_size=64,
+                     layer_types=("conv", "attn", "conv", "attn"),
+                     max_seq_len=64, stop_token=-1)
+    params = init_params(cfg, jax.random.key(0))
+    ids = jnp.array([[3, 9, 4]], jnp.int32)
+
+    def run(fused):
+        state = init_state(cfg, 1, jnp.float32)
+        x = embed_tokens(params, ids)
+        logits, state = kani_step(params, x, state, cfg)
+        outs = [logits]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(4):
+            x = embed_tokens(params, tok[:, None])
+            with pltpu.force_tpu_interpret_mode():
+                logits, state = kani_step(params, x, state, cfg,
+                                          fused=fused)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            outs.append(logits)
+        return jnp.stack(outs)
+
+    np.testing.assert_allclose(np.asarray(run("step")),
+                               np.asarray(run(False)),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_llama_stack_fused_step_matches_unfused():
+    """VoxCPM llama_stack_step fused="step" (hd=64, kvh=2, rope only) vs
+    fused=False."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tts_tpu.models.voxcpm import (LlamaStackConfig,
+                                       _init_llama_stack, llama_stack_step)
+    from tts_tpu.nn.rope import rope_table
+
+    cfg = LlamaStackConfig(hidden_size=128, num_heads=16, num_kv_heads=2,
+                           head_dim=64, ffn_dim=192, num_layers=2,
+                           max_seq_len=64)
+    params = _init_llama_stack(cfg, jax.random.key(2))
+    cos, sin = rope_table(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)
+
+    def run(fused):
+        kv = KVCache.create(cfg.num_layers, 1, cfg.num_kv_heads,
+                            cfg.max_seq_len, cfg.head_dim, jnp.float32)
+        x = _rand(jax.random.key(3), (1, 3, cfg.hidden_size), 0.2)
+        h, kv = llama_stack_step(params, x, kv, cfg, cos[:3], sin[:3])
+        outs = [h]
+        cur = h[:, -1:]
+        for i in range(4):
+            pos = 3 + i
+            with pltpu.force_tpu_interpret_mode():
+                h, kv = llama_stack_step(
+                    params, cur, kv, cfg, cos[pos:pos + 1],
+                    sin[pos:pos + 1], fused=fused)
+            cur = h[:, -1:]
+            outs.append(h)
+        return jnp.concatenate([o.reshape(-1) for o in outs])
+
+    np.testing.assert_allclose(np.asarray(run("step")),
+                               np.asarray(run(False)),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_gpt_step_fused_step_matches_unfused():
+    """IndexTTS gpt_step fused="step" (MHA hd=64, LN, bias, no rope) vs
+    fused=False."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tts_tpu.models.indextts import (IndexTTSConfig, gpt_step,
+                                         init_gpt_params)
+
+    cfg = IndexTTSConfig(gpt_dim=256, gpt_heads=4, gpt_layers=2,
+                         num_mel_codes=32, max_seq_len=64)
+    assert cfg.gpt_head_dim == 64
+    params = init_gpt_params(cfg, jax.random.key(4))
+    pen = jnp.ones((1, cfg.num_mel_codes), jnp.float32)
+
+    def run(fused):
+        kv = KVCache.create(cfg.gpt_layers, 1, cfg.gpt_heads,
+                            cfg.max_seq_len, cfg.gpt_head_dim, jnp.float32)
+        x = _rand(jax.random.key(5), (1, 3, cfg.gpt_dim), 0.2)
+        logits, h, kv = gpt_step(params, x, kv, pen, cfg)
+        outs = [logits]
+        for _ in range(4):
+            with pltpu.force_tpu_interpret_mode():
+                logits, h, kv = gpt_step(params, h[:, None], kv, pen, cfg,
+                                         fused=fused)
+            outs.append(logits)
+        return jnp.stack(outs)
+
+    np.testing.assert_allclose(np.asarray(run("step")),
+                               np.asarray(run(False)),
+                               atol=5e-5, rtol=5e-4)

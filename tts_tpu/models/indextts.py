@@ -330,12 +330,37 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
     if fused:
         from ..ops.decode_qkv import fusable_layout, fusable_weight
 
-        fused = (fusable_layout(b, cfg.gpt_heads, cfg.gpt_heads,
-                                cfg.gpt_head_dim)
-                 and all(fusable_weight(p["wqkv"])
-                         for p in params["layers"]))
-    fuse = fused and s == 1
+        ok = (fusable_layout(b, cfg.gpt_heads, cfg.gpt_heads,
+                             cfg.gpt_head_dim)
+              and all(fusable_weight(p["wqkv"])
+                      for p in params["layers"]))
+        if not ok:
+            fused = False
+    # "step" (LN+qkv head + MHA attention in one kernel,
+    # ops/decode_step.py) needs the M=1 plain-causal geometry
+    if fused == "step" and (b != 1 or kv_valid is not None
+                            or cfg.gpt_head_dim not in (64, 128)
+                            or (cfg.gpt_heads * cfg.gpt_head_dim) % 128):
+        fused = True
+    fuse = fused if s == 1 else False
     for i, p in enumerate(params["layers"]):
+        if fuse == "step":
+            from ..ops.decode_step import fused_qkv_attn
+
+            attn_flat, kf, vf = fused_qkv_attn(
+                x[:, 0], p["wqkv"], None, None, kv.k, kv.v, i, kv.length,
+                heads=cfg.gpt_heads, kv_heads=cfg.gpt_heads,
+                head_dim=cfg.gpt_head_dim, bqkv=p["bqkv"], norm="ln",
+                ln_weight=p["ln1"]["w"], ln_bias=p["ln1"]["b"], eps=1e-5)
+            kv, _, _ = kv.update_layer(
+                i, kf.reshape(b, 1, cfg.gpt_heads, cfg.gpt_head_dim),
+                vf.reshape(b, 1, cfg.gpt_heads, cfg.gpt_head_dim))
+            x = x + (dense(attn_flat[:, None], p["wo"]) + p["bo"])
+            h = layer_norm(x, p["ln2"]["w"], p["ln2"]["b"], eps=1e-5)
+            h = dense(h, p["fc"]["w"]) + p["fc"]["b"]
+            h = jax.nn.gelu(h, approximate=True)           # GPT-2 gelu_new
+            x = x + (dense(h, p["proj"]["w"]) + p["proj"]["b"])
+            continue
         if fuse:
             # fused LN + qkv matvec head (ops/decode_qkv.py); GPT-2 here
             # has no rope and no q/k norms

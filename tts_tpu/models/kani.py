@@ -102,6 +102,20 @@ def _attn_layer(p, x, state: KaniState, layer_idx: int, cfg: KaniConfig,
     b, s, _ = x.shape
     q_sz = cfg.num_heads * cfg.head_dim
     kv_sz = cfg.num_kv_heads * cfg.head_dim
+    if fused == "step":
+        # qkv head + GQA attention in ONE kernel (ops/decode_step.py);
+        # kani_step's gate guarantees b == s == 1, plain causal mask
+        from ..ops.decode_step import fused_qkv_attn
+
+        attn_flat, kf, vf = fused_qkv_attn(
+            x[:, 0], p["wqkv"], rope_cos, rope_sin, state.kv.k,
+            state.kv.v, layer_idx, state.kv.length, heads=cfg.num_heads,
+            kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+            q_norm=p["q_norm"], k_norm=p["k_norm"], eps=cfg.rms_eps)
+        kv, _, _ = state.kv.update_layer(
+            layer_idx, kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim),
+            vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim))
+        return dense(attn_flat[:, None], p["wo"]), KaniState(kv, state.conv)
     if fused:
         from ..ops.decode_qkv import fused_qkv_rope
 
@@ -204,12 +218,21 @@ def kani_step(params, hidden: jax.Array, state: KaniState, cfg: KaniConfig,
     if fused:
         from ..ops.decode_qkv import fusable_layout, fusable_weight
 
-        fused = (fusable_layout(hidden.shape[0], cfg.num_heads,
-                                cfg.num_kv_heads, cfg.head_dim)
-                 and all(fusable_weight(p["wqkv"]) for lt, p in
-                         zip(cfg.layer_types, params["layers"])
-                         if lt == "attn"))
-    fuse = fused and s == 1
+        ok = (fusable_layout(hidden.shape[0], cfg.num_heads,
+                             cfg.num_kv_heads, cfg.head_dim)
+              and all(fusable_weight(p["wqkv"]) for lt, p in
+                      zip(cfg.layer_types, params["layers"])
+                      if lt == "attn"))
+        if not ok:
+            fused = False
+    # "step" (qkv+attention single kernel) additionally needs the M=1
+    # plain-causal geometry; degrade to the qkv head otherwise
+    if fused == "step" and (b != 1 or s != 1 or key_valid_from is not None
+                            or cfg.head_dim not in (64, 128)
+                            or (cfg.num_heads * cfg.head_dim) % 128
+                            or (cfg.num_kv_heads * cfg.head_dim) % 128):
+        fused = True
+    fuse = fused if s == 1 else False
     for lt, p in zip(cfg.layer_types, params["layers"]):
         if lt == "attn":
             out, state = _attn_layer(p, x, state, attn_i, cfg,

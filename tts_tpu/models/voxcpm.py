@@ -186,17 +186,42 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
         attention_mask(s, kv.max_len, pos, pos + s, causal=True), kv_valid)
     if fused and s != 1:
         raise ValueError("fused decode path requires S == 1")
-    if fused:
-        from ..ops.decode_qkv import fusable_layout, fusable_weight
-
-        fused = (fusable_layout(hidden.shape[0], cfg.num_heads,
-                                cfg.num_kv_heads, cfg.head_dim)
-                 and all(fusable_weight(p["wqkv"])
-                         for p in params["layers"]))
     x = hidden
     q_sz = cfg.num_heads * cfg.head_dim
     kv_sz = cfg.num_kv_heads * cfg.head_dim
+    if fused:
+        from ..ops.decode_qkv import fusable_layout, fusable_weight
+
+        ok = (fusable_layout(hidden.shape[0], cfg.num_heads,
+                             cfg.num_kv_heads, cfg.head_dim)
+              and all(fusable_weight(p["wqkv"])
+                      for p in params["layers"]))
+        if not ok:
+            fused = False
+    # "step" (qkv+attention single kernel, ops/decode_step.py) needs the
+    # M=1 plain-causal geometry; degrade to the qkv head otherwise
+    if fused == "step" and (b != 1 or kv_valid is not None
+                            or cfg.head_dim not in (64, 128)
+                            or q_sz % 128 or kv_sz % 128):
+        fused = True
     for i, p in enumerate(params["layers"]):
+        if fused == "step":
+            from ..ops.decode_step import fused_qkv_attn
+
+            attn_flat, kf, vf = fused_qkv_attn(
+                x[:, 0], p["wqkv"], rope_cos, rope_sin, kv.k, kv.v, i,
+                kv.length, heads=cfg.num_heads,
+                kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+                bqkv=p.get("bqkv"), eps=cfg.rms_eps)
+            kv, _, _ = kv.update_layer(
+                i, kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim),
+                vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim))
+            x = x + dense(attn_flat[:, None], p["wo"])
+            h = rms_norm(x, eps=cfg.rms_eps)
+            gu = dense(h, p["w_gate_up"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
+            continue
         if fused:
             from ..ops.decode_qkv import fused_qkv_rope
 

@@ -56,17 +56,45 @@ __all__ = ["fused_qkv_attn", "qkv_attn_reference"]
 NEG_INF = -1e30
 
 
+def _unpack_heads(seg, n, d):
+    """(1, n*d) flat row -> (n, d) per-head rows for d < 128: the flat row
+    packs hpr = 128//d heads per 128-lane row; split each row's lane
+    sub-segments and restack in head order (sublane shuffle in VMEM)."""
+    hpr = 128 // d
+    m = seg.reshape(n // hpr, 128)
+    cols = [m[:, i * d:(i + 1) * d] for i in range(hpr)]
+    return jnp.stack(cols, axis=1).reshape(n, d)
+
+
+def _pack_heads(o, n, d):
+    """(n, d) per-head rows -> (1, n*d) flat packed row (inverse of
+    _unpack_heads)."""
+    hpr = 128 // d
+    m = o.reshape(n // hpr, hpr, d)
+    return jnp.concatenate([m[:, i, :] for i in range(hpr)],
+                           axis=-1).reshape(1, n * d)
+
+
 def _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
-            kn_ref, cos_ref, sin_ref, attn_ref, k_ref, v_ref,
-            acc_ref, h_ref, *, nb, heads, kv_heads, head_dim, eps):
+            kn_ref, cos_ref, sin_ref, lnw_ref, lnb_ref, attn_ref, k_ref,
+            v_ref, acc_ref, h_ref, *, nb, heads, kv_heads, head_dim, eps,
+            norm):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         x = x_ref[...]
         xf = x.astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        h_ref[...] = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+        if norm == "ln":
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            out = (xf - mean) * jax.lax.rsqrt(var + eps)
+            out = out * lnw_ref[...].astype(jnp.float32) \
+                + lnb_ref[...].astype(jnp.float32)
+        else:
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            out = xf * jax.lax.rsqrt(var + eps)
+        h_ref[...] = out.astype(x.dtype)
 
     h = h_ref[...]
     acc = jax.lax.dot_general(
@@ -89,7 +117,9 @@ def _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
         q = qkv[:, :q_sz]
         k = qkv[:, q_sz:q_sz + kv_sz]
         v = qkv[:, q_sz + kv_sz:]
-        if qn_ref is not None:
+        if cos_ref is None:                    # no rope (IndexTTS GPT-2)
+            pass
+        elif qn_ref is not None:
             q = _norm_rope(q, qn_ref, cos_ref, sin_ref, heads, head_dim, eps)
             k = _norm_rope(k, kn_ref, cos_ref, sin_ref, kv_heads, head_dim,
                            eps)
@@ -102,7 +132,17 @@ def _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
         # ---- attention (B=1): heads are kvh-major like gqa_attention
         g = heads // kv_heads
         pos = pos_ref[0]
-        qh = q.reshape(heads, head_dim).reshape(kv_heads, g, head_dim)
+        if head_dim >= 128:
+            qh = q.reshape(heads, head_dim).reshape(kv_heads, g, head_dim)
+            kn = k.reshape(kv_heads, 1, head_dim)
+            vn = v.reshape(kv_heads, 1, head_dim)
+        else:
+            qh = _unpack_heads(q, heads, head_dim
+                               ).reshape(kv_heads, g, head_dim)
+            kn = _unpack_heads(k, kv_heads, head_dim
+                               ).reshape(kv_heads, 1, head_dim)
+            vn = _unpack_heads(v, kv_heads, head_dim
+                               ).reshape(kv_heads, 1, head_dim)
         kc = kc_ref[...]                               # (KVH, T, D)
         vc = vc_ref[...]
         s = jax.lax.dot_general(
@@ -110,7 +150,6 @@ def _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
             preferred_element_type=jnp.float32)        # (KVH, G, T)
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(kv_idx < pos, s, NEG_INF)
-        kn = k.reshape(kv_heads, 1, head_dim)
         s_new = jax.lax.dot_general(
             qh, kn, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)        # (KVH, G, 1)
@@ -123,23 +162,32 @@ def _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
         pv = jax.lax.dot_general(
             probs, vc, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)        # (KVH, G, D)
-        vn = v.reshape(kv_heads, 1, head_dim)
         pv = pv + probs_new.astype(jnp.float32) * vn.astype(jnp.float32)
-        attn_ref[...] = pv.astype(dt).reshape(1, q_sz)
+        if head_dim >= 128:
+            attn_ref[...] = pv.astype(dt).reshape(1, q_sz)
+        else:
+            attn_ref[...] = _pack_heads(
+                pv.astype(dt).reshape(heads, head_dim), heads, head_dim)
 
 
-def fused_qkv_attn(x: jax.Array, wqkv, rope_cos, rope_sin,
-                   k_cache: jax.Array, v_cache: jax.Array, layer: int,
-                   pos, *, heads: int, kv_heads: int, head_dim: int,
-                   q_norm: jax.Array | None = None,
+def fused_qkv_attn(x: jax.Array, wqkv, rope_cos=None, rope_sin=None,
+                   k_cache: jax.Array = None, v_cache: jax.Array = None,
+                   layer: int = 0, pos=None, *, heads: int, kv_heads: int,
+                   head_dim: int, q_norm: jax.Array | None = None,
                    k_norm: jax.Array | None = None,
                    bqkv: jax.Array | None = None,
+                   norm: str = "rms",
+                   ln_weight: jax.Array | None = None,
+                   ln_bias: jax.Array | None = None,
                    eps: float = 1e-6, interpret: bool = False):
     """x (1, H); wqkv (H, (heads+2*kvh)*hd) plain or int8 QTensor;
-    rope_cos/rope_sin (1, hd) rows for the current position;
-    k_cache/v_cache the STACKED (L, 1, KVH, T, D) buffers (read-only —
-    the caller's dynamic_update_slice append stays outside); layer a
-    static int; pos the traced int32 length (cache rows < pos valid).
+    rope_cos/rope_sin (1, hd) rows for the current position (None = no
+    rope — the IndexTTS GPT-2 layout); k_cache/v_cache the STACKED
+    (L, 1, KVH, T, D) buffers (read-only — the caller's
+    dynamic_update_slice append stays outside); layer a static int; pos
+    the traced int32 length (cache rows < pos valid). norm="ln" uses
+    LayerNorm with ln_weight/ln_bias (GPT-2 ln_1) instead of the
+    weightless RMSNorm.
 
     Returns (attn (1, heads*hd), k_row (1, kvh*hd), v_row (1, kvh*hd)):
     attention output over cache[:pos] + the step's own roped k/v row,
@@ -147,8 +195,10 @@ def fused_qkv_attn(x: jax.Array, wqkv, rope_cos, rope_sin,
     b, hd_in = x.shape
     if b != 1:
         raise ValueError("fused_qkv_attn is the M=1 decode head")
-    if head_dim != 128:
-        raise ValueError("fused_qkv_attn requires head_dim == 128")
+    if head_dim not in (64, 128):
+        raise ValueError("fused_qkv_attn requires head_dim in (64, 128)")
+    if (heads * head_dim) % 128 or (kv_heads * head_dim) % 128:
+        raise ValueError("q/kv row widths must pack into 128 lanes")
     num_layers, cb_, kvh_, t, d_ = k_cache.shape
     if cb_ != 1 or kvh_ != kv_heads or d_ != head_dim:
         raise ValueError(
@@ -193,12 +243,21 @@ def fused_qkv_attn(x: jax.Array, wqkv, rope_cos, rope_sin,
         args += [q_norm.reshape(1, head_dim), k_norm.reshape(1, head_dim)]
     else:
         nones += ["qn_ref", "kn_ref"]
-    specs += [pl.BlockSpec((1, head_dim), lambda j, p: (0, 0))] * 2
-    args += [rope_cos.reshape(1, head_dim), rope_sin.reshape(1, head_dim)]
+    if rope_cos is not None:
+        specs += [pl.BlockSpec((1, head_dim), lambda j, p: (0, 0))] * 2
+        args += [rope_cos.reshape(1, head_dim),
+                 rope_sin.reshape(1, head_dim)]
+    else:
+        nones += ["cos_ref", "sin_ref"]
+    if norm == "ln":
+        specs += [pl.BlockSpec((1, hd_in), lambda j, p: (0, 0))] * 2
+        args += [ln_weight.reshape(1, hd_in), ln_bias.reshape(1, hd_in)]
+    else:
+        nones += ["lnw_ref", "lnb_ref"]
 
     kern = functools.partial(
         _dispatch, present=tuple(nones), nb=nb, heads=heads,
-        kv_heads=kv_heads, head_dim=head_dim, eps=eps)
+        kv_heads=kv_heads, head_dim=head_dim, eps=eps, norm=norm)
 
     pos = jnp.asarray(pos, jnp.int32).reshape(1)
     return pl.pallas_call(
@@ -228,7 +287,7 @@ def fused_qkv_attn(x: jax.Array, wqkv, rope_cos, rope_sin,
     )(pos, *args)
 
 
-def _dispatch(*refs, present, nb, heads, kv_heads, head_dim, eps):
+def _dispatch(*refs, present, nb, heads, kv_heads, head_dim, eps, norm):
     refs = list(refs)
     pos_ref = refs.pop(0)
     x_ref = refs.pop(0)
@@ -239,18 +298,21 @@ def _dispatch(*refs, present, nb, heads, kv_heads, head_dim, eps):
     b_ref = None if "b_ref" in present else refs.pop(0)
     qn_ref = None if "qn_ref" in present else refs.pop(0)
     kn_ref = None if "kn_ref" in present else refs.pop(0)
-    cos_ref = refs.pop(0)
-    sin_ref = refs.pop(0)
+    cos_ref = None if "cos_ref" in present else refs.pop(0)
+    sin_ref = None if "sin_ref" in present else refs.pop(0)
+    lnw_ref = None if "lnw_ref" in present else refs.pop(0)
+    lnb_ref = None if "lnb_ref" in present else refs.pop(0)
     attn_ref, k_ref, v_ref, acc_ref, h_ref = refs
     _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
-            kn_ref, cos_ref, sin_ref, attn_ref, k_ref, v_ref, acc_ref,
-            h_ref, nb=nb, heads=heads, kv_heads=kv_heads,
-            head_dim=head_dim, eps=eps)
+            kn_ref, cos_ref, sin_ref, lnw_ref, lnb_ref, attn_ref, k_ref,
+            v_ref, acc_ref, h_ref, nb=nb, heads=heads, kv_heads=kv_heads,
+            head_dim=head_dim, eps=eps, norm=norm)
 
 
 def qkv_attn_reference(x, wqkv, rope_cos, rope_sin, k_cache, v_cache,
                        layer, pos, *, heads, kv_heads, head_dim,
-                       q_norm=None, k_norm=None, bqkv=None, eps=1e-6):
+                       q_norm=None, k_norm=None, bqkv=None, norm="rms",
+                       ln_weight=None, ln_bias=None, eps=1e-6):
     """The exact XLA chain this kernel replaces (for parity tests):
     qkv head -> DUS append at pos -> masked gqa_attention with
     kv_len = pos + 1."""
@@ -260,7 +322,8 @@ def qkv_attn_reference(x, wqkv, rope_cos, rope_sin, k_cache, v_cache,
     b = x.shape[0]
     q, k, v = qkv_rope_reference(
         x, wqkv, rope_cos, rope_sin, heads=heads, kv_heads=kv_heads,
-        head_dim=head_dim, q_norm=q_norm, k_norm=k_norm, bqkv=bqkv, eps=eps)
+        head_dim=head_dim, q_norm=q_norm, k_norm=k_norm, bqkv=bqkv,
+        norm=norm, ln_weight=ln_weight, ln_bias=ln_bias, eps=eps)
     t = k_cache.shape[3]
     kf = jax.lax.dynamic_update_slice(
         k_cache, k.reshape(b, 1, kv_heads, head_dim).swapaxes(1, 2)[None],
