@@ -28,6 +28,18 @@ neutral or a net loss.  Do not revisit; the remaining flash gap to the MXU
 floor (~0.08 ms) is the rope prologue + softmax VPU serial chain that
 Mosaic cannot overlap further at D=64.
 
+kvsplitN (round 5, the parked exp2-overlap experiment): the SHIPPING
+kernel's opt-in kv_split chunks the kv rows so chunk c+1's score dot is
+independent of chunk c's exp2 tail. MEASURED (TPU v5e, 2026-08-20):
+isolated-kernel sweeps are noise-dominated (kvsplit2 0.201-0.208 vs
+kvsplit1 0.222-0.230; a one-off kvsplit4 0.147 did not reproduce —
+0.217/0.216/0.233 for 4/6/8 on the rerun; the min-of-diffs estimator
+biases low under tunnel noise), and the DECIDING measurement — the full
+bf16 F5 DiT step at T=1408, interleaved 4x passes — shows NO effect:
+split 1/2/4 all 10.7-11.2 ms. The exp2 tail is already overlapped by
+Mosaic in the full-step context. Verdict: neutral; stays opt-in
+(default kv_split=1, bit-stable), experiment closed.
+
 Run: python benchmarks/flash_ablation.py [variant ...]
 """
 from __future__ import annotations
@@ -218,15 +230,52 @@ def main():
         return o.reshape(B, T, H * D)
 
     o_ref = np.asarray(ref(), np.float32)
-    names = sys.argv[1:] or ["base", "qscale", "bf16sm", "nodiv"]
+    names = sys.argv[1:] or ["base", "qscale", "bf16sm", "nodiv",
+                             "kvsplit1", "kvsplit2", "kvsplit4"]
     for name in names:
-        ms = timeit(name)
-        o = np.asarray(flash_variant(qkv, cos, sin, heads=H, scale=scale,
-                                     variant=name), np.float32)
+        if name.startswith("kvsplit"):
+            # the SHIPPING flash_attention_flat with the opt-in kv_split
+            # chunking (independent exp2 per 128-aligned kv chunk — lets
+            # Mosaic overlap chunk c+1's score dot with chunk c's exp2
+            # tail); kvsplit1 == production default, timed for a
+            # like-for-like in-process baseline
+            from tts_tpu.ops.flash_attention import flash_attention_flat
+
+            split = int(name[len("kvsplit"):])
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def run_s(x, n, _split=split):
+                def body(c, _):
+                    o = flash_attention_flat(c, cos, sin, heads=H,
+                                             scale=scale, kv_split=_split)
+                    eps = jnp.asarray(1e-4, dt)
+                    return c + jnp.concatenate([o, o, o], -1) * eps, None
+                out, _ = jax.lax.scan(body, x, None, length=n)
+                return jnp.sum(out.astype(jnp.float32))
+
+            float(run_s(qkv, n=N1))
+            float(run_s(qkv, n=N2))
+            ta = tb = float("inf")
+            for _ in range(6):
+                t0 = time.perf_counter()
+                float(run_s(qkv, n=N1))
+                ta = min(ta, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(run_s(qkv, n=N2))
+                tb = min(tb, time.perf_counter() - t0)
+            ms = (tb - ta) / (N2 - N1) * 1e3
+            o = np.asarray(flash_attention_flat(
+                qkv, cos, sin, heads=H, scale=scale, kv_split=split),
+                np.float32)
+        else:
+            ms = timeit(name)
+            o = np.asarray(flash_variant(qkv, cos, sin, heads=H,
+                                         scale=scale, variant=name),
+                           np.float32)
         err = np.abs(o - o_ref).max()
         mad = np.abs(o - o_ref).mean()
         print(f"{name:<8} {ms:8.4f} ms/iter  maxabs {err:.5f} "
-              f"mad {mad:.6f}")
+              f"mad {mad:.6f}", flush=True)
 
 
 if __name__ == "__main__":

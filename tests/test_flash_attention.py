@@ -133,3 +133,30 @@ def test_flash_flat_autopicked_large_block_q():
                                    heads=h)        # block_q auto-picked
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("kv_split", [2, 3])
+def test_flash_flat_kv_split_matches_default(kv_split):
+    """Opt-in kv_split chunking (independent exp2 per 128-aligned kv
+    chunk, benchmarks/flash_ablation.py kvsplitN): reassociates only the
+    fp32 denominator/PV sums — must match kv_split=1 to fp32-sum
+    tolerance, including at a T that does not chunk evenly (384/3=128
+    even; 384/2 uneven edges 256+128)."""
+    from tts_tpu.ops.flash_attention import flash_attention_flat
+
+    b, h, s, d = 1, 2, 384, 64
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d)) * 0.3,
+                      jnp.float32)
+    theta = 10000.0 ** (-np.arange(0, d // 2) / (d // 2))
+    ang = np.arange(s)[:, None] * theta[None, :]
+    cos = jnp.asarray(np.tile(np.cos(ang), (1, 2)), jnp.float32)
+    sin = jnp.asarray(np.tile(np.sin(ang), (1, 2)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = flash_attention_flat(qkv, cos, sin, jnp.int32(300), heads=h,
+                                   block_q=128)
+        out = flash_attention_flat(qkv, cos, sin, jnp.int32(300), heads=h,
+                                   block_q=128, kv_split=kv_split)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

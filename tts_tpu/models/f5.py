@@ -82,6 +82,12 @@ class F5Config:
     win_length: int = 1024
     max_signal_len: int = 4096
     freq_embed_dim: int = 256
+    # kv-chunking of the flat flash kernel (independent exp2 per
+    # 128-aligned chunk -> Mosaic can overlap chunk c+1's score dot with
+    # chunk c's exp2 tail; benchmarks/flash_ablation.py kvsplitN).
+    # Changes only fp32 denominator/PV reassociation (same accuracy vs
+    # the fp32 reference); 1 = off.
+    attn_kv_split: int = 1
 
     @property
     def inner_dim(self) -> int:
@@ -387,7 +393,8 @@ def _flash_packed(q: jax.Array, k: jax.Array, v: jax.Array, kv_len,
 
 def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
                    heads: int, head_dim: int,
-                   kv_len: jax.Array | None = None) -> jax.Array:
+                   kv_len: jax.Array | None = None,
+                   kv_split: int = 1) -> jax.Array:
     """Full (non-causal) self-attention, RoPE on q and k, softmax in fp32.
     The d^-0.5 scale is pre-folded into Wq/Wk (d^-0.25 each) by the loader,
     mirroring Export_F5.py:329-333, and the q/k feature columns are permuted
@@ -413,7 +420,7 @@ def _dit_attention(p, x: jax.Array, rope_cos: jax.Array, rope_sin: jax.Array,
         from ..ops.flash_attention import flash_attention_flat
 
         out = flash_attention_flat(qkv, rope_cos, rope_sin, kv_len,
-                                   heads=heads)
+                                   heads=heads, kv_split=kv_split)
         return dense(out, p["wo"]) + p["bo"]
     if use_flash:
         q, k, v = _rope_qkv_flat(qkv, rope_cos, rope_sin, heads, head_dim)
@@ -502,7 +509,8 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
             from ..ops.flash_attention import flash_attention_flat
 
             o = flash_attention_flat(qkv, rope_cos, rope_sin, kv_len,
-                                     heads=cfg.heads)
+                                     heads=cfg.heads,
+                                     kv_split=cfg.attn_kv_split)
         else:
             q, k, v = _rope_qkv_flat(qkv, rope_cos, rope_sin, cfg.heads,
                                      cfg.head_dim)
@@ -513,7 +521,7 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
         norm = layer_norm(x, eps=1e-6) * (1 + scale_msa) + shift_msa
         x = x + gate_msa * _dit_attention(p["attn"], norm, rope_cos,
                                           rope_sin, cfg.heads, cfg.head_dim,
-                                          kv_len)
+                                          kv_len, cfg.attn_kv_split)
     # (Bm, 3, D) mods for the fused MLP kernels: Bm=1 shared (NFE scan)
     # or Bm=2B per row (continuous serving) — the kernel grid indexes the
     # batch row, so per-row modulation fuses just as well
@@ -559,7 +567,8 @@ def _dit_block_cached(p, x, t_emb, rope_cos, rope_sin, cfg: F5Config,
     else:
         norm = layer_norm(x, eps=1e-6) * (1 + c1) + s1
         attn_out = _dit_attention(p["attn"], norm, rope_cos, rope_sin,
-                                  cfg.heads, cfg.head_dim, kv_len)
+                                  cfg.heads, cfg.head_dim, kv_len,
+                                  cfg.attn_kv_split)
     x = x + g1 * attn_out
     if not use_cache:
         norm = layer_norm(x, eps=1e-6) * (1 + c2) + s2

@@ -56,25 +56,6 @@ __all__ = ["fused_qkv_attn", "qkv_attn_reference"]
 NEG_INF = -1e30
 
 
-def _unpack_heads(seg, n, d):
-    """(1, n*d) flat row -> (n, d) per-head rows for d < 128: the flat row
-    packs hpr = 128//d heads per 128-lane row; split each row's lane
-    sub-segments and restack in head order (sublane shuffle in VMEM)."""
-    hpr = 128 // d
-    m = seg.reshape(n // hpr, 128)
-    cols = [m[:, i * d:(i + 1) * d] for i in range(hpr)]
-    return jnp.stack(cols, axis=1).reshape(n, d)
-
-
-def _pack_heads(o, n, d):
-    """(n, d) per-head rows -> (1, n*d) flat packed row (inverse of
-    _unpack_heads)."""
-    hpr = 128 // d
-    m = o.reshape(n // hpr, hpr, d)
-    return jnp.concatenate([m[:, i, :] for i in range(hpr)],
-                           axis=-1).reshape(1, n * d)
-
-
 def _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
             kn_ref, cos_ref, sin_ref, lnw_ref, lnb_ref, attn_ref, k_ref,
             v_ref, acc_ref, h_ref, *, nb, heads, kv_heads, head_dim, eps,
@@ -136,38 +117,90 @@ def _kernel(pos_ref, x_ref, w_ref, kc_ref, vc_ref, sc_ref, b_ref, qn_ref,
             qh = q.reshape(heads, head_dim).reshape(kv_heads, g, head_dim)
             kn = k.reshape(kv_heads, 1, head_dim)
             vn = v.reshape(kv_heads, 1, head_dim)
-        else:
-            qh = _unpack_heads(q, heads, head_dim
-                               ).reshape(kv_heads, g, head_dim)
-            kn = _unpack_heads(k, kv_heads, head_dim
-                               ).reshape(kv_heads, 1, head_dim)
-            vn = _unpack_heads(v, kv_heads, head_dim
-                               ).reshape(kv_heads, 1, head_dim)
-        kc = kc_ref[...]                               # (KVH, T, D)
-        vc = vc_ref[...]
-        s = jax.lax.dot_general(
-            qh, kc, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (KVH, G, T)
-        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(kv_idx < pos, s, NEG_INF)
-        s_new = jax.lax.dot_general(
-            qh, kn, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (KVH, G, 1)
-        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
-        p = jnp.exp(s - m)
-        p_new = jnp.exp(s_new - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
-        probs = (p / denom).astype(dt)
-        probs_new = (p_new / denom).astype(dt)
-        pv = jax.lax.dot_general(
-            probs, vc, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (KVH, G, D)
-        pv = pv + probs_new.astype(jnp.float32) * vn.astype(jnp.float32)
-        if head_dim >= 128:
+            kc = kc_ref[...]                           # (KVH, T, D)
+            vc = vc_ref[...]
+            s = jax.lax.dot_general(
+                qh, kc, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (KVH, G, T)
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(kv_idx < pos, s, NEG_INF)
+            s_new = jax.lax.dot_general(
+                qh, kn, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (KVH, G, 1)
+            m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+            p = jnp.exp(s - m)
+            p_new = jnp.exp(s_new - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+            probs = (p / denom).astype(dt)
+            probs_new = (p_new / denom).astype(dt)
+            pv = jax.lax.dot_general(
+                probs, vc, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (KVH, G, D)
+            pv = pv + probs_new.astype(jnp.float32) * vn.astype(jnp.float32)
             attn_ref[...] = pv.astype(dt).reshape(1, q_sz)
         else:
-            attn_ref[...] = _pack_heads(
-                pv.astype(dt).reshape(heads, head_dim), heads, head_dim)
+            # hd=64 packed path, pure 2-D. Mosaic rules learned on-chip:
+            # 3-D stacks / (rows,128)->(2rows,64) casts of 64-lane tiles
+            # are "unsupported shape cast"s, and sublane-concat of
+            # lane-sliced pieces at DIFFERENT lane offsets is an "offset
+            # mismatch on non-concat dimension". The legal normalizer is
+            # the _rot_half trick: a 2-piece LANE concat is a rotation
+            # producing an offset-0 tile, after which sublane concats
+            # and dots are unconstrained. Output leaves as (H, D); the
+            # wrapper reshapes to the flat row in XLA where the cast is
+            # free.
+            d = head_dim
+            hpr = 128 // d
+            qm = q.reshape(heads // hpr, 128)
+            km = k.reshape(kv_heads // hpr, 128)   # wrapper guarantees
+            vm = v.reshape(kv_heads // hpr, 128)   # kv_sz % 128 == 0
+
+            def head_row(mat, h):
+                """(1, d) lane-offset-0 row for head h from the packed
+                (rows, 128) tile."""
+                piece = mat[h // hpr:h // hpr + 1]             # (1, 128)
+                off = (h % hpr) * d
+                if off:
+                    piece = jnp.concatenate(
+                        [piece[:, off:], piece[:, :off]], axis=-1)
+                return piece[:, :d]
+
+            def unpack(mat, n):
+                return jnp.concatenate(
+                    [head_row(mat, h) for h in range(n)], axis=0)
+
+            qh2 = unpack(qm, heads)                            # (H, d)
+            kn2 = unpack(km, kv_heads).astype(jnp.float32)     # (KVH, d)
+            vn2 = unpack(vm, kv_heads).astype(jnp.float32)
+            s_parts, sn_parts = [], []
+            for kv_j in range(kv_heads):
+                q_j = qh2[kv_j * g:(kv_j + 1) * g]             # (G, d)
+                s_parts.append(jax.lax.dot_general(
+                    q_j, kc_ref[kv_j], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))       # (G, T)
+                sn_parts.append(jnp.sum(
+                    q_j.astype(jnp.float32) * kn2[kv_j:kv_j + 1],
+                    axis=-1, keepdims=True))                   # (G, 1)
+            s = jnp.concatenate(s_parts, axis=0)               # (H, T)
+            s_new = jnp.concatenate(sn_parts, axis=0)          # (H, 1)
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kv_idx < pos, s, NEG_INF)
+            m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+            p = jnp.exp(s - m)
+            p_new = jnp.exp(s_new - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+            probs = (p / denom).astype(dt)
+            probs_new = p_new / denom                          # (H, 1) f32
+            outs = []
+            for kv_j in range(kv_heads):
+                pv_j = jax.lax.dot_general(
+                    probs[kv_j * g:(kv_j + 1) * g], vc_ref[kv_j],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (G, d)
+                pv_j = pv_j + probs_new[kv_j * g:(kv_j + 1) * g] \
+                    * vn2[kv_j:kv_j + 1]
+                outs.append(pv_j.astype(dt))
+            attn_ref[...] = jnp.concatenate(outs, axis=0)      # (H, d)
 
 
 def fused_qkv_attn(x: jax.Array, wqkv, rope_cos=None, rope_sin=None,
@@ -260,14 +293,19 @@ def fused_qkv_attn(x: jax.Array, wqkv, rope_cos=None, rope_sin=None,
         kv_heads=kv_heads, head_dim=head_dim, eps=eps, norm=norm)
 
     pos = jnp.asarray(pos, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    # hd<128: the kernel emits attention as (H, D) per-head rows (Mosaic
+    # cannot repack them into the flat 128-lane row in VMEM — offset
+    # rules, see the kernel comment); the flat reshape happens here in
+    # XLA where it is free
+    attn_shape = (b, q_sz) if head_dim >= 128 else (heads, head_dim)
+    attn, k_row, v_row = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=specs,
             out_specs=[
-                pl.BlockSpec((b, q_sz), lambda j, p: (0, 0)),
+                pl.BlockSpec(attn_shape, lambda j, p: (0, 0)),
                 pl.BlockSpec((b, kv_sz), lambda j, p: (0, 0)),
                 pl.BlockSpec((b, kv_sz), lambda j, p: (0, 0)),
             ],
@@ -277,7 +315,7 @@ def fused_qkv_attn(x: jax.Array, wqkv, rope_cos=None, rope_sin=None,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, q_sz), x.dtype),
+            jax.ShapeDtypeStruct(attn_shape, x.dtype),
             jax.ShapeDtypeStruct((b, kv_sz), x.dtype),
             jax.ShapeDtypeStruct((b, kv_sz), x.dtype),
         ],
@@ -285,6 +323,7 @@ def fused_qkv_attn(x: jax.Array, wqkv, rope_cos=None, rope_sin=None,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(pos, *args)
+    return attn.reshape(b, q_sz), k_row, v_row
 
 
 def _dispatch(*refs, present, nb, heads, kv_heads, head_dim, eps, norm):
@@ -326,11 +365,11 @@ def qkv_attn_reference(x, wqkv, rope_cos, rope_sin, k_cache, v_cache,
         norm=norm, ln_weight=ln_weight, ln_bias=ln_bias, eps=eps)
     t = k_cache.shape[3]
     kf = jax.lax.dynamic_update_slice(
-        k_cache, k.reshape(b, 1, kv_heads, head_dim).swapaxes(1, 2)[None],
-        (layer, 0, 0, pos, 0))[layer]
+        k_cache, k.reshape(b, 1, kv_heads, head_dim).swapaxes(1, 2)[None]
+        .astype(k_cache.dtype), (layer, 0, 0, pos, 0))[layer]
     vf = jax.lax.dynamic_update_slice(
-        v_cache, v.reshape(b, 1, kv_heads, head_dim).swapaxes(1, 2)[None],
-        (layer, 0, 0, pos, 0))[layer]
+        v_cache, v.reshape(b, 1, kv_heads, head_dim).swapaxes(1, 2)[None]
+        .astype(v_cache.dtype), (layer, 0, 0, pos, 0))[layer]
     mask = attention_mask(1, t, pos, pos + 1)
     out = gqa_attention(q.reshape(b, 1, heads, head_dim), kf, vf, mask)
     return out.reshape(b, heads * head_dim), k, v

@@ -172,7 +172,8 @@ def _rot_half(x: jax.Array, d: int) -> jax.Array:
 
 
 def _kernel_flat(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-                 bias_ref, o_ref, kr_ref, *, scale: float, d: int):
+                 bias_ref, o_ref, kr_ref, *, scale: float, d: int,
+                 kv_split: int = 1):
     """Flat-qkv single-pass flash attention with in-prologue RoPE.
 
     q/k/v tiles are read straight from the (B, T, 3*H*D) qkv matmul output
@@ -197,30 +198,61 @@ def _kernel_flat(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     v = v_ref[0]                                        # (skv, hb*d)
     bias = bias_ref[0]                                  # (1, skv)
 
+    # kv_split > 1: chunk the kv rows (128-lane-aligned edges) so each
+    # chunk's score dot (MXU) is independent of the previous chunk's
+    # exp2/sum (VPU) — gives Mosaic's scheduler the freedom to overlap
+    # the serial exp2 tail (~0.17 of 0.61 ms/block at the F5 shape)
+    # with the next chunk's matmul. Changes only fp32 reassociation of
+    # the denominator/PV sums (opt-in; the default stays bit-stable).
+    skv = k.shape[0]
+    nt = skv // 128
+    edges = [0] + [128 * ((nt * (c + 1)) // kv_split)
+                   for c in range(kv_split)]
+    edges[-1] = skv
     outs = []
     for base in range(0, qr.shape[-1], d):
         sl = slice(base, base + d)
-        s = jax.lax.dot_general(
-            qr[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # (bq, skv)
-        s = jnp.minimum(s * jnp.float32(scale * _LOG2E), 100.0) + bias
-        p = jnp.exp2(s)
-        l = jnp.sum(p, axis=-1, keepdims=True) + 1e-37
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # (bq, d)
+        qsl = qr[:, sl]
+        ksl = k[:, sl]                                  # (skv, d)
+        vsl = v[:, sl]
+        ls, pvs = [], []
+        for c in range(kv_split):
+            rows = slice(edges[c], edges[c + 1])
+            s = jax.lax.dot_general(
+                qsl, ksl[rows], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # (bq, chunk)
+            if edges[c]:
+                # lane-rotate the bias so the chunk lands at offset 0 —
+                # a direct bias[:, rows] slice keeps lane offset edges[c]
+                # and the elementwise add is then an invalid-layout mix
+                # (Mosaic); a 2-piece lane concat is the legal rotation
+                bias_c = jnp.concatenate(
+                    [bias[:, edges[c]:], bias[:, :edges[c]]],
+                    axis=-1)[:, :edges[c + 1] - edges[c]]
+            else:
+                bias_c = bias[:, :edges[c + 1]]
+            s = jnp.minimum(s * jnp.float32(scale * _LOG2E), 100.0) \
+                + bias_c
+            p = jnp.exp2(s)
+            ls.append(jnp.sum(p, axis=-1, keepdims=True))
+            pvs.append(jax.lax.dot_general(
+                p.astype(v.dtype), vsl[rows], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))                                          # (bq, d)
+        l = functools.reduce(jnp.add, ls) + 1e-37
+        o = functools.reduce(jnp.add, pvs)
         outs.append((o / l).astype(o_ref.dtype))
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("heads", "scale", "block_q",
-                                    "interpret"))
+                                    "kv_split", "interpret"))
 def flash_attention_flat(qkv: jax.Array, rope_cos: jax.Array,
                          rope_sin: jax.Array, kv_len=None, *, heads: int,
                          scale: float = 1.0, block_q: int = 0,
+                         kv_split: int = 1,
                          interpret: bool = False) -> jax.Array:
     """Non-causal flash attention over the FLAT qkv tensor.
 
@@ -275,8 +307,12 @@ def flash_attention_flat(qkv: jax.Array, rope_cos: jax.Array,
     if t % block_q:
         raise ValueError(f"seq {t} must divide block_q {block_q}")
 
+    if kv_split < 1 or t // 128 < kv_split:
+        raise ValueError(f"kv_split {kv_split} needs 1..{t // 128} "
+                         f"(128-lane chunks of seq {t})")
     grid = (b, nh, t // block_q)
-    kernel = functools.partial(_kernel_flat, scale=scale, d=d)
+    kernel = functools.partial(_kernel_flat, scale=scale, d=d,
+                               kv_split=kv_split)
     return pl.pallas_call(
         kernel,
         grid=grid,
