@@ -47,7 +47,11 @@ class IndexTTSDecodeConfig:
     penalty_range: int = 10
     # Pallas fused decode qkv head (ops/decode_qkv.py); None = auto
     # (on for TPU backends, off on CPU)
-    fused_decode: bool | None = None
+    # None = auto: "step" (qkv+attention single kernel,
+    # ops/decode_step.py — 24-layer GPT step mean 1.46->1.26 ms int8) on TPU, off on CPU;
+    # True = qkv-head kernel only; per-call degradation
+    # outside the M=1 plain-causal geometry is automatic.
+    fused_decode: bool | str | None = None
 
 
 @dataclass
@@ -103,7 +107,8 @@ class IndexTTSPipeline:
         self.cfg = cfg
         self.dcfg = decode_cfg or IndexTTSDecodeConfig()
         fd = self.dcfg.fused_decode
-        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
+        self._fused = ("step" if jax.default_backend() == "tpu"
+                       else False) if fd is None else fd
         self.vcfg = bigvgan_cfg
         self.sample_rate = sample_rate
         self.melspec = MelSpectrogram(sample_rate, n_fft, hop, n_fft,

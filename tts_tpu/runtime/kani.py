@@ -63,7 +63,11 @@ class KaniDecodeConfig:
     penalty_range: int = 10
     # Pallas fused decode qkv head (ops/decode_qkv.py); None = auto
     # (on for TPU backends, off on CPU)
-    fused_decode: bool | None = None
+    # None = auto: "step" (qkv+attention single kernel,
+    # ops/decode_step.py — e2e 957->1058 tok/s int8 370m-shape) on TPU, off on CPU;
+    # True = qkv-head kernel only; per-call degradation
+    # outside the M=1 plain-causal geometry is automatic.
+    fused_decode: bool | str | None = None
 
 
 def _prefill_loop(params, ids_buf, prompt_len, state, cfg: KaniConfig):
@@ -106,7 +110,8 @@ class KaniPipeline:
         self.codec_cfg = codec_cfg
         self.dcfg = decode_cfg or KaniDecodeConfig()
         fd = self.dcfg.fused_decode
-        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
+        self._fused = ("step" if jax.default_backend() == "tpu"
+                       else False) if fd is None else fd
         self.tokenizer = tokenizer
         # audio tokens start at tokenizer_length + 10 (Export_Kani_TTS.py:491)
         self.audio_tokens_start = (

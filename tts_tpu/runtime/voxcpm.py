@@ -49,7 +49,11 @@ class VoxCPMDecodeConfig:
     retry_badcase: int = 0
     # Pallas fused decode qkv head (ops/decode_qkv.py); None = auto
     # (on for TPU backends, off on CPU)
-    fused_decode: bool | None = None
+    # None = auto: "step" (qkv+attention single kernel,
+    # ops/decode_step.py — main-LM step below the qkv-head kernel on both A/B pairs) on TPU, off on CPU;
+    # True = qkv-head kernel only; per-call degradation
+    # outside the M=1 plain-causal geometry is automatic.
+    fused_decode: bool | str | None = None
 
 
 class VoxCPMPipeline:
@@ -76,7 +80,8 @@ class VoxCPMPipeline:
         self.vae_params = vae_params
         self.dcfg = decode_cfg or VoxCPMDecodeConfig()
         fd = self.dcfg.fused_decode
-        self._fused = (jax.default_backend() == "tpu") if fd is None else fd
+        self._fused = ("step" if jax.default_backend() == "tpu"
+                       else False) if fd is None else fd
         self.output_sample_rate = output_sample_rate or cfg.output_sample_rate
         self._enc_cache: dict = {}
         self._dec_cache = {}
