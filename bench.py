@@ -416,14 +416,44 @@ if __name__ == "__main__":
     print(json.dumps(result), flush=True)     # primary is now un-droppable
     deadline = time.time() + _AUX_BUDGET_S
     skipped = []
+
+    def _watchdog(name, est_s, started, done_evt):
+        """No-kill witness: if a section runs far past its estimate (a
+        wedged tunnel RPC blocks in tcp_recv indefinitely — observed
+        2026-08-20 mid-bigvgan), reprint the cumulative JSON annotated
+        with where time is going so a later driver kill still leaves
+        evidence of WHICH section wedged. Never interrupts the section:
+        killing mid-compile is what wedges the tunnel further."""
+        if done_evt.wait(2 * est_s):
+            return
+        while True:
+            snap = dict(result)
+            snap["aux_in_progress"] = name
+            snap["aux_in_progress_s"] = round(time.time() - started, 1)
+            if skipped:
+                snap["skipped"] = list(skipped)
+            print(json.dumps(snap), flush=True)
+            if done_evt.wait(300.0):
+                return
+
+    import threading
     for name, fn, est_s in _AUX_SECTIONS:
         if time.time() + est_s > deadline:
             skipped.append(name)
             continue
+        done_evt = threading.Event()
+        wd = threading.Thread(target=_watchdog,
+                              args=(name, est_s, time.time(), done_evt),
+                              daemon=True)
+        wd.start()
         try:
             result.update(fn())
         except Exception as e:  # auxiliary metrics must not sink the primary
             result[f"{name}_error"] = repr(e)[:200]
+        finally:
+            done_evt.set()
+        result.pop("aux_in_progress", None)
+        result.pop("aux_in_progress_s", None)
         result["t_elapsed_s"] = round(time.time() - _t0, 1)
         if skipped:
             result["skipped"] = list(skipped)
