@@ -316,3 +316,45 @@ def test_gpt_step_fused_step_matches_unfused():
     np.testing.assert_allclose(np.asarray(run("step")),
                                np.asarray(run(False)),
                                atol=5e-5, rtol=5e-4)
+
+
+def test_fused_step_degrades_on_batched_rows():
+    """fused="step" with B>1 (batched serving rows) must degrade to the
+    qkv-head routing and produce identical results to fused=False —
+    the gate, not the kernel, is under test (CPU, no interpret needed
+    because the degraded path is pure XLA at B>1 only when the qkv
+    kernel also rejects; force that with a non-packable layout)."""
+    from tts_tpu.models.qwen_tts import Qwen3StackConfig, qwen3_stack_step
+
+    # head layout NOT packable into 128-lane rows (3 heads x 16) ->
+    # fusable_layout False -> fused degrades all the way to XLA
+    cfg = Qwen3StackConfig(
+        hidden_size=48, num_heads=3, num_kv_heads=3, head_dim=16,
+        ffn_dim=96, num_layers=2, max_seq_len=32)
+    keys = jax.random.split(jax.random.key(7), 3)
+
+    def layer_params(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "wqkv": _rand(ks[0], (cfg.hidden_size, 9 * 16)),
+            "wo": _rand(ks[1], (48, cfg.hidden_size)),
+            "w_gate_up": _rand(ks[2], (cfg.hidden_size, 2 * cfg.ffn_dim)),
+            "w_down": _rand(ks[3], (cfg.ffn_dim, cfg.hidden_size)),
+            "q_norm": 1.0 + _rand(ks[4], (16,)),
+            "k_norm": 1.0 + _rand(ks[5], (16,)),
+        }
+
+    params = {"layers": [layer_params(keys[i]) for i in range(2)]}
+    cos, sin = rope_table(cfg.max_seq_len, 16)
+
+    def run(fused):
+        kv = KVCache.create(cfg.num_layers, 2, cfg.num_kv_heads,
+                            cfg.max_seq_len, 16, jnp.float32)
+        x = _rand(keys[2], (2, 1, cfg.hidden_size), 0.2)
+        kv = kv.advance(3)
+        h, kv = qwen3_stack_step(params, x, kv, cfg, cos[3:4], sin[3:4],
+                                 fused=fused)
+        return h
+
+    np.testing.assert_array_equal(np.asarray(run("step")),
+                                  np.asarray(run(False)))
