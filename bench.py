@@ -411,7 +411,34 @@ if __name__ == "__main__":
         }), flush=True)
         sys.exit(0)
     _t_probe = time.time()
-    result = bench_f5()
+    # No-kill witness on the primary too: the remote compile helper was
+    # observed (2026-08-20) to pass the tiny probe yet hang indefinitely
+    # on big programs — without this, a driver-side kill would leave an
+    # empty capture with no explanation. The real primary line prints
+    # LAST and supersedes these.
+    import threading
+    _primary_done = threading.Event()
+
+    def _primary_watchdog():
+        if _primary_done.wait(600.0):
+            return
+        while True:
+            print(json.dumps({
+                "metric": "f5_tts_nfe32 end-to-end RTF/chip, sustained "
+                          "(6s ref, 15 words; exact path)",
+                "value": None, "unit": "rtf", "vs_baseline": None,
+                "error": "primary still compiling/executing after "
+                         f"{time.time() - _t_probe:.0f}s — backend probe "
+                         "passed but the compile helper looks wedged",
+            }), flush=True)
+            if _primary_done.wait(300.0):
+                return
+
+    threading.Thread(target=_primary_watchdog, daemon=True).start()
+    try:
+        result = bench_f5()
+    finally:
+        _primary_done.set()
     result["t_primary_s"] = round(time.time() - _t_probe, 1)
     print(json.dumps(result), flush=True)     # primary is now un-droppable
     deadline = time.time() + _AUX_BUDGET_S
