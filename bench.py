@@ -374,7 +374,6 @@ def _wait_for_backend(max_wait_s: float = 420.0) -> str:
 # order" + no per-section gate meant four rounds with zero captured
 # secondary metrics).
 _AUX_SECTIONS = [
-    ("bigvgan_secondary", bench_bigvgan_secondary, 45.0),
     ("w8a8_step", bench_f5_w8a8_step, 95.0),
     ("qwen_secondary", bench_qwen_secondary, 100.0),
     ("kani_int4", bench_kani_int4, 120.0),
@@ -383,6 +382,13 @@ _AUX_SECTIONS = [
     # w8a8_step above already carries the W8A8 evidence
     ("kani_continuous", bench_kani_continuous, 150.0),
     ("w8a8_latency", bench_f5_w8a8_latency, 90.0),
+    # LAST on purpose: the 2026-08-20 compile helper hangs indefinitely
+    # on this one program (two independent processes stuck >30 min in
+    # tcp_recv on its compile, while matmul and small-conv probes
+    # compile normally) — if it wedges, only this section is lost and
+    # the watchdog annotates it; everything driver-valuable already
+    # printed cumulatively above
+    ("bigvgan_secondary", bench_bigvgan_secondary, 45.0),
 ]
 
 # Aux wall budget measured from when the PRIMARY metric prints — not from
