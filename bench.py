@@ -207,7 +207,14 @@ def bench_qwen_secondary():
 def bench_bigvgan_secondary():
     """BASELINE.json's named secondary metric: BigVGAN v2 samples/sec on
     the reference's benchmark mel (1, 100, 512) — 4.6 s on the MX150
-    (reference README.md:32)."""
+    (reference README.md:32).
+
+    staged=True: per-stage jitted programs instead of the monolith — the
+    2026-08-20 compile helper grinds >40 min on the composed ~70-conv
+    generator graph while each stage compiles in ~9 s
+    (models/bigvgan.bigvgan_stage). The staged chain pays ~6 ms tunnel
+    dispatch per stage per call, so the number reads LOW vs the monolith
+    (builder-measured 825k samples/s); flagged via bigvgan_staged."""
     import jax
 
     from tts_tpu.models.bigvgan import BigVGANConfig
@@ -218,11 +225,12 @@ def bench_bigvgan_secondary():
     dt = jax.numpy.bfloat16
     params = jax.jit(lambda k: bv_init(cfg, k, dt))(jax.random.key(0))
     voc = BigVGANVocoder(params, cfg, dtype=dt)
-    stats = voc.benchmark(mel_frames=512, iters=20)
+    stats = voc.benchmark(mel_frames=512, iters=20, staged=True)
     sps = stats["samples_per_sec"]
     base = 512 * 256 / 4.6
     return {"bigvgan_metric": "bigvgan_v2_24k mel(1,100,512)",
             "bigvgan_samples_per_s": round(sps, 0),
+            "bigvgan_staged": True,
             "bigvgan_vs_baseline": round(sps / base, 1)}
 
 

@@ -221,3 +221,30 @@ def test_feat_upsample_generator_length():
     out = jax.jit(lambda p, m: bigvgan_apply(p, m, cfg))(params, mel)
     assert out.shape == (1, 10 * 4 * 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_staged_forward_matches_monolith():
+    """bigvgan_pre/stage/post chained == bigvgan_apply bit-exactly (the
+    staged split is a compile-granularity workaround, not a math
+    change)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.models.bigvgan import (bigvgan_apply, bigvgan_post,
+                                        bigvgan_pre, bigvgan_stage)
+    from tts_tpu.models.bigvgan import BigVGANConfig, init_params
+
+    cfg = BigVGANConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5), resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=10)
+    params = init_params(cfg, jax.random.key(0))
+    mel = jax.random.normal(jax.random.key(1), (1, 24, 10), jnp.float32)
+
+    ref = bigvgan_apply(params, mel, cfg, fused=False)
+    x = bigvgan_pre(params, mel, cfg)
+    for i in range(len(cfg.upsample_rates)):
+        x = bigvgan_stage(params, x, i, cfg, fused=False)
+    out = bigvgan_post(params, x, cfg)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -166,37 +166,62 @@ def bigvgan_apply(params, mel: jax.Array, cfg: BigVGANConfig,
     `fused`: route AMPBlock1 stages through the VMEM resblock kernel
     where its layout gate admits them (default: auto on TPU).
     """
-    resample = AliasFreeResample(2)
-    block_fn = _amp_block if cfg.resblock == "1" else _amp_block2
     if fused is None:
         fused = jax.default_backend() == "tpu"
+    x = bigvgan_pre(params, mel, cfg, cond_embed=cond_embed)
+    for i in range(len(cfg.upsample_rates)):
+        x = bigvgan_stage(params, x, i, cfg, fused=fused,
+                          cond=None if conds is None else conds[i])
+    return bigvgan_post(params, x, cfg)
+
+
+def bigvgan_pre(params, mel: jax.Array, cfg: BigVGANConfig,
+                cond_embed: jax.Array | None = None) -> jax.Array:
+    """feat-upsample (IndexTTS variant) + conv_pre + speaker embed."""
     if cfg.feat_upsample:
         mel = linear_upsample_4x(mel)
     x = conv1d(mel, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
     if cond_embed is not None:
         x = x + cond_embed
+    return x
 
+
+def bigvgan_stage(params, x: jax.Array, i: int, cfg: BigVGANConfig,
+                  fused: bool = False, cond: jax.Array | None = None
+                  ) -> jax.Array:
+    """One upsample stage: transposed conv -> num_kernels AMP blocks
+    averaged. Split out so callers can jit per-stage: the 2026-08-20
+    remote compile helper grinds superlinearly on the COMPOSED ~70-conv
+    generator graph (>40 min, any length) while a single stage compiles
+    in ~9 s — `BigVGANVocoder.benchmark(staged=True)` and degraded
+    environments run the stage programs back to back (same math;
+    CPU-equality-tested against the monolith)."""
     from ..ops.bigvgan_stage import fusable_stage
 
-    inv_k = 1.0 / cfg.num_kernels
-    for i, (rate, ks) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        up = params["ups"][i]
-        x = conv_transpose1d(x, up["w"], up["b"], stride=rate,
-                             padding=(ks - rate) // 2)
-        if conds is not None:
-            x = x + conds[i]
-        use_kernel = (fused and cfg.resblock == "1"
-                      and fusable_stage(x.shape[-1], x.shape[1], x.dtype))
-        acc = None
-        for j, (k, dil) in enumerate(
-            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
-        ):
-            p = params["resblocks"][i * cfg.num_kernels + j]
-            r = (_amp_block_kernel(x, p, k, dil, cfg) if use_kernel
-                 else block_fn(x, p, k, dil, cfg, resample))
-            acc = r if acc is None else acc + r
-        x = acc * inv_k
+    resample = AliasFreeResample(2)
+    block_fn = _amp_block if cfg.resblock == "1" else _amp_block2
+    rate, ks = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
+    up = params["ups"][i]
+    x = conv_transpose1d(x, up["w"], up["b"], stride=rate,
+                         padding=(ks - rate) // 2)
+    if cond is not None:
+        x = x + cond
+    use_kernel = (fused and cfg.resblock == "1"
+                  and fusable_stage(x.shape[-1], x.shape[1], x.dtype))
+    acc = None
+    for j, (k, dil) in enumerate(
+        zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+    ):
+        p = params["resblocks"][i * cfg.num_kernels + j]
+        r = (_amp_block_kernel(x, p, k, dil, cfg) if use_kernel
+             else block_fn(x, p, k, dil, cfg, resample))
+        acc = r if acc is None else acc + r
+    return acc * (1.0 / cfg.num_kernels)
 
+
+def bigvgan_post(params, x: jax.Array, cfg: BigVGANConfig) -> jax.Array:
+    """post activation + conv_post + tanh/clamp."""
+    resample = AliasFreeResample(2)
     x = _act(x, params["act_post"], cfg, resample)
     x = conv1d(x, params["conv_post"]["w"], params["conv_post"].get("b"), padding=3)
     x = x[..., 0]

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.bigvgan import BigVGANConfig, bigvgan_apply, init_params
+from ..models.bigvgan import (BigVGANConfig, bigvgan_apply, bigvgan_post,
+                              bigvgan_pre, bigvgan_stage, init_params)
 
 __all__ = ["BigVGANVocoder"]
 
@@ -45,27 +46,59 @@ class BigVGANVocoder:
 
         self._forward = _forward
 
+        # staged program chain: same math, jitted per stage — the whole
+        # generator compiles in seconds-per-stage where a degraded
+        # compile helper grinds for tens of minutes on the composed
+        # graph. fused=False here on purpose: the Pallas resblock kernel
+        # is a SECOND grinder on the degraded helper (stage2+ at
+        # T>=16384 ground >3 min while every pure-XLA stage compiled in
+        # 1-14 s; models/bigvgan.bigvgan_stage docstring) — the staged
+        # path trades its throughput for deterministic compilability.
+        self._pre = jax.jit(
+            lambda p, m: bigvgan_pre(p, m.astype(dtype), cfg_))
+        self._stages = [
+            jax.jit(lambda p, x, _i=i: bigvgan_stage(p, x, _i, cfg_,
+                                                     fused=False))
+            for i in range(len(cfg_.upsample_rates))
+        ]
+        self._post = jax.jit(
+            lambda p, x: (bigvgan_post(p, x, cfg_).astype(jnp.float32)
+                          * 32767.0).astype(jnp.int16))
+
+    def _forward_staged(self, params, mel):
+        x = self._pre(params, mel)
+        for s in self._stages:
+            x = s(params, x)
+        return self._post(params, x)
+
     def __call__(self, mel: np.ndarray) -> np.ndarray:
         """mel: (B, T, num_mels) or (T, num_mels) -> int16 (B, T*up) waveform."""
         if mel.ndim == 2:
             mel = mel[None]
         return np.asarray(self._forward(self.params, jnp.asarray(mel)))
 
-    def benchmark(self, mel_frames: int = 512, iters: int = 50) -> dict:
+    def benchmark(self, mel_frames: int = 512, iters: int = 50,
+                  staged: bool = False) -> dict:
         """Reference benchmark shape: mel (1, 100, 512)
         (BigVGAN/Export_BigVGAN.py:149, README.md:32).
 
         Sync is a device->host fetch of the last output: over a remote-device
         tunnel `block_until_ready` can ack before execution finishes, so a
         fetch (ordered after every queued step) is the only reliable fence.
-        Iterations chain on the previous output so no step can be elided."""
+        Iterations chain on the previous output so no step can be elided.
+
+        staged=True runs the per-stage program chain instead of the
+        monolith (compiles deterministically on a degraded helper; adds
+        ~6 ms tunnel dispatch per stage per call — a measured-low
+        reading, flagged in the result)."""
+        fwd = self._forward_staged if staged else self._forward
         mel = jnp.zeros((1, mel_frames, self.cfg.num_mels), jnp.float32)
-        out = self._forward(self.params, mel)                    # compile
+        out = fwd(self.params, mel)                              # compile
         np.asarray(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = self._forward(self.params,
-                                mel + out.reshape(-1)[0].astype(jnp.float32) * 0.0)
+            out = fwd(self.params,
+                      mel + out.reshape(-1)[0].astype(jnp.float32) * 0.0)
         np.asarray(out[..., :8])
         wall = (time.perf_counter() - t0) / iters
         n_samples = out.shape[-1]
@@ -75,4 +108,5 @@ class BigVGANVocoder:
             "samples": int(n_samples),
             "samples_per_sec": n_samples / wall,
             "rtf": wall / audio_s,
+            "staged": staged,
         }
