@@ -209,12 +209,13 @@ def bench_bigvgan_secondary():
     the reference's benchmark mel (1, 100, 512) — 4.6 s on the MX150
     (reference README.md:32).
 
-    staged=True: per-stage jitted programs instead of the monolith — the
-    2026-08-20 compile helper grinds >40 min on the composed ~70-conv
-    generator graph while each stage compiles in ~9 s
-    (models/bigvgan.bigvgan_stage). The staged chain pays ~6 ms tunnel
-    dispatch per stage per call, so the number reads LOW vs the monolith
-    (builder-measured 825k samples/s); flagged via bigvgan_staged."""
+    staged=True: the generator split into two jitted halves — the
+    2026-08-20 compile helper grinds 30-60 min (then 500s) on the
+    composed ~70-conv monolith while each half compiles in ~35 s
+    (models/bigvgan.bigvgan_stage). Measured staged 773k samples/s vs
+    the fused monolith's builder-measured 825k (the halves skip the
+    Pallas resblock kernel — itself a grinder on the degraded helper —
+    and pay one extra tunnel dispatch); flagged via bigvgan_staged."""
     import jax
 
     from tts_tpu.models.bigvgan import BigVGANConfig

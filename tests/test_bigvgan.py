@@ -248,3 +248,26 @@ def test_staged_forward_matches_monolith():
         x = bigvgan_stage(params, x, i, cfg, fused=False)
     out = bigvgan_post(params, x, cfg)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_vocoder_staged_benchmark_path_matches_forward():
+    """BigVGANVocoder._forward_staged (the two jitted halves used by
+    benchmark(staged=True)) == the monolith _forward, including the
+    int16 conversion."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.models.bigvgan import BigVGANConfig, init_params
+    from tts_tpu.runtime.vocoder import BigVGANVocoder
+
+    cfg = BigVGANConfig(
+        upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+        num_mels=10)
+    params = init_params(cfg, jax.random.key(2))
+    voc = BigVGANVocoder(params, cfg, dtype=jnp.float32)
+    mel = jax.random.normal(jax.random.key(3), (1, 16, 10), jnp.float32)
+    ref = np.asarray(voc._forward(voc.params, mel))
+    out = np.asarray(voc._forward_staged(voc.params, mel))
+    np.testing.assert_array_equal(out, ref)

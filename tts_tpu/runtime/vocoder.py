@@ -46,30 +46,37 @@ class BigVGANVocoder:
 
         self._forward = _forward
 
-        # staged program chain: same math, jitted per stage — the whole
-        # generator compiles in seconds-per-stage where a degraded
-        # compile helper grinds for tens of minutes on the composed
-        # graph. fused=False here on purpose: the Pallas resblock kernel
-        # is a SECOND grinder on the degraded helper (stage2+ at
-        # T>=16384 ground >3 min while every pure-XLA stage compiled in
-        # 1-14 s; models/bigvgan.bigvgan_stage docstring) — the staged
-        # path trades its throughput for deterministic compilability.
-        self._pre = jax.jit(
-            lambda p, m: bigvgan_pre(p, m.astype(dtype), cfg_))
-        self._stages = [
-            jax.jit(lambda p, x, _i=i: bigvgan_stage(p, x, _i, cfg_,
-                                                     fused=False))
-            for i in range(len(cfg_.upsample_rates))
-        ]
-        self._post = jax.jit(
-            lambda p, x: (bigvgan_post(p, x, cfg_).astype(jnp.float32)
-                          * 32767.0).astype(jnp.int16))
+        # staged program pair: same math split at the stage midpoint —
+        # the whole-generator graph takes a degraded compile helper >40
+        # min at any length (superlinear autotune grind) while each
+        # half compiles in ~35 s and single stages in 1-14 s
+        # (models/bigvgan.bigvgan_stage docstring). fused=False on
+        # purpose: the Pallas resblock kernel is a SECOND grinder on
+        # the degraded helper (stage2+ at T>=16384 ground >3 min).
+        # Two programs = 2 tunnel dispatches/call instead of the
+        # monolith's 1 — negligible vs the 8 of a per-stage chain.
+        n = len(cfg_.upsample_rates)
+        first = tuple(range((n + 1) // 2))
+        second = tuple(range(len(first), n))
+
+        @jax.jit
+        def _half1(p, m):
+            x = bigvgan_pre(p, m.astype(dtype), cfg_)
+            for i in first:
+                x = bigvgan_stage(p, x, i, cfg_, fused=False)
+            return x
+
+        @jax.jit
+        def _half2(p, x):
+            for i in second:
+                x = bigvgan_stage(p, x, i, cfg_, fused=False)
+            wav = bigvgan_post(p, x, cfg_)
+            return (wav.astype(jnp.float32) * 32767.0).astype(jnp.int16)
+
+        self._half1, self._half2 = _half1, _half2
 
     def _forward_staged(self, params, mel):
-        x = self._pre(params, mel)
-        for s in self._stages:
-            x = s(params, x)
-        return self._post(params, x)
+        return self._half2(params, self._half1(params, mel))
 
     def __call__(self, mel: np.ndarray) -> np.ndarray:
         """mel: (B, T, num_mels) or (T, num_mels) -> int16 (B, T*up) waveform."""
