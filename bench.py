@@ -408,7 +408,13 @@ _AUX_SECTIONS = [
 # are both outside this budget; the primary itself is additionally
 # bounded by the driver's own process timeout, against which the
 # immediate primary print already defends.
-_AUX_BUDGET_S = 420.0
+#
+# 600 s: warm-cache the full chain runs in ~250 s (jitted quantize +
+# persistent executables); cold, each section recompiles and a 420 s
+# budget dropped the last two. Running longer is safe by construction —
+# every section reprints the cumulative JSON, so a driver kill at any
+# point still leaves a maximal valid last line.
+_AUX_BUDGET_S = 600.0
 
 
 if __name__ == "__main__":

@@ -98,15 +98,7 @@ def test_int4_scale_search_beats_rtn():
     lf = _run_teacher_forced(params, tokens)
 
     def delta_with(search):
-        from tts_tpu.quant import weight_only as wo
-
-        orig = wo.quantize_int4
-        try:
-            wo.quantize_int4 = lambda v, g, search=search: orig(
-                v, g, search=search)
-            q = quantize_pytree(params, min_size=1024, bits=4)
-        finally:
-            wo.quantize_int4 = orig
+        q = quantize_pytree(params, min_size=1024, bits=4, search=search)
         return _per_step_delta(lf, _run_teacher_forced(q, tokens)).mean()
 
     d_rtn, d_search = delta_with(False), delta_with(True)

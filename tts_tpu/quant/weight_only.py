@@ -237,22 +237,38 @@ _DEFAULT_KEYS = ("wqkv", "wo", "w_gate_up", "w_down", "in_proj", "out_proj",
                  "lm_head")
 
 
+# jitted per-tensor quantizers for quantize_pytree: the eager quantizers
+# dispatch each jnp op separately, which over the remote-TPU tunnel
+# (~6 ms/call) turns the int4 scale search (14 candidates x ~6 ops per
+# tensor) into minutes for a 370m tree. One compiled program per distinct
+# weight shape (a model has only a handful) makes the whole-tree
+# quantize seconds instead. Same math, same outputs.
+@partial(jax.jit, static_argnames=("group_size", "search"))
+def _quantize_int4_runtime_jit(v, group_size, search=True):
+    return quantize_int4(v, group_size, search=search).unpack_runtime()
+
+
+_quantize_int8_jit = jax.jit(lambda v: quantize_int8(v))
+
+
 def quantize_pytree(params, keys: tuple[str, ...] = _DEFAULT_KEYS,
                     min_size: int = 1 << 16, bits: int = 8,
-                    group_size: int = 32):
+                    group_size: int = 32, search: bool = True):
     """Replace eligible float matmul weights with QTensors (weights reached
     through dict keys in `keys`, ndim >= 2, at least `min_size` elements).
     bits=8 -> per-channel int8; bits=4 -> group-wise packed int4 (2-D
     weights whose input dim divides the group size; others fall back to
-    int8)."""
+    int8). `search` selects the int4 scale algorithm: True = k_quant-style
+    error-minimizing search (the reference's DEFAULT_NBITS_ALGO,
+    Kani_TTS/Optimize_ONNX.py:219-253), False = plain RTN."""
 
     def quant(v):
         if bits == 4 and v.ndim == 2 and v.shape[0] % group_size == 0:
             # runtime form: int8-container values + group scales (the
             # packed QTensor4 is the artifact format; weights/save.py
             # re-packs on save)
-            return quantize_int4(v, group_size).unpack_runtime()
-        return quantize_int8(v)
+            return _quantize_int4_runtime_jit(v, group_size, search)
+        return _quantize_int8_jit(v)
 
     def walk(node):
         if isinstance(node, dict):
