@@ -465,6 +465,8 @@ if __name__ == "__main__":
     deadline = time.time() + _AUX_BUDGET_S
     skipped = []
 
+    _result_lock = threading.Lock()   # watchdog snapshot vs section update
+
     def _watchdog(name, est_s, started, done_evt):
         """No-kill witness: if a section runs far past its estimate (a
         wedged tunnel RPC blocks in tcp_recv indefinitely — observed
@@ -475,7 +477,8 @@ if __name__ == "__main__":
         if done_evt.wait(2 * est_s):
             return
         while True:
-            snap = dict(result)
+            with _result_lock:        # dict(result) vs result.update race
+                snap = dict(result)
             snap["aux_in_progress"] = name
             snap["aux_in_progress_s"] = round(time.time() - started, 1)
             if skipped:
@@ -484,7 +487,6 @@ if __name__ == "__main__":
             if done_evt.wait(300.0):
                 return
 
-    import threading
     for name, fn, est_s in _AUX_SECTIONS:
         if time.time() + est_s > deadline:
             skipped.append(name)
@@ -495,16 +497,16 @@ if __name__ == "__main__":
                               daemon=True)
         wd.start()
         try:
-            result.update(fn())
+            section = fn()
         except Exception as e:  # auxiliary metrics must not sink the primary
-            result[f"{name}_error"] = repr(e)[:200]
+            section = {f"{name}_error": repr(e)[:200]}
         finally:
             done_evt.set()
-        result.pop("aux_in_progress", None)
-        result.pop("aux_in_progress_s", None)
-        result["t_elapsed_s"] = round(time.time() - _t0, 1)
-        if skipped:
-            result["skipped"] = list(skipped)
+        with _result_lock:
+            result.update(section)
+            result["t_elapsed_s"] = round(time.time() - _t0, 1)
+            if skipped:
+                result["skipped"] = list(skipped)
         print(json.dumps(result), flush=True)  # cumulative, valid, maximal
     if skipped:
         result["skipped"] = skipped

@@ -84,15 +84,16 @@ def test_stack_step_fused_step_matches_unfused():
         kv = KVCache.create(cfg.num_layers, 1, cfg.num_kv_heads,
                             cfg.max_seq_len, hd, jnp.float32)
         x = _rand(keys[6], (1, 3, cfg.hidden_size), 0.2)
+        # qwen3_stack_step advances kv.length internally — no extra
+        # advance here, so decode steps write the contiguous rows the
+        # kernel's parked-block/pos contract is built around
         h, kv = qwen3_stack_step(params, x, kv, cfg, cos[:3], sin[:3])
-        kv = kv.advance(3)
         outs = [h]
         for i in range(5):
             pos = 3 + i
             h, kv = qwen3_stack_step(
                 params, h[:, None], kv, cfg, cos[pos:pos + 1],
                 sin[pos:pos + 1], fused=fused, _interpret=True)
-            kv = kv.advance(1)
             outs.append(h)
         return jnp.stack(outs)
 
@@ -134,14 +135,13 @@ def test_stack_step_fused_step_int8():
         kv = KVCache.create(cfg.num_layers, 1, cfg.num_kv_heads,
                             cfg.max_seq_len, cfg.head_dim, jnp.float32)
         x = _rand(keys[2], (1, 2, cfg.hidden_size), 0.2)
+        # stack_step advances internally (see the bf16 test above)
         h, kv = qwen3_stack_step(params, x, kv, cfg, cos[:2], sin[:2])
-        kv = kv.advance(2)
         for i in range(3):
             pos = 2 + i
             h, kv = qwen3_stack_step(
                 params, h[:, None], kv, cfg, cos[pos:pos + 1],
                 sin[pos:pos + 1], fused=fused, _interpret=True)
-            kv = kv.advance(1)
         return h
 
     np.testing.assert_allclose(

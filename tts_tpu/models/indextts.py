@@ -355,13 +355,9 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
             kv, _, _ = kv.update_layer(
                 i, kf.reshape(b, 1, cfg.gpt_heads, cfg.gpt_head_dim),
                 vf.reshape(b, 1, cfg.gpt_heads, cfg.gpt_head_dim))
-            x = x + (dense(attn_flat[:, None], p["wo"]) + p["bo"])
-            h = layer_norm(x, p["ln2"]["w"], p["ln2"]["b"], eps=1e-5)
-            h = dense(h, p["fc"]["w"]) + p["fc"]["b"]
-            h = jax.nn.gelu(h, approximate=True)           # GPT-2 gelu_new
-            x = x + (dense(h, p["proj"]["w"]) + p["proj"]["b"])
-            continue
-        if fuse:
+            out = attn_flat[:, None]
+            # falls through to the one shared residual + MLP tail below
+        elif fuse:
             # fused LN + qkv matvec head (ops/decode_qkv.py); GPT-2 here
             # has no rope and no q/k norms
             from ..ops.decode_qkv import fused_qkv_rope
@@ -381,10 +377,11 @@ def gpt_step(params, hidden: jax.Array, kv: KVCache, penalty_vec: jax.Array,
             q = q.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
             k = k.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
             v = v.reshape(b, s, cfg.gpt_heads, cfg.gpt_head_dim)
-        kv, k_full, v_full = kv.update_layer(i, k, v)
-        from ..nn.attention import gqa_attention
+        if fuse != "step":
+            kv, k_full, v_full = kv.update_layer(i, k, v)
+            from ..nn.attention import gqa_attention
 
-        out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, d)
+            out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, d)
         x = x + (dense(out, p["wo"]) + p["bo"])
         h = layer_norm(x, p["ln2"]["w"], p["ln2"]["b"], eps=1e-5)
         h = dense(h, p["fc"]["w"]) + p["fc"]["b"]

@@ -174,13 +174,8 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
                 i, kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim),
                 vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim))
             out = attn_flat[:, None]
-            x = x + dense(out, p["wo"])
-            h = rms_norm(x, eps=cfg.rms_eps)
-            gu = dense(h, p["w_gate_up"])
-            gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
-            continue
-        if fuse_qkv:
+            # falls through to the one shared residual + MLP tail below
+        elif fuse_qkv:
             from ..ops.decode_qkv import fused_qkv_rope
 
             qf, kf, vf = fused_qkv_rope(
@@ -206,15 +201,18 @@ def qwen3_stack_step(params, hidden: jax.Array, kv: KVCache,
             k = rms_norm(k, p["k_norm"], eps=cfg.rms_eps)
             q = apply_rope(q, rope_cos, rope_sin)
             k = apply_rope(k, rope_cos, rope_sin)
-        kv, k_full, v_full = kv.update_layer(i, k, v)
-        if fuse_attn:
-            from ..ops.decode_attention import decode_gqa_attention
+        if not fuse_step:
+            kv, k_full, v_full = kv.update_layer(i, k, v)
+            if fuse_attn:
+                from ..ops.decode_attention import decode_gqa_attention
 
-            out = decode_gqa_attention(
-                q.reshape(b, cfg.num_heads, cfg.head_dim), k_full, v_full,
-                pos + 1, interpret=_interpret).reshape(b, 1, -1)
-        else:
-            out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
+                out = decode_gqa_attention(
+                    q.reshape(b, cfg.num_heads, cfg.head_dim), k_full,
+                    v_full, pos + 1,
+                    interpret=_interpret).reshape(b, 1, -1)
+            else:
+                out = gqa_attention(q, k_full, v_full,
+                                    mask).reshape(b, s, -1)
         if fuse_mlp_q8:
             from ..ops.decode_mlp import fused_out_mlp_q8
 

@@ -216,13 +216,9 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
             kv, _, _ = kv.update_layer(
                 i, kf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim),
                 vf.reshape(b, 1, cfg.num_kv_heads, cfg.head_dim))
-            x = x + dense(attn_flat[:, None], p["wo"])
-            h = rms_norm(x, eps=cfg.rms_eps)
-            gu = dense(h, p["w_gate_up"])
-            gate, up = jnp.split(gu, 2, axis=-1)
-            x = x + dense(jax.nn.silu(gate) * up, p["w_down"])
-            continue
-        if fused:
+            out = attn_flat[:, None]
+            # falls through to the one shared residual + MLP tail below
+        elif fused:
             from ..ops.decode_qkv import fused_qkv_rope
 
             qf, kf, vf = fused_qkv_rope(
@@ -245,8 +241,9 @@ def llama_stack_step(params, hidden: jax.Array, kv: KVCache,
                                                 cfg.head_dim)
             q = apply_rope(q, rope_cos, rope_sin)
             k = apply_rope(k, rope_cos, rope_sin)
-        kv, k_full, v_full = kv.update_layer(i, k, v)
-        out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
+        if fused != "step":
+            kv, k_full, v_full = kv.update_layer(i, k, v)
+            out = gqa_attention(q, k_full, v_full, mask).reshape(b, s, -1)
         x = x + dense(out, p["wo"])
         h = rms_norm(x, eps=cfg.rms_eps)
         gu = dense(h, p["w_gate_up"])

@@ -307,8 +307,8 @@ def flash_attention_flat(qkv: jax.Array, rope_cos: jax.Array,
     if t % block_q:
         raise ValueError(f"seq {t} must divide block_q {block_q}")
 
-    if kv_split < 1 or t // 128 < kv_split:
-        raise ValueError(f"kv_split {kv_split} needs 1..{t // 128} "
+    if kv_split < 1 or (kv_split > 1 and t // 128 < kv_split):
+        raise ValueError(f"kv_split {kv_split} needs 1..{max(1, t // 128)} "
                          f"(128-lane chunks of seq {t})")
     grid = (b, nh, t // block_q)
     kernel = functools.partial(_kernel_flat, scale=scale, d=d,

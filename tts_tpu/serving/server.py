@@ -40,6 +40,33 @@ from .batcher import MicroBatcher
 __all__ = ["TTSServer", "serve_http"]
 
 
+def _accepts_deadline(fn) -> bool:
+    """True if `fn` can take a `deadline_s` keyword (cached on the fn).
+
+    Capability is read from the signature rather than probing with a
+    call: `except TypeError` probing swallows TypeErrors raised *inside*
+    a deadline-accepting adapter and re-submits the request without its
+    deadline (or double-submits if the first call enqueued before
+    raising)."""
+    cached = getattr(fn, "_accepts_deadline", None)
+    if cached is not None:
+        return cached
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+        ok = "deadline_s" in sig.parameters or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values())
+    except (TypeError, ValueError):    # builtins/partials w/o signature
+        ok = False
+    try:
+        fn._accepts_deadline = ok
+    except AttributeError:             # bound methods reject attributes
+        pass
+    return ok
+
+
 class TTSServer:
     """Synchronous-future serving engine: submit() returns a
     concurrent.futures.Future resolving to an int16 waveform."""
@@ -107,16 +134,17 @@ class TTSServer:
     def submit(self, request, deadline_s: float | None = None):
         fn = self._submit if self._submit is not None else \
             self.batcher.submit
-        if deadline_s is not None:
+        if deadline_s is not None and _accepts_deadline(fn):
             # server-side deadline: the engine expires the request at a
             # chunk boundary and FREES ITS SLOT — unlike a client-side
             # future timeout, which abandons the future while the row
             # keeps decoding (VERDICT r4 weak #2). Adapters without the
             # kwarg (legacy MicroBatcher) degrade to client-side only.
-            try:
-                return fn(request, deadline_s=deadline_s)
-            except TypeError:
-                pass
+            # Capability is read from the signature, NOT via
+            # `except TypeError` around the call — that swallowed
+            # TypeErrors raised *inside* a deadline-accepting adapter
+            # and re-submitted the request without its deadline.
+            return fn(request, deadline_s=deadline_s)
         return fn(request)
 
     def synthesize(self, request, timeout: float = 300.0) -> np.ndarray:
