@@ -535,7 +535,13 @@ def _dit_block(p, x: jax.Array, t_emb: jax.Array, rope_cos, rope_sin,
             p["ff2"]["w"].q, p["ff2"]["w"].scale, p["ff2"]["b"],
             interpret=interp)
     if (USE_FUSED_MLP and on_tpu and t % 8 == 0
-            and not hasattr(p["ff1"]["w"], "scale")):
+            and not hasattr(p["ff1"]["w"], "scale")
+            # both weights must fit scoped VMEM (16 MB) alongside the
+            # activation blocks: fine in bf16 (8.4 MB at D=1024/F=2048),
+            # impossible in fp32 (16.8 MB — compile-time VMEM OOM); fp32
+            # callers take the XLA path below
+            and 2 * p["ff1"]["w"].size * p["ff1"]["w"].dtype.itemsize
+            <= 12 << 20):
         # fused LN+modulate -> ff1 -> gelu -> ff2 -> gated residual: one
         # Pallas program per row-block, both MLP weights VMEM-resident
         # (ops/dit_mlp.py) — removes 3 HBM round-trips over the activations
