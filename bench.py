@@ -210,12 +210,14 @@ def bench_bigvgan_secondary():
     (reference README.md:32).
 
     staged=True: the generator split into two jitted halves — the
-    2026-08-20 compile helper grinds 30-60 min (then 500s) on the
-    composed ~70-conv monolith while each half compiles in ~35 s
-    (models/bigvgan.bigvgan_stage). Measured staged 773k samples/s vs
-    the fused monolith's builder-measured 825k (the halves skip the
-    Pallas resblock kernel — itself a grinder on the degraded helper —
-    and pay one extra tunnel dispatch); flagged via bigvgan_staged."""
+    2026-08-20 compile helper grinds ~100 min on the composed monolith
+    and then FAILS with a Mosaic scoped-VMEM overflow on the fused
+    resblock kernel (62 MB stack alloc vs the 16 MB limit, a helper-side
+    liveness regression: the identical program compiled and ran at 825k
+    samples/s in round 3), while each half compiles in ~35 s
+    (models/bigvgan.bigvgan_stage). Measured staged 428-630k samples/s
+    across runs (dispatch-bound, tunnel-noisy) vs the monolith's 825k;
+    flagged via bigvgan_staged."""
     import jax
 
     from tts_tpu.models.bigvgan import BigVGANConfig
